@@ -1,0 +1,54 @@
+"""The reference's 54-test data-quality suite must pass on the fixture
+pipeline, and each generic test must actually detect violations."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dbt_datbricks_demo_spark.testing import (
+    accepted_values,
+    not_null,
+    reference_suite,
+    relationships,
+    run_suite,
+    unique,
+    value_in_range,
+)
+from dbt_datbricks_demo_spark.testing.runner import run_test
+
+
+def test_54_tests_all_pass(dag):
+    specs = reference_suite()
+    assert len(specs) == 54
+    results = run_suite(specs, dag, threads=4)
+    failed = [r for r in results if not r.passed]
+    assert not failed, f"failing tests: {[r.name for r in failed]}"
+
+
+def test_generic_tests_detect_violations(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", None, "y"), (None, 3, "zz")],
+        "id string, v int, cat string",
+    )
+    assert not_null(df, "id").count() == 1
+    assert not_null(df, "v").count() == 1
+    assert unique(df, "id").count() == 1  # 'a' twice; null ignored
+    assert accepted_values(df, "cat", ["x", "y"]).count() == 1  # 'zz'
+    parent = spark.createDataFrame([("a",)], "id string")
+    assert relationships(df, "id", parent, "id").count() == 0  # nulls skipped
+    child = spark.createDataFrame([("b",)], "id string")
+    assert relationships(child, "id", parent, "id").count() == 1
+    nums = spark.createDataFrame([(5,), (500,), (500,), (None,)], "v int")
+    viol = value_in_range(nums, "v", 0, 100).collect()
+    assert len(viol) == 1 and viol[0]["occurrences"] == 2
+
+
+def test_failing_suite_reports_counts(spark, dag):
+    from dbt_datbricks_demo_spark.testing.runner import TestSpec
+
+    bad = TestSpec(
+        "always_fails", "stg_devices",
+        lambda rel: rel["stg_devices"].filter(F.col("is_active")),
+    )
+    res = run_test(bad, dag)
+    assert not res.passed and res.failures == 10
