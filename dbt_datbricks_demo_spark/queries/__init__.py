@@ -1,0 +1,3 @@
+"""Query surface: SURVEY §2 operator inventory + EDA queries."""
+
+from dbt_datbricks_demo_spark.queries.inventory import QUERIES, QuerySpec  # noqa: F401

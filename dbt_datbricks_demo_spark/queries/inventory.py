@@ -1,0 +1,738 @@
+"""Operator-inventory queries over the driver's testdata tables.
+
+Each QuerySpec pairs a DataFrame-API builder with an ANSI-SQL oracle that
+DuckDB runs on the same parquet — the driver's correctness gate
+(BASELINE.md). Names map to SURVEY.md §2 operator IDs in the docstrings.
+
+Determinism rules (the driver hashes values):
+  * any float produced by an AGGREGATE is rounded (accumulation order
+    differs between engines); row-level IEEE arithmetic is left exact.
+  * averages are expressed as round(sum, 2) / count, never round(avg, 2):
+    small-group averages of 2-decimal data land exactly on .xx5 rounding
+    boundaries where Spark (exact-decimal HALF_UP) and DuckDB (scaled
+    std::round) disagree; round(sum)/count is deterministic IEEE on both.
+    Ratios of integers (rates/pcts) are left unrounded for the same
+    reason — identical int inputs give bit-identical quotients.
+  * events.ts carries nanoseconds — Spark truncates to µs, DuckDB keeps
+    ns — so raw event timestamps are never emitted; they are truncated
+    (date_trunc second/hour/day) first.
+  * top-k sorts always carry a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.functions import surrogate_key, surrogate_key_sql
+from dbt_datbricks_demo_spark.sources.testdata import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    description: str  # which SURVEY §2 operators this exercises
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, description: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(name, description, fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Headline aggregate (A1/A2-class; TPC-H Q1 shape) — also the bench anchor.
+# ---------------------------------------------------------------------------
+@_register(
+    "pricing_summary",
+    "A1/A2 hash aggregation with conditional sums and guarded rates "
+    "(int_device_health.sql:26-65 shape) on lineitem",
+    """
+    select
+        l_returnflag,
+        l_linestatus,
+        count(*)                                        as row_cnt,
+        round(sum(l_quantity), 2)                       as sum_qty,
+        round(sum(l_extendedprice), 2)                  as sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+        round(sum(l_quantity), 2) / count(*)            as avg_qty,
+        round(sum(l_extendedprice), 2) / count(*)       as avg_price,
+        round(sum(l_discount), 2) / count(*)            as avg_disc,
+        round(stddev_samp(l_quantity), 2)               as stddev_qty,
+        cast(sum(case when l_discount > 0.05 then 1 else 0 end) as bigint)
+                                                        as high_disc_cnt,
+        sum(case when l_discount > 0.05 then 1 else 0 end) * 100.0
+              / nullif(count(*), 0)                     as high_disc_pct
+    from lineitem
+    where l_shipdate <= timestamp '1998-09-02 00:00:00'
+    group by l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(dt.datetime(1998, 9, 2))
+    )
+    high = F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty"),
+        (F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias("avg_price"),
+        (F.round(F.sum("l_discount"), 2) / F.count(F.lit(1))).alias("avg_disc"),
+        F.round(F.stddev_samp("l_quantity"), 2).alias("stddev_qty"),
+        F.sum(high).alias("high_disc_cnt"),
+        (F.sum(high) * 100.0 / F.nullif(F.count(F.lit(1)), F.lit(0))).alias(
+            "high_disc_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / rename / cast (P1-P3, §2.2)
+# ---------------------------------------------------------------------------
+@_register(
+    "stage_projection",
+    "P1-P3 rename+cast+lower/trim+derived-flag staging projection "
+    "(stg_sensor_readings.sql:15-26 shape) on lineitem",
+    """
+    select
+        l_orderkey                                   as order_key,
+        l_linenumber                                 as line_number,
+        lower(trim(l_returnflag))                    as return_flag,
+        cast(l_quantity as double)                   as quantity,
+        cast(l_shipdate as date)                     as ship_date,
+        l_extendedprice * (1 - l_discount)           as net_price,
+        l_tax is not null and l_tax > 0.05           as is_high_tax
+    from lineitem
+    """,
+)
+def stage_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.lower(F.trim(F.col("l_returnflag"))).alias("return_flag"),
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        (F.col("l_tax").isNotNull() & (F.col("l_tax") > 0.05)).alias("is_high_tax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window dedup keep-latest (W1 + F2, §2.6)
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_keep_latest",
+    "W1 row_number keep-latest-per-key dedup "
+    "(int_sensor_readings_cleaned.sql:38-48,102) on events: latest event "
+    "per (user_id, event_type)",
+    """
+    -- ts truncated to µs so tie-breaking matches Spark's µs timestamps
+    with events_us as (
+        select * replace (date_trunc('microseconds', ts) as ts) from events
+    )
+    select user_id, event_type, event_id, value,
+           date_trunc('second', ts) as ts_sec
+    from (
+        select *, row_number() over (
+            partition by user_id, event_type
+            order by ts desc, event_id desc
+        ) as rn
+        from events_us
+    )
+    where rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", "event_id", "value",
+            F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly rollup (A1, §2.5) — the int_device_health shape on events
+# ---------------------------------------------------------------------------
+@_register(
+    "hourly_rollup",
+    "A1 hourly agg with expression group key, stddev_samp, conditional sum, "
+    "guarded rate (int_device_health.sql:26-65) on events",
+    """
+    select
+        event_type,
+        date_trunc('hour', ts)                          as event_hour,
+        count(*)                                        as event_count,
+        round(sum(value), 2) / count(*)                 as avg_value,
+        round(min(value), 2)                            as min_value,
+        round(max(value), 2)                            as max_value,
+        round(stddev_samp(value), 2)                    as stddev_value,
+        cast(sum(case when value > 250 then 1 else 0 end) as bigint) as high_count,
+        sum(case when value > 250 then 1 else 0 end) * 100.0
+              / nullif(count(*), 0)                     as high_rate_pct,
+        date_trunc('second', max(ts))                   as latest_ts_sec
+    from events
+    group by event_type, date_trunc('hour', ts)
+    """,
+)
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    high = F.when(F.col("value") > 250, 1).otherwise(0)
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("event_hour")
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.stddev_samp("value"), 2).alias("stddev_value"),
+        F.sum(high).alias("high_count"),
+        (F.sum(high) * 100.0 / F.nullif(F.count(F.lit(1)), F.lit(0))).alias(
+            "high_rate_pct"
+        ),
+        F.date_trunc("second", F.max("ts")).alias("latest_ts_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily summary with composite-key left join + health score
+# (A2+A3+J3 + health formula, §2.5/§2.4 — the fct_device_summary shape)
+# ---------------------------------------------------------------------------
+@_register(
+    "daily_summary_join",
+    "A2+A3 daily aggs joined on composite key (device_id, date) with "
+    "coalesce/nullif health-score math (fct_device_summary.sql) on events",
+    f"""
+    with daily_activity as (
+        select
+            user_id,
+            cast(date_trunc('day', ts) as date)          as activity_date,
+            count(*)                                     as total_events,
+            cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint)
+                                                         as error_events,
+            sum(case when event_type = 'error' then 1 else 0 end) * 100.0
+                  / nullif(count(*), 0)                  as error_rate_pct,
+            round(sum(value), 2)                         as total_value
+        from events
+        group by user_id, cast(date_trunc('day', ts) as date)
+    ),
+    daily_purchases as (
+        select
+            user_id,
+            cast(date_trunc('day', ts) as date)          as purchase_date,
+            count(*)                                     as purchase_count,
+            round(sum(case when value > 100 then value end), 2)
+                / nullif(sum(case when value > 100 then 1 else 0 end), 0)
+                                                         as avg_big_purchase
+        from events
+        where event_type = 'purchase'
+        group by user_id, cast(date_trunc('day', ts) as date)
+    )
+    select
+        {surrogate_key_sql("a.user_id", "a.activity_date")} as user_day_key,
+        a.user_id, a.activity_date, a.total_events, a.error_events,
+        a.error_rate_pct, a.total_value,
+        coalesce(p.purchase_count, 0) as purchase_count,
+        p.avg_big_purchase,
+        round(greatest(0, 100 - (coalesce(p.purchase_count, 0) * 0)
+              - (a.error_rate_pct * 0.5)), 0) as activity_score,
+        case
+            when a.error_events > 3 then 'critical'
+            when a.error_events > 0 then 'at_risk'
+            when a.error_rate_pct > 10 then 'degraded'
+            else 'healthy'
+        end as activity_category
+    from daily_activity a
+    left join daily_purchases p
+      on a.user_id = p.user_id and a.activity_date = p.purchase_date
+    """,
+)
+def daily_summary_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+
+    activity = ev.groupBy(F.col("user_id"), day.alias("activity_date")).agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.sum(err).alias("error_events"),
+        (F.sum(err) * 100.0 / F.nullif(F.count(F.lit(1)), F.lit(0))).alias(
+            "error_rate_pct"
+        ),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    big = F.when(F.col("value") > 100, F.col("value"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id"), day.alias("purchase_date"))
+        .agg(
+            F.count(F.lit(1)).alias("purchase_count"),
+            (
+                F.round(F.sum(big), 2)
+                / F.nullif(F.sum(F.when(F.col("value") > 100, 1).otherwise(0)), F.lit(0))
+            ).alias("avg_big_purchase"),
+        )
+    )
+    a, p = activity.alias("a"), purchases.alias("p")
+    joined = a.join(
+        p,
+        (F.col("a.user_id") == F.col("p.user_id"))
+        & (F.col("a.activity_date") == F.col("p.purchase_date")),
+        "left",
+    )
+    pc = F.coalesce(F.col("p.purchase_count"), F.lit(0))
+    return joined.select(
+        surrogate_key(F.col("a.user_id"), F.col("a.activity_date")).alias(
+            "user_day_key"
+        ),
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.activity_date").alias("activity_date"),
+        F.col("a.total_events").alias("total_events"),
+        F.col("a.error_events").alias("error_events"),
+        F.col("a.error_rate_pct").alias("error_rate_pct"),
+        F.col("a.total_value").alias("total_value"),
+        pc.alias("purchase_count"),
+        F.col("p.avg_big_purchase").alias("avg_big_purchase"),
+        F.round(
+            F.greatest(
+                F.lit(0), F.lit(100) - (pc * 0) - (F.col("a.error_rate_pct") * 0.5)
+            ),
+            0,
+        ).alias("activity_score"),
+        F.when(F.col("a.error_events") > 3, "critical")
+        .when(F.col("a.error_events") > 0, "at_risk")
+        .when(F.col("a.error_rate_pct") > 10, "degraded")
+        .otherwise("healthy")
+        .alias("activity_category"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast enrichment join (J1/J2, §2.4)
+# ---------------------------------------------------------------------------
+@_register(
+    "enrich_broadcast",
+    "J1 fact ⟕ broadcast(dim) enrichment "
+    "(int_sensor_readings_cleaned.sql:99-101) — lineitem ⟕ part",
+    """
+    select
+        l.l_orderkey as order_key,
+        l.l_linenumber as line_number,
+        l.l_partkey as part_key,
+        p.p_brand as brand,
+        p.p_type as part_type,
+        l.l_quantity * p.p_retailprice as retail_value
+    from lineitem l
+    left join part p on l.l_partkey = p.p_partkey
+    """,
+)
+def enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_retailprice"
+    )
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left").select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_partkey").alias("part_key"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("part_type"),
+        (F.col("l_quantity") * F.col("p_retailprice")).alias("retail_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join / referential integrity (J5/J6/F8, §2.4)
+# ---------------------------------------------------------------------------
+@_register(
+    "orphan_anti_join",
+    "J5 orphan detection via left anti-join "
+    "(tests/assert_no_orphan_alerts.sql:7-13): orders without a customer",
+    """
+    select o.o_orderkey as order_key, o.o_custkey as cust_key
+    from orders o
+    left join customer c on o.o_custkey = c.c_custkey
+    where c.c_custkey is null
+    """,
+)
+def orphan_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).select(
+        F.col("o_orderkey").alias("order_key"), F.col("o_custkey").alias("cust_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U1/U2, §2.8)
+# ---------------------------------------------------------------------------
+@_register(
+    "union_report",
+    "U1 UNION ALL layer row-count report (databricks_data_flow.sql:164-177)",
+    """
+    select 'customer' as table_name, count(*) as row_count from customer
+    union all select 'orders', count(*) from orders
+    union all select 'lineitem', count(*) from lineitem
+    union all select 'part', count(*) from part
+    union all select 'supplier', count(*) from supplier
+    union all select 'events', count(*) from events
+    """,
+)
+def union_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(name: str) -> DataFrame:
+        return (
+            _t(spark, sf_dir, name)
+            .agg(F.count(F.lit(1)).alias("row_count"))
+            .select(F.lit(name).alias("table_name"), "row_count")
+        )
+
+    out = one("customer")
+    for name in ("orders", "lineitem", "part", "supplier", "events"):
+        out = out.unionByName(one(name))
+    return out
+
+
+@_register(
+    "except_inactive_customers",
+    "U2 EXCEPT/MINUS (databricks_data_flow.sql:110): customers with no orders",
+    """
+    select c_custkey as cust_key from customer
+    except
+    select o_custkey from orders
+    """,
+)
+def except_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key")
+    )
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_key"))
+    return customer.subtract(orders)  # subtract ≡ EXCEPT (distinct)
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k (O1-O3, §2.7)
+# ---------------------------------------------------------------------------
+@_register(
+    "topk_orders",
+    "O1-O3 global sort desc nulls last + LIMIT "
+    "(iot_eda_analysis.sql:161, databricks_data_flow.sql:237) with unique "
+    "tie-break for determinism",
+    """
+    select o_orderkey as order_key, o_custkey as cust_key,
+           o_totalprice as total_price, o_orderpriority as priority
+    from orders
+    order by o_totalprice desc nulls last, o_orderkey
+    limit 50
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey"))
+        .limit(50)
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING + count distinct (F7/A7, §2.3/§2.5)
+# ---------------------------------------------------------------------------
+@_register(
+    "having_rollup",
+    "F7/A7 post-aggregation HAVING + count(distinct) "
+    "(iot_eda_analysis.sql:130-141, databricks_data_flow.sql:83-99)",
+    """
+    select
+        event_type,
+        count(*) as event_count,
+        count(distinct user_id) as distinct_users,
+        cast(sum(case when value > 300 then 1 else 0 end) as bigint) as big_count,
+        sum(case when value > 300 then 1 else 0 end) * 100.0
+              / nullif(count(*), 0) as big_pct
+    from events
+    group by event_type
+    having sum(case when value > 300 then 1 else 0 end) > 0
+    """,
+)
+def having_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = F.when(F.col("value") > 300, 1).otherwise(0)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.sum(big).alias("big_count"),
+            (F.sum(big) * 100.0 / F.nullif(F.count(F.lit(1)), F.lit(0))).alias(
+                "big_pct"
+            ),
+        )
+        .filter(F.col("big_count") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Surrogate keys (§2.9 hash) — dbt_utils md5 byte-compat incl. null sentinel
+# ---------------------------------------------------------------------------
+@_register(
+    "surrogate_keys",
+    "dbt_utils.generate_surrogate_key md5 byte-compat incl. null sentinel "
+    "(int_device_health.sql:29-30, dim_devices.sql:37-38)",
+    f"""
+    select
+        p_partkey as part_key,
+        {surrogate_key_sql("p_partkey", "p_brand", "p_size")} as part_sk,
+        {surrogate_key_sql("nullif(p_brand, 'Brand#13')")} as nullable_sk
+    from part
+    """,
+)
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_key"),
+        surrogate_key("p_partkey", "p_brand", "p_size").alias("part_sk"),
+        surrogate_key(F.nullif(F.col("p_brand"), F.lit("Brand#13"))).alias(
+            "nullable_sk"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CASE expressions (§2.9 conditional): simple + searched
+# ---------------------------------------------------------------------------
+@_register(
+    "case_scoring",
+    "simple CASE (severity→score, int_alerts_enriched.sql:64-69) + searched "
+    "CASE (health classification, fct_hourly_metrics.sql:47-52) on orders",
+    """
+    select
+        o_orderkey as order_key,
+        case o_orderpriority
+            when '1-URGENT' then 3 when '2-HIGH' then 2
+            when '3-MEDIUM' then 1 else 0
+        end as priority_score,
+        case
+            when o_totalprice >= 400000 then 'jumbo'
+            when o_totalprice >= 200000 then 'large'
+            when o_totalprice > 0 then 'normal'
+            else 'empty'
+        end as size_class,
+        case when o_orderstatus = 'F' then true else false end as is_finished
+    from orders
+    """,
+)
+def case_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 3)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(0)
+        .alias("priority_score"),
+        F.when(F.col("o_totalprice") >= 400000, "jumbo")
+        .when(F.col("o_totalprice") >= 200000, "large")
+        .when(F.col("o_totalprice") > 0, "normal")
+        .otherwise("empty")
+        .alias("size_class"),
+        F.when(F.col("o_orderstatus") == "F", True).otherwise(False).alias(
+            "is_finished"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time function surface (§2.9): datediff, date_trunc, to_date, hour,
+# dayofweek (Spark Sun=1 vs DuckDB Sun=0 → +1 in the oracle), epoch seconds
+# ---------------------------------------------------------------------------
+@_register(
+    "date_functions",
+    "date/time scalar surface (stg_devices.sql:26, fct_hourly_metrics.sql:42-44, "
+    "int_alerts_enriched.sql:54-61)",
+    """
+    select
+        o_orderkey as order_key,
+        cast(o_orderdate as date) as order_date,
+        datediff('day', cast(o_orderdate as date), date '2002-01-01') as days_to_2002,
+        cast(date_trunc('month', o_orderdate) as date) as order_month,
+        hour(o_orderdate) as order_hour,
+        dayofweek(o_orderdate) + 1 as order_dow,
+        cast(epoch(o_orderdate) as bigint) as order_epoch,
+        cast(epoch(o_orderdate + interval 90 day) - epoch(o_orderdate) as bigint) / 60
+            as interval_minutes
+    from orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        od.cast("date").alias("order_date"),
+        F.datediff(F.lit(dt.date(2002, 1, 1)), od.cast("date")).alias("days_to_2002"),
+        F.date_trunc("month", od).cast("date").alias("order_month"),
+        F.hour(od).alias("order_hour"),
+        F.dayofweek(od).alias("order_dow"),
+        F.unix_timestamp(od).alias("order_epoch"),
+        (
+            (
+                F.unix_timestamp(od + F.expr("interval 90 days"))
+                - F.unix_timestamp(od)
+            )
+            / 60
+        ).alias("interval_minutes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental watermark filter (F1/A5, §2.3): scalar max collected
+# driver-side, pushed back as a literal (enables file skipping)
+# ---------------------------------------------------------------------------
+@_register(
+    "watermark_filter",
+    "F1 incremental watermark: ingested_at > (select max(...) from this) "
+    "(int_sensor_readings_cleaned.sql:24-27) — strict >, ties drop by design",
+    """
+    select event_type, count(*) as recent_events,
+           round(sum(value), 2) as recent_value
+    from events
+    where date_trunc('microseconds', ts) >
+          (select date_trunc('day', max(ts)) - interval 7 day from events)
+    group by event_type
+    """,
+)
+def watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
+    boundary = max_ts.replace(
+        hour=0, minute=0, second=0, microsecond=0
+    ) - dt.timedelta(days=7)
+    return (
+        ev.filter(F.col("ts") > F.lit(boundary))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("recent_events"),
+            F.round(F.sum("value"), 2).alias("recent_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# value_in_range generic test shape (F9, §2.3)
+# ---------------------------------------------------------------------------
+@_register(
+    "value_in_range_check",
+    "F9 range-violation test (macros/test_value_in_range.sql:10-23) on "
+    "lineitem quantities outside [5, 45]",
+    """
+    select l_quantity as invalid_value, count(*) as occurrences
+    from lineitem
+    where l_quantity is not null and (l_quantity < 5 or l_quantity > 45)
+    group by l_quantity
+    """,
+)
+def value_in_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.testing import value_in_range
+
+    return value_in_range(_t(spark, sf_dir, "lineitem"), "l_quantity", 5, 45)
+
+
+# ---------------------------------------------------------------------------
+# Threshold anomaly flags (the int_sensor_readings_cleaned CASE, §2.9)
+# ---------------------------------------------------------------------------
+@_register(
+    "anomaly_flags",
+    "threshold CASE + missing-value flag "
+    "(int_sensor_readings_cleaned.sql:68-95) on events, aggregated by flag",
+    """
+    select event_type, is_anomaly, count(*) as n,
+           round(min(value), 2) as min_v, round(max(value), 2) as max_v
+    from (
+        select event_type, value,
+            case
+                when event_type = 'purchase' and value is not null
+                     and (value > 300 or value < 1) then true
+                when event_type = 'error' and value is not null
+                     and value > 250 then true
+                else false
+            end as is_anomaly
+        from events
+    )
+    group by event_type, is_anomaly
+    """,
+)
+def anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v, t = F.col("value"), F.col("event_type")
+    flag = (
+        F.when((t == "purchase") & v.isNotNull() & ((v > 300) | (v < 1)), True)
+        .when((t == "error") & v.isNotNull() & (v > 250), True)
+        .otherwise(False)
+    )
+    return (
+        ev.select("event_type", "value", flag.alias("is_anomaly"))
+        .groupBy("event_type", "is_anomaly")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (beyond the reference — props is a JSON string)
+# ---------------------------------------------------------------------------
+@_register(
+    "json_extract_agg",
+    "JSON field extraction (get_json_object) + aggregation — extension "
+    "beyond the reference's scalar surface (SURVEY §2.9: JSON absent)",
+    """
+    select event_type,
+           sum(cast(json_extract_string(props, '$.k') as int)) * 1.0
+               / count(json_extract_string(props, '$.k')) as avg_k,
+           max(cast(json_extract_string(props, '$.k') as int)) as max_k
+    from events
+    group by event_type
+    """,
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        (F.sum(k) * 1.0 / F.count(k)).alias("avg_k"), F.max(k).alias("max_k")
+    )

@@ -9,6 +9,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -25,7 +27,19 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one table; transparently handles TIMESTAMP(NANOS) parquet.
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    natively (PARQUET_TYPE_ILLEGAL). We read it as epoch-nanos long
+    (legacy.parquet.nanosAsLong — runtime-settable) and convert to a
+    microsecond TimestampType; sub-µs precision is dropped, matching
+    Spark's native timestamp resolution.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
