@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The decode step itself is STUBBED (PIL/librosa/av are not in this
+container): ``_decode_image_bytes`` raises NotImplementedError unless a
+decoder is importable, and the pipeline uses a deterministic fake
+(md5-derived dimensions) so the Spark-side plumbing — schema, batch
+iteration, partitioning — is real and testable. Swap ``_FAKE_DECODE``
+off in a container with the real libs.
+
+Scale notes: mapInPandas streams Arrow record batches, so peak memory is
+one batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
+partition; binary payloads never materialize as Python row objects.
+Partition sizing should target ~64-128 MB of payload per task via
+spark.sql.files.maxPartitionBytes on read.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # real decoder, when the environment has one
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+_FAKE_DECODE = not _HAVE_PIL
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def _decode_image_bytes(data: bytes) -> tuple[int, int, str]:
+    """Return (width, height, format). Real decode requires PIL."""
+    if _FAKE_DECODE:
+        # Deterministic fake: dimensions derived from the content digest.
+        # Replaces actual pixel decode in lib-less environments; keeps
+        # every downstream shape (schema, batching) identical.
+        h = hashlib.md5(data).hexdigest()
+        return int(h[:4], 16) % 1024 + 1, int(h[4:8], 16) % 1024 + 1, "fake"
+    raise NotImplementedError("real image decode requires PIL")  # pragma: no cover
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test-data adapter: treat a text column's UTF-8 bytes as an opaque
+    binary payload (the testdata tables carry no real media)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8").cast(BinaryType()))
+
+
+def image_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Decode/feature-extract binary payloads via mapInPandas.
+
+    Arrow delivers the binary column as zero-copy byte buffers per batch;
+    output is a narrow typed frame (no payload), so the expensive bytes
+    are dropped before any downstream shuffle.
+    """
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            data = pdf[payload_col]
+            dims = [_decode_image_bytes(bytes(b)) for b in data]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": data.map(len).astype("int64"),
+                    "content_md5": data.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "format": [d[2] for d in dims],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        extract, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: emit (doc_id,
+    frame_no) rows for every n-th 'frame', where the stubbed frame count
+    derives from payload length. Real frame extraction would replace the
+    count with the container's metadata."""
+    frames = (F.octet_length("payload") / F.lit(100)).cast("int") + 1
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), frames - 1, F.lit(every_n))).alias("frame_no"),
+    )

@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * cosine_topk — brute-force exact baseline: per-row cosine against a
+    query vector as a single JVM-side zip_with/aggregate expression
+    (whole-stage codegen, no Python), then a top-k sort. At scale this is
+    one narrow scan + a k-row per-partition heap (Spark's sort+limit is
+    implemented as takeOrdered — no global shuffle of the full set).
+  * hyperplane_bucket — the LSH scale path: P deterministic random
+    hyperplanes (integer weights derived from md5, so portable and
+    reproducible) map each vector to a P-bit bucket; candidate search
+    only compares vectors within the same bucket, turning O(N·Q) into
+    O(N·Q/2^P) expected work. Bucketing is again pure codegen math.
+
+Dot products accumulate sequentially in array order with double math —
+bit-identical across engines, which is what makes the DuckDB oracle able
+to hash-match exact float cosines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_with_literal(vec_col: Column, query: list[float]) -> Column:
+    """Sequential dot product of an array<float> column with a Python
+    vector, in double precision."""
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query])
+    prods = F.zip_with(vec_col, q, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(vec_col: Column) -> Column:
+    sq = F.transform(vec_col, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_to_query(vec_col: Column, query: list[float]) -> Column:
+    """Cosine similarity to a fixed query vector; the query norm is folded
+    in as a Python-computed literal so both engines share one constant."""
+    qnorm = sum(float(x) * float(x) for x in query) ** 0.5
+    return _dot_with_literal(vec_col, query) / (_norm(vec_col) * F.lit(qnorm))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine; ties broken by id for determinism."""
+    return (
+        df.select(
+            F.col(id_col), cosine_to_query(F.col(vec_col), query).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_weights(planes: int, dims: int, scale: int = 1000) -> list[list[int]]:
+    """Deterministic pseudo-random integer hyperplanes: component (p, d) =
+    (md5int("p{p}d{d}") mod (2*scale+1)) - scale ∈ [-scale, scale].
+    md5-derived so any engine can reproduce them."""
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dims):
+            h = int(hashlib.md5(f"p{p}d{d}".encode()).hexdigest()[:8], 16)
+            row.append(h % (2 * scale + 1) - scale)
+        out.append(row)
+    return out
+
+
+def hyperplane_bucket(vec_col: Column, weights: list[list[int]]) -> Column:
+    """P-bit LSH bucket id: bit p set iff dot(plane_p, v) >= 0."""
+    bucket = F.lit(0).cast("bigint")
+    for p, w in enumerate(weights):
+        dot = _dot_with_literal(vec_col, [float(x) for x in w])
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def bucketed_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    planes: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: restrict the exact cosine scan to the query's
+    LSH bucket. Recall is traded for a 2^planes-fold candidate reduction;
+    multi-probe (flipping low-margin bits) is the standard recall fix."""
+    dims = len(query)
+    w = hyperplane_weights(planes, dims)
+    qbucket = 0
+    for p, row in enumerate(w):
+        if sum(a * b for a, b in zip(row, query)) >= 0:
+            qbucket |= 1 << p
+    return (
+        df.filter(hyperplane_bucket(F.col(vec_col), w) == qbucket)
+        .select(F.col(id_col), cosine_to_query(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,105 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+token counting, document fingerprinting.
+
+All pure built-in expressions (split/regexp/aggregate) — JVM-side,
+whole-stage codegen, no Python in the hot path. At 100 TB these run as a
+single narrow scan per document partition with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer applied to trimmed, lowercased text. Kept
+# deliberately simple so it is reproducible in any engine (oracle parity).
+TOKEN_SPLIT_RE = r"\s+"
+
+# BPE-ish lexer classes: letter runs, digit runs, single non-alnum marks.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Word-boundary regexes; extend per deployment.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "los", "que", "es", "una"],
+    "fr": ["le", "la", "les", "est", "une"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), TOKEN_SPLIT_RE)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish lexer (letters/digits/punct marks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
+def stopword_count(col: Column | str, lang: str = "en") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pat))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: char/token counts, mean token length,
+    punctuation and stopword ratios. Ratios are exact integer quotients
+    (deterministic across engines)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_stop = stopword_count(t)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        # sum of token lengths / token count — exact int ratio
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+            * 1.0
+            / F.nullif(n_tokens, F.lit(0))
+        ).alias("avg_token_len"),
+        (n_punct * 1.0 / F.nullif(n_chars, F.lit(0))).alias("punct_ratio"),
+        (n_stop * 1.0 / F.nullif(n_tokens, F.lit(0))).alias("stopword_ratio"),
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Stopword-hit score per candidate language + a CJK character count."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    scores = {lang: stopword_count(c, lang) for lang in LANG_STOPWORDS}
+    scores["zh"] = F.regexp_count(c, F.lit(r"[一-鿿]"))
+    return scores
+
+
+def predict_lang(col: Column | str) -> Column:
+    """Argmax over language scores; ties resolve in fixed lang order;
+    all-zero scores → 'unknown'."""
+    scores = lang_scores(col)
+    order = ["en", "de", "es", "fr", "zh"]
+    best = F.greatest(*[scores[lang] for lang in order])
+    result = F.lit("unknown")
+    # build the chain back-to-front so earlier languages win ties
+    for lang in reversed(order):
+        result = F.when((scores[lang] > 0) & (scores[lang] == best), lang).otherwise(
+            result
+        )
+    return result
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set. Detects bag-of-words-identical documents regardless of
+    word order — the batch analog of a rolling-hash content signature."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))

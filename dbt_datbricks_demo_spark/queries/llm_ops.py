@@ -1,0 +1,333 @@
+"""LLM-data-pipeline queries over documents/embeddings, with oracles.
+
+Registers into the same QUERIES dict as inventory.py. Oracle SQL for the
+hash/signature operators is generated programmatically from the same
+constants the Spark operators use (affine minhash params, hyperplane
+weights), so both engines compute literally the same integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.operators import dedup, multimodal, similarity, text
+from dbt_datbricks_demo_spark.operators.dedup import MERSENNE31, _affine_params
+from dbt_datbricks_demo_spark.queries.inventory import _register, _t
+
+# ---- shared DuckDB SQL fragments ------------------------------------------
+# normalized text / tokens / shingle hashes exactly mirroring operators.text
+_SQL_NORM = "trim(lower(text))"
+_SQL_TOKENS = f"string_split_regex({_SQL_NORM}, '\\s+')"
+_SQL_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(1, length({_SQL_NORM}) - 4) + 1),"
+    f" i -> substr({_SQL_NORM}, i, 5)))"
+)
+_SQL_H32 = "(('0x' || substr(md5({x}), 1, 8))::ubigint)::bigint"
+_SQL_SHINGLE_HASHES = (
+    f"list_transform({_SQL_SHINGLES}, s -> {_SQL_H32.format(x='s')} % {MERSENNE31})"
+)
+
+
+def _sql_minhash_cols(num_hashes: int = 8) -> list[str]:
+    """One list_min expression per affine permutation — same (a, b) as
+    operators.dedup.minhash_signature."""
+    cols = []
+    for i, (a, b) in enumerate(_affine_params(num_hashes)):
+        cols.append(
+            f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31})) as h{i}"
+        )
+    return cols
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+@_register(
+    "exact_dedup_docs",
+    "exact deduplication via content-hash groupBy keeping the lowest id "
+    "(operators.dedup.exact_dedup)",
+    """
+    select md5(text) as content_hash, count(*) as n_copies,
+           min(doc_id) as keeper_doc_id
+    from documents
+    group by md5(text)
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(dedup.content_hash("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality features
+# ---------------------------------------------------------------------------
+@_register(
+    "text_quality",
+    "per-document quality scoring: token/char counts, mean token length, "
+    "punctuation + stopword ratios (operators.text.quality_stats)",
+    f"""
+    select
+        doc_id,
+        length(text) as n_chars,
+        len({_SQL_TOKENS}) as n_tokens,
+        list_sum(list_transform({_SQL_TOKENS}, x -> length(x))) * 1.0
+            / nullif(len({_SQL_TOKENS}), 0) as avg_token_len,
+        len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+            / nullif(length(text), 0) as punct_ratio,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) * 1.0
+            / nullif(len({_SQL_TOKENS}), 0) as stopword_ratio
+    from documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword heuristic) evaluated against the labeled lang col
+# ---------------------------------------------------------------------------
+def _sql_lang_predict() -> str:
+    scores = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b'))"
+        for lang, words in text.LANG_STOPWORDS.items()
+    }
+    scores["zh"] = "len(regexp_extract_all(lower(text), '[一-鿿]'))"
+    order = ["en", "de", "es", "fr", "zh"]
+    g = "greatest(" + ", ".join(scores[lang] for lang in order) + ")"
+    whens = " ".join(
+        f"when {scores[lang]} > 0 and {scores[lang]} = {g} then '{lang}'"
+        for lang in order
+    )
+    return f"case {whens} else 'unknown' end"
+
+
+@_register(
+    "lang_id_eval",
+    "language ID via stopword/CJK n-gram heuristic (operators.text."
+    "predict_lang), confusion counts vs the labeled lang column",
+    f"""
+    select lang, {_sql_lang_predict()} as predicted, count(*) as n
+    from documents
+    group by lang, predicted
+    """,
+)
+def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "lang", text.predict_lang("text").alias("predicted")
+    ).groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting + order-insensitive fingerprint
+# ---------------------------------------------------------------------------
+@_register(
+    "doc_fingerprint",
+    "document fingerprint: md5 over sorted distinct token set + BPE-ish "
+    "lexer token count (operators.text.fingerprint / bpe_token_count)",
+    f"""
+    select
+        doc_id,
+        md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' '))
+            as fingerprint,
+        len(regexp_extract_all(text, '{text.BPE_TOKEN_RE}')) as n_bpe_tokens
+    from documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.fingerprint("text").alias("fingerprint"),
+        text.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs verified with exact Jaccard
+# ---------------------------------------------------------------------------
+@_register(
+    "minhash_signatures",
+    "MinHash signatures (8 perms over char-5-shingles; operators.dedup."
+    "minhash_signature) — md5-derived, engine-portable",
+    f"""
+    with hashed as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from documents)
+    select doc_id, {', '.join(_sql_minhash_cols(8))}
+    from hashed
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature("text", num_hashes=8, k=5)
+    return docs.select(
+        "doc_id", *[F.element_at(sig, i + 1).alias(f"h{i}") for i in range(8)]
+    )
+
+
+@_register(
+    "minhash_lsh_jaccard",
+    "MinHash+LSH near-dup pipeline: band buckets (2 bands × 4 rows) → "
+    "candidate pairs → exact shingle-Jaccard verification "
+    "(operators.dedup.minhash_candidate_pairs / jaccard_pairs)",
+    f"""
+    with hashed as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from documents),
+    sigs as (select doc_id, {', '.join(_sql_minhash_cols(8))} from hashed),
+    bands as (
+        select doc_id, md5(concat_ws('-', '0', h0, h1, h2, h3)) as band_key from sigs
+        union all
+        select doc_id, md5(concat_ws('-', '1', h4, h5, h6, h7)) as band_key from sigs
+    ),
+    pairs as (
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from bands a join bands b
+          on a.band_key = b.band_key and a.doc_id < b.doc_id
+    ),
+    sh as (select doc_id, unnest(hs) as sh from hashed),
+    sizes as (select doc_id, count(*) as set_size from sh group by doc_id),
+    inter as (
+        select p.id_a, p.id_b, count(*) as n_common
+        from pairs p
+        join sh a on a.doc_id = p.id_a
+        join sh b on b.doc_id = p.id_b and b.sh = a.sh
+        group by p.id_a, p.id_b
+    )
+    select i.id_a, i.id_b, i.n_common,
+           sa.set_size as size_a, sb.set_size as size_b,
+           i.n_common * 1.0 / (sa.set_size + sb.set_size - i.n_common) as jaccard
+    from inter i
+    join sizes sa on sa.doc_id = i.id_a
+    join sizes sb on sb.doc_id = i.id_b
+    """,
+)
+def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=2, k=5
+    )
+    return dedup.jaccard_pairs(docs, pairs, "doc_id", "text", k=5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def _sql_simhash() -> str:
+    tok_h = _SQL_H32.format(x="t")
+    terms = []
+    for j in range(32):
+        p = 1 << j
+        vote = (
+            f"list_sum(list_transform({_SQL_TOKENS}, "
+            f"t -> case when ({tok_h} // {p}) % 2 = 1 then 1 else -1 end))"
+        )
+        terms.append(f"(case when {vote} > 0 then {p}::bigint else 0 end)")
+    return " + ".join(terms)
+
+
+@_register(
+    "simhash_docs",
+    "32-bit SimHash per document (operators.dedup.simhash32): near-dups "
+    "differ in few bits (Hamming distance)",
+    f"select doc_id, {_sql_simhash()} as simhash from documents",
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash32("text").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-k + LSH bucket histogram
+# ---------------------------------------------------------------------------
+def _sql_dot(vec_expr: str, weights: list[float] | str, dims: int = 64) -> str:
+    if isinstance(weights, str):
+        w = weights
+    else:
+        w = "[" + ", ".join(f"{x!r}::double" for x in weights) + "]"
+    return (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> cast({vec_expr}[i] as double) * ({w})[i]))"
+    )
+
+
+@_register(
+    "ann_cosine_topk",
+    "brute-force exact cosine top-20 to a query vector (vec_id=0) — "
+    "operators.similarity.cosine_topk; sequential double accumulation "
+    "makes the float result engine-exact",
+    f"""
+    with q as (
+        select list_transform(embedding, x -> cast(x as double)) as qv
+        from embeddings where vec_id = 0
+    )
+    select vec_id,
+           {_sql_dot('embedding', 'qv')}
+           / (sqrt({_sql_dot('embedding', 'list_transform(embedding, x -> cast(x as double))')})
+              * sqrt({_sql_dot('qv', 'qv')}))
+           as cosine
+    from embeddings, q
+    order by cosine desc, vec_id
+    limit 20
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return similarity.cosine_topk(emb, query, k=20)
+
+
+def _sql_lsh_histogram() -> str:
+    w = similarity.hyperplane_weights(8, 64)
+    terms = [
+        f"(case when {_sql_dot('embedding', [float(x) for x in row])} >= 0 "
+        f"then {1 << p}::bigint else 0 end)"
+        for p, row in enumerate(w)
+    ]
+    bucket = " + ".join(terms)
+    return (
+        f"select bucket, count(*) as n_vectors from "
+        f"(select ({bucket}) as bucket from embeddings) group by bucket"
+    )
+
+
+@_register(
+    "lsh_bucket_histogram",
+    "hyperplane-LSH bucketing (8 md5-derived planes; operators.similarity."
+    "hyperplane_bucket) — the ANN scale path; bucket occupancy histogram",
+    _sql_lsh_histogram(),
+)
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    w = similarity.hyperplane_weights(8, 64)
+    return (
+        emb.select(
+            similarity.hyperplane_bucket(F.col("embedding"), w).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing (Arrow mapInPandas; stubbed decode)
+# ---------------------------------------------------------------------------
+@_register(
+    "multimodal_features",
+    "binary-payload feature extraction via Arrow mapInPandas with stubbed "
+    "decode (operators.multimodal.image_features) — byte length, content "
+    "digest, md5-derived fake dimensions",
+    """
+    select doc_id,
+           octet_length(encode(text)) as byte_len,
+           md5(text) as content_md5,
+           ('0x' || substr(md5(text), 1, 4))::int % 1024 + 1 as width,
+           ('0x' || substr(md5(text), 5, 4))::int % 1024 + 1 as height,
+           'fake' as format
+    from documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.image_features(docs)

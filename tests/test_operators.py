@@ -1,0 +1,129 @@
+"""Unit tests for the LLM-pipeline operators on constructed data with
+known answers (the testdata documents contain no actual duplicates, so
+dedup behavior is exercised here with synthetic dupes)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "der schnelle braune fuchs und der faule hund ist da"),
+        (6, "dog lazy the over jumps fox brown quick the"),  # same bag of words as 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    out = dedup.exact_dedup(docs, ["text"], "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3, 4, 5, 6}  # 2 collapsed into 1
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sig = dedup.minhash_signature("text", num_hashes=8)
+    rows = {r["doc_id"]: r["sig"] for r in docs.select("doc_id", sig.alias("sig")).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[4]
+    # near-dup shares most minhashes with the original
+    shared = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert shared >= 4
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_candidate_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always collides
+    jac = dedup.jaccard_pairs(docs, pairs, "doc_id", "text")
+    jrows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac.collect()}
+    assert jrows[(1, 2)] == 1.0
+    if (1, 3) in jrows:
+        assert 0.5 < jrows[(1, 3)] < 1.0
+
+
+def test_simhash_hamming(docs):
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", dedup.simhash32("text").alias("sh")).collect()
+    }
+    assert rows[1] == rows[2]
+    ham_near = bin(rows[1] ^ rows[3]).count("1")
+    ham_far = bin(rows[1] ^ rows[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_fingerprint_order_insensitive(docs):
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", text.fingerprint("text").alias("fp")).collect()
+    }
+    assert fps[1] == fps[6]  # same bag of words, different order
+    assert fps[1] != fps[4]
+
+
+def test_predict_lang(docs):
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", text.predict_lang("text").alias("lang")).collect()
+    }
+    assert langs[1] == "en"
+    assert langs[5] == "de"
+
+
+def test_cosine_topk_self_is_nearest(spark):
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = rows[4][1]
+    top = similarity.cosine_topk(emb, query, k=3).collect()
+    assert top[0]["vec_id"] == 4 or abs(top[0]["cosine"] - 1.0) < 1e-9
+    assert abs(top[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_bucketed_ann_contains_self(spark):
+    rows = [(i, [float((i * 13 + d * 5) % 17 - 8) for d in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = rows[7][1]
+    top = similarity.bucketed_ann_topk(emb, query, planes=4, k=5).collect()
+    assert any(r["vec_id"] == 7 for r in top)  # query's own vector in its bucket
+
+
+def test_multimodal_features_match_hashlib(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "world!")], "doc_id long, text string")
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.image_features(multimodal.attach_binary_payload(df)).collect()
+    }
+    for doc_id, txt in [(1, "hello"), (2, "world!")]:
+        h = hashlib.md5(txt.encode()).hexdigest()
+        assert feats[doc_id]["content_md5"] == h
+        assert feats[doc_id]["byte_len"] == len(txt.encode())
+        assert feats[doc_id]["width"] == int(h[:4], 16) % 1024 + 1
+        assert feats[doc_id]["format"] == "fake"
+
+
+def test_frame_sample_plan(spark):
+    df = multimodal.attach_binary_payload(
+        spark.createDataFrame([(1, "x" * 350)], "doc_id long, text string")
+    )
+    frames = [r["frame_no"] for r in multimodal.frame_sample_plan(df, every_n=2).collect()]
+    assert frames == [0, 2]  # 4 frames (350 bytes // 100 + 1) sampled every 2
+
+
+def test_quality_stats_values(spark):
+    df = spark.createDataFrame([(1, "The cat, and the dog!")], "doc_id long, text string")
+    r = text.quality_stats(df).first()
+    assert r["n_tokens"] == 5
+    assert r["n_chars"] == 21
+    assert r["punct_ratio"] == pytest.approx(2 / 21)
+    assert r["stopword_ratio"] == pytest.approx(3 / 5)  # the, and, the
