@@ -1,0 +1,57 @@
+"""Benchmark runner: executes the operator-inventory queries at a scale
+factor and prints ONE JSON line for the driver.
+
+  SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default *)
+  BENCH_QUERIES        comma-separated subset (default: all)
+
+Each query is forced end-to-end with a noop-format write (full compute,
+no driver-side result materialization cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbt_datbricks_demo_spark.queries import QUERIES  # noqa: E402
+from dbt_datbricks_demo_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    selected = os.environ.get("BENCH_QUERIES")
+    names = selected.split(",") if selected else list(QUERIES)
+
+    # warmup: JVM + parquet footer caches, tiny action
+    QUERIES["union_report"].build(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "operator-inventory wall time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

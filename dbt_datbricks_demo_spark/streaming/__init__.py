@@ -1,0 +1,9 @@
+"""Structured Streaming variant of the bronze→silver flow."""
+
+from dbt_datbricks_demo_spark.streaming.pipeline import (  # noqa: F401
+    expect_or_drop,
+    hourly_health_stream,
+    read_readings_stream,
+    sensor_stream_cleaned,
+    write_silver_merge,
+)

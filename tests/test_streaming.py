@@ -1,0 +1,106 @@
+"""Streaming bronze→silver tests: file-source micro-batches, in-horizon
+dedup, foreachBatch merge, windowed aggregation, expectations."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from dbt_datbricks_demo_spark.config import RunConfig
+from dbt_datbricks_demo_spark.models.staging import stg_devices
+from dbt_datbricks_demo_spark.streaming import (
+    expect_or_drop,
+    hourly_health_stream,
+    read_readings_stream,
+    sensor_stream_cleaned,
+    write_silver_merge,
+)
+from tests.conftest import FROZEN_NOW, SEEDS_DIR
+
+BATCH1 = """reading_id,device_id,metric_name,metric_value,reading_ts,ingested_at
+R001,DEV001,temperature,72.5,2025-01-15 08:00:00,2025-01-15 08:00:05
+R002,DEV001,temperature,99.5,2025-01-15 08:15:00,2025-01-15 08:15:05
+R003,DEV002,vibration,3.0,2025-01-15 08:20:00,2025-01-15 08:20:05
+"""
+
+# R002 re-delivered (duplicate key within the horizon → dropped),
+# R004 is new; R005 arrives in hour 9 so hour-8 windows can finalize.
+BATCH2 = """reading_id,device_id,metric_name,metric_value,reading_ts,ingested_at
+R002,DEV001,temperature,99.5,2025-01-15 08:15:00,2025-01-15 08:15:08
+R004,DEV002,vibration,9.9,2025-01-15 08:40:00,2025-01-15 08:40:05
+R005,DEV002,vibration,4.0,2025-01-15 09:59:00,2025-01-15 09:59:05
+"""
+
+
+@pytest.fixture()
+def stream_setup(spark, tmp_path, seeds, cfg):
+    input_dir = tmp_path / "incoming"
+    input_dir.mkdir()
+    (input_dir / "batch1.csv").write_text(BATCH1)
+    (input_dir / "batch2.csv").write_text(BATCH2)
+    devices = stg_devices(seeds["raw_devices"], cfg)
+    return input_dir, devices, tmp_path
+
+
+def test_stream_dedup_and_merge(spark, stream_setup, cfg):
+    input_dir, devices, tmp = stream_setup
+    stream = read_readings_stream(spark, str(input_dir))
+    assert stream.isStreaming
+    cleaned = sensor_stream_cleaned(stream, devices, cfg)
+    q = (
+        write_silver_merge(
+            cleaned, str(tmp / "silver"), str(tmp / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp / "silver"))
+    rows = {r["reading_id"]: r for r in out.collect()}
+    # R002 delivered twice within the horizon → exactly once in silver
+    assert sorted(rows) == ["R001", "R002", "R003", "R004", "R005"]
+    assert rows["R002"]["is_anomaly"] is True  # 99.5 > 85
+    assert rows["R004"]["is_anomaly"] is True  # 9.9 > 9
+    assert rows["R001"]["device_name"] is not None  # broadcast enrichment
+
+
+def test_stream_hourly_window(spark, stream_setup, cfg, tmp_path):
+    input_dir, devices, tmp = stream_setup
+    stream = read_readings_stream(spark, str(input_dir))
+    # 10-min lateness: watermark reaches 09:49 after batch2, past the
+    # hour-8 window end (09:00), so those windows finalize and emit
+    cleaned = sensor_stream_cleaned(
+        stream, devices, cfg, late_threshold="10 minutes", watermark_on="reading_ts"
+    )
+    agg = hourly_health_stream(cleaned)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["device_id"], r["metric_name"], str(r["reading_hour"])): r
+        for r in spark.sql("select * from hourly_out").collect()
+    }
+    # hour-8 windows finalized by the watermark advancing past 09:59
+    key = ("DEV002", "vibration", "2025-01-15 08:00:00")
+    assert key in got
+    assert got[key]["reading_count"] == 2  # R003 + R004
+    assert got[key]["anomaly_count"] == 1  # R004
+
+
+def test_expectations_drop_rows(spark, seeds, cfg):
+    df = seeds["raw_sensor_readings"]
+    kept = expect_or_drop(
+        df,
+        {
+            "valid_value": "metric_value is not null",
+            "valid_device": "device_id is not null",
+        },
+    )
+    assert kept.count() == 207  # 209 − 2 null metric_values
