@@ -245,6 +245,29 @@ def jaccard_pairs(
     )
 
 
+ROLL_BASE = 131  # polynomial rolling-hash base; acc*131 + h stays < 2^63
+
+
+def with_rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "rolling_fp"
+) -> DataFrame:
+    """Order-SENSITIVE document fingerprint: polynomial rolling hash
+    folded left-to-right over the token-hash sequence,
+    h ← (h·131 + hash(token)) mod 2³¹−1. Complements the bag-of-words
+    fingerprint (text.fingerprint): token reorderings change this one.
+    Single narrow pass, no shuffle."""
+    th_col = f"_th_{out}"
+    staged = df.withColumn(
+        th_col, F.transform(tokens(text_col), lambda t: md5_int32(t))
+    )
+    fold = F.aggregate(
+        F.col(th_col),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * ROLL_BASE + h) % F.lit(MERSENNE31),
+    )
+    return staged.withColumn(out, fold).drop(th_col)
+
+
 def _simhash_from_hashes(hs: Column) -> Column:
     """32-bit SimHash from a token-hash array: per bit, sum ±1 across
     token hashes; bit set where the sum is positive."""

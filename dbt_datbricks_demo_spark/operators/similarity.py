@@ -86,6 +86,53 @@ def hyperplane_bucket(vec_col: Column, weights: list[list[int]]) -> Column:
     return bucket
 
 
+def pairwise_dot(a: Column, b: Column) -> Column:
+    """Sequential double dot product of two array<float> columns."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    planes: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b) via the LSH
+    scale path: vectors only compare within a shared hyperplane bucket,
+    so the self-join is per-bucket (expected N²/2^planes work), then the
+    exact cosine filters to >= threshold.
+
+    The bucket id and L2 norm are staged as columns before the join —
+    each computes once per row; the join itself shuffles (id, bucket,
+    norm, vector), and ReuseExchange evaluates the staged plan once for
+    both sides. Near-dups that straddle a bucket boundary are missed —
+    the standard LSH recall trade; add plane families for higher recall.
+    """
+    w = hyperplane_weights(planes, dims)
+    staged = df.select(
+        F.col(id_col), F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), w).alias("_bucket"),
+        _norm(F.col(vec_col)).alias("_l2"),
+    )
+    a, b = staged.alias("a"), staged.alias("b")
+    ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    cos = pairwise_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a._l2") * F.col("b._l2")
+    )
+    return (
+        a.join(b, F.col("a._bucket") == F.col("b._bucket"))
+        .filter(ida < idb)
+        .select(
+            ida.alias("id_a"), idb.alias("id_b"),
+            F.col("a._bucket").alias("bucket"), cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def bucketed_ann_topk(
     df: DataFrame,
     query: list[float],

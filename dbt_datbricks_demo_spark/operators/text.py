@@ -98,6 +98,28 @@ def predict_lang(col: Column | str) -> Column:
     return result
 
 
+def with_word_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, out: str = "_ngrams"
+) -> DataFrame:
+    """Stage the distinct word n-gram set (space-joined) as a column —
+    the unit set for word-level Jaccard similarity. Tokens are staged
+    first so the per-gram lambda reads an attribute, not a recomputed
+    tokenization. Documents with fewer than n tokens get an empty set."""
+    tok_col = f"_tok_{out}"
+    staged = df.withColumn(tok_col, tokens(text_col))
+    t = F.col(tok_col)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    grams = F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.withColumn(out, grams).drop(tok_col)
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set. Detects bag-of-words-identical documents regardless of

@@ -332,3 +332,190 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = multimodal.attach_binary_payload(_spread(_t(spark, sf_dir, "documents")))
     return multimodal.image_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram Jaccard similarity to a probe document
+# ---------------------------------------------------------------------------
+_SQL_BIGRAMS = (
+    f"case when len({_SQL_TOKENS}) >= 2 then "
+    f"list_distinct(list_transform(range(1, len({_SQL_TOKENS})), "
+    f"i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i+1])) "
+    f"else []::varchar[] end"
+)
+
+
+@_register(
+    "ngram_jaccard_probe",
+    "word-bigram Jaccard of every document against probe doc_id=0 "
+    "(operators.text.with_word_ngrams): exact set overlap via broadcast "
+    "of the probe's gram set, top-20",
+    f"""
+    with ng as (select doc_id, {_SQL_BIGRAMS} as ng from documents),
+    q as (select ng as qg, len(ng) as qsize from ng where doc_id = 0),
+    e as (select doc_id, unnest(ng) as g, len(ng) as set_size
+          from ng where doc_id <> 0),
+    inter as (
+        select e.doc_id, e.set_size, count(*) as n_common
+        from e, q where list_contains(q.qg, e.g)
+        group by e.doc_id, e.set_size
+    )
+    select i.doc_id, i.n_common, i.set_size,
+           i.n_common * 1.0 / (i.set_size + q.qsize - i.n_common) as jaccard
+    from inter i, q
+    order by jaccard desc, i.doc_id
+    limit 20
+    """,
+)
+def ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    staged = text.with_word_ngrams(docs, "text", n=2, out="_ng")
+    grams = staged.select(
+        "doc_id", F.explode("_ng").alias("g"), F.size("_ng").alias("set_size")
+    )
+    probe = grams.filter(F.col("doc_id") == 0).select("g")
+    qsize = F.broadcast(
+        staged.filter(F.col("doc_id") == 0).select(F.size("_ng").alias("qsize"))
+    )
+    inter = (
+        grams.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(probe), "g")
+        .groupBy("doc_id", "set_size")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.crossJoin(qsize)
+        .select(
+            "doc_id", "n_common", "set_size",
+            (
+                F.col("n_common")
+                * 1.0
+                / (F.col("set_size") + F.col("qsize") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash (order-sensitive) document fingerprint
+# ---------------------------------------------------------------------------
+@_register(
+    "rolling_fingerprint",
+    "order-sensitive polynomial rolling-hash fingerprint over the token "
+    "stream (operators.dedup.with_rolling_fingerprint)",
+    f"""
+    select doc_id,
+           case when len({_SQL_TOKENS}) = 0 then 0
+                else list_reduce(
+                    list_transform({_SQL_TOKENS},
+                                   t -> {_SQL_H32.format(x='t')} % {MERSENNE31}),
+                    (a, b) -> (a * {dedup.ROLL_BASE} + b) % {MERSENNE31})
+           end as rolling_fp
+    from documents
+    """,
+)
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return dedup.with_rolling_fingerprint(docs, "text", out="rolling_fp").select(
+        "doc_id", "rolling_fp"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets
+# ---------------------------------------------------------------------------
+def _sql_bucket(vec: str) -> str:
+    w = similarity.hyperplane_weights(8, 64)
+    terms = [
+        f"(case when {_sql_dot(vec, [float(x) for x in row])} >= 0 "
+        f"then {1 << p}::bigint else 0 end)"
+        for p, row in enumerate(w)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_l2(vec: str) -> str:
+    return f"sqrt({_sql_dot(vec, f'list_transform({vec}, x -> cast(x as double))')})"
+
+
+@_register(
+    "embedding_neardup_pairs",
+    "embedding-cosine near-dup candidates: hyperplane-LSH bucket "
+    "self-join, exact cosine >= 0.0 within bucket (operators.similarity."
+    "cosine_neardup_pairs) — the testdata embeddings are random, so the "
+    "demo threshold keeps positive-cosine bucket-mates; production "
+    "near-dup would use ~0.95",
+    f"""
+    with b as (
+        select vec_id, embedding, {_sql_bucket("embedding")} as bucket,
+               {_sql_l2("embedding")} as l2
+        from embeddings
+    )
+    select * from (
+        select a.vec_id as id_a, b2.vec_id as id_b, a.bucket as bucket,
+               {_sql_dot("a.embedding", "list_transform(b2.embedding, x -> cast(x as double))")}
+                   / (a.l2 * b2.l2) as cosine
+        from b a join b b2 on a.bucket = b2.bucket and a.vec_id < b2.vec_id
+    ) where cosine >= 0.0
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    return similarity.cosine_neardup_pairs(
+        emb, planes=8, threshold=0.0, id_col="vec_id", vec_col="embedding", dims=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (approximate) ANN top-k — the scale path for similarity search
+# ---------------------------------------------------------------------------
+@_register(
+    "ann_bucketed_topk",
+    "LSH-bucketed approximate top-10: restrict the exact cosine scan to "
+    "the probe's hyperplane bucket (operators.similarity.bucketed_ann_topk)"
+    " — N/2^planes expected candidates vs brute force",
+    f"""
+    with b as (
+        select vec_id, embedding, {_sql_bucket("embedding")} as bucket
+        from embeddings
+    ),
+    q as (select embedding as qv, bucket as qbucket from b where vec_id = 0)
+    select vec_id,
+           {_sql_dot("embedding", "list_transform(qv, x -> cast(x as double))")}
+           / ({_sql_l2("embedding")} * {_sql_l2("qv")}) as cosine
+    from b, q
+    where b.bucket = q.qbucket
+    order by cosine desc, vec_id
+    limit 10
+    """,
+)
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return similarity.bucketed_ann_topk(
+        emb, query, planes=8, k=10, id_col="vec_id", vec_col="embedding"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame-sampling plumbing for video-like payloads
+# ---------------------------------------------------------------------------
+@_register(
+    "frame_sampling",
+    "video-frame sampling plumbing: every-10th frame index per payload, "
+    "frame count stubbed from payload length "
+    "(operators.multimodal.frame_sample_plan)",
+    """
+    select doc_id,
+           cast(unnest(range(0, octet_length(encode(text)) // 100 + 1, 10))
+                as bigint) as frame_no
+    from documents
+    """,
+)
+def frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_binary_payload(_spread(_t(spark, sf_dir, "documents")))
+    out = multimodal.frame_sample_plan(docs, every_n=10)
+    return out.select("doc_id", F.col("frame_no").cast("bigint").alias("frame_no"))

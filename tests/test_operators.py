@@ -127,3 +127,48 @@ def test_quality_stats_values(spark):
     assert r["n_chars"] == 21
     assert r["punct_ratio"] == pytest.approx(2 / 21)
     assert r["stopword_ratio"] == pytest.approx(3 / 5)  # the, and, the
+
+
+def test_with_word_ngrams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c b c"), (2, "single"), (3, "x y")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: sorted(r["_ngrams"])
+        for r in text.with_word_ngrams(df, "text", n=2).collect()
+    }
+    assert rows[1] == ["a b", "b c", "c b"]  # distinct bigrams
+    assert rows[2] == []  # fewer than n tokens -> empty set
+    assert rows[3] == ["x y"]
+
+
+def test_rolling_fingerprint_order_sensitive(docs):
+    fps = {
+        r["doc_id"]: r["rolling_fp"]
+        for r in dedup.with_rolling_fingerprint(docs).collect()
+    }
+    assert fps[1] == fps[2]  # identical text
+    assert fps[1] != fps[6]  # same bag of words, different order
+    # verify the fold against a Python reference
+    toks = "the quick brown fox jumps over the lazy dog".split()
+    h = 0
+    for t in toks:
+        th = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dedup.MERSENNE31
+        h = (h * dedup.ROLL_BASE + th) % dedup.MERSENNE31
+    assert fps[1] == h
+
+
+def test_cosine_neardup_pairs_finds_duplicate_vectors(spark):
+    base = [float((d * 3) % 7 - 3) for d in range(8)]
+    far = [float((d * 5 + 1) % 9 - 4) for d in range(8)]
+    rows = [(0, base), (1, base), (2, far)]  # 0 and 1 identical
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_neardup_pairs(
+            emb, planes=4, threshold=0.99, dims=8
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) not in pairs and (1, 2) not in pairs
