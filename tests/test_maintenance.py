@@ -1,0 +1,108 @@
+"""S9 maintenance surface: versioned writes, time travel, history,
+restore, optimize/zorder compaction, vacuum retention, analyze stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.plans.maintenance import VersionedTable
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    return VersionedTable(spark, str(tmp_path), "events_t")
+
+
+def _df(spark, n, tag):
+    return spark.range(n).select(
+        F.col("id"), F.lit(tag).alias("tag"), (F.col("id") % 7).alias("k")
+    )
+
+
+def test_versioned_write_and_time_travel(spark, vt):
+    v0 = vt.write(_df(spark, 10, "a"))
+    v1 = vt.write(_df(spark, 25, "b"))
+    assert (v0, v1) == (0, 1)
+    assert vt.read().count() == 25
+    assert vt.read(version=0).count() == 10  # VERSION AS OF
+    assert {r["tag"] for r in vt.read(0).collect()} == {"a"}
+
+
+def test_history_and_detail(spark, vt):
+    vt.write(_df(spark, 10, "a"))
+    vt.write(_df(spark, 5, "b"))
+    h = vt.history().collect()
+    assert [r["version"] for r in h] == [1, 0]  # newest first
+    assert h[0]["numRows"] == 5 and h[1]["numRows"] == 10
+    d = vt.detail()
+    assert d["version"] == 1 and d["numFiles"] >= 1 and d["sizeInBytes"] > 0
+
+
+def test_restore(spark, vt):
+    vt.write(_df(spark, 10, "a"))
+    vt.write(_df(spark, 5, "b"))
+    v2 = vt.restore(0)
+    assert v2 == 2
+    assert vt.read().count() == 10
+    assert vt.history().first()["operation"] == "RESTORE"
+
+
+def test_optimize_compacts_files(spark, vt):
+    # write a deliberately fragmented snapshot (8 files for tiny data)
+    vt.write(_df(spark, 1000, "a").repartition(8))
+    assert vt.detail()["numFiles"] == 8
+    vt.optimize()
+    assert vt.detail()["numFiles"] == 1  # tiny table -> single target file
+    assert vt.read().count() == 1000
+    assert vt.history().first()["operation"] == "OPTIMIZE"
+
+
+def test_optimize_zorder_clusters_by_key(spark, vt):
+    vt.write(_df(spark, 1000, "a").repartition(4))
+    vt.optimize(zorder_by=["k"], target_file_bytes=2000)  # force several files
+    det = vt.detail()
+    assert det["numFiles"] > 1
+    # range clustering: each file's key span should be narrow — verify by
+    # reading per-file key ranges and checking they don't all overlap
+    import os
+
+    pfiles = [
+        os.path.join(det["location"], f)
+        for f in os.listdir(det["location"])
+        if f.endswith(".parquet")
+    ]
+    spans = []
+    for p in pfiles:
+        r = spark.read.parquet(p).agg(F.min("k"), F.max("k")).first()
+        spans.append((r[0], r[1]))
+    full_span = sum(1 for lo, hi in spans if (lo, hi) == (0, 6))
+    assert full_span < len(spans)  # clustered files cover partial key ranges
+    assert vt.read().count() == 1000
+
+
+def test_vacuum_drops_old_versions_keeps_history(spark, vt):
+    vt.write(_df(spark, 10, "a"))
+    vt.write(_df(spark, 20, "b"))
+    vt.write(_df(spark, 30, "c"))
+    assert vt.vacuum(retain_last=1, dry_run=True) == [0, 1]
+    removed = vt.vacuum(retain_last=1)
+    assert removed == [0, 1]
+    assert vt.read().count() == 30
+    with pytest.raises(FileNotFoundError):
+        vt.read(version=0)
+    h = {r["version"]: r["removed"] for r in vt.history().collect()}
+    assert h == {0: True, 1: True, 2: False}
+
+
+def test_analyze_stats(spark, vt):
+    vt.write(
+        spark.createDataFrame(
+            [(1, "x"), (2, None), (5, "y")], "id long, s string"
+        )
+    )
+    stats = vt.analyze()
+    assert stats["numRows"] == 3
+    assert stats["columns"]["id"]["min"] == 1
+    assert stats["columns"]["id"]["max"] == 5
+    assert stats["columns"]["s"]["nullCount"] == 1
