@@ -1,0 +1,99 @@
+"""Physical-plan shape assertions — the scale contract.
+
+Correctness tests prove the operators compute the right rows; these
+prove Catalyst compiles them to the plans that survive a 100 TB input:
+broadcast (not shuffle) joins against small dims, predicate pushdown
+into the parquet scan, column pruning, map-side partial aggregation,
+top-k without a global sort, and whole-stage codegen in row-level paths.
+A refactor that silently de-optimizes a plan fails here even though
+every value still matches."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_datbricks_demo_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].build(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_enrich_join_broadcasts_dim(spark):
+    plan = _plan(spark, "enrich_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # dim scan pruned to the 4 needed columns
+    assert "p_partkey:bigint,p_brand:string,p_type:string,p_retailprice:double" in plan
+
+
+def test_anti_join_broadcasts(spark):
+    plan = _plan(spark, "orphan_anti_join")
+    assert "BroadcastHashJoin LeftAnti" in plan
+    # customer scan reduced to the single join key
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan
+
+
+def test_pricing_summary_pushdown_pruning_partial_agg(spark):
+    plan = _plan(spark, "pricing_summary")
+    # shipdate predicate reaches the parquet scan (below the repartition)
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # scan reads only the 6 referenced columns, not all 11
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+    # map-side combine: partial then final hash aggregation
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_projection_whole_stage_codegen(spark):
+    plan = _plan(spark, "stage_projection")
+    assert "codegen id" in plan  # row-level path compiled, not interpreted
+    assert "Exchange" not in plan  # pure narrow projection: zero shuffles
+
+
+def test_dedup_window_single_shuffle(spark):
+    plan = _plan(spark, "dedup_keep_latest")
+    assert "Window" in plan
+    # exactly one hash-partition exchange on the window key
+    assert plan.count("hashpartitioning(") == 1
+    # Spark 3.5+ WindowGroupLimit: rn=1 filter pushed map-side, so the
+    # shuffle carries one row per key, not the whole partition
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_minhash_band_join_avoids_double_signature_compute(spark):
+    plan = _plan(spark, "minhash_lsh_jaccard")
+    # the band-bucket self-join must either broadcast one side (tiny
+    # band-key sets, as at this sf) or — when both sides shuffle the
+    # identical subplan — reuse the exchange instead of recomputing the
+    # signatures; a SortMergeJoin with two live exchanges is the
+    # regression this guards against
+    assert "ReusedExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_union_report_counts_prune_to_zero_columns(spark):
+    plan = _plan(spark, "union_report")
+    # count(*) scans read no data columns at all
+    assert "ReadSchema: struct<>" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["minhash_signatures", "simhash_docs", "rolling_fingerprint"]
+)
+def test_hash_operators_have_no_python_stage(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
