@@ -40,11 +40,19 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # best-of-2 per query: one JVM sees every query once before any
+    # second run, so codegen/JIT warmup and stray GC pauses don't land in
+    # the reported steady-state number
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(runs):
+        for name in names:
+            t0 = time.perf_counter()
+            QUERIES[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     print(
         json.dumps(

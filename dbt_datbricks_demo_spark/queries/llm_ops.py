@@ -370,9 +370,10 @@ _SQL_BIGRAMS = (
 def ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
     staged = text.with_word_ngrams(docs, "text", n=2, out="_ng")
-    grams = staged.select(
-        "doc_id", F.explode("_ng").alias("g"), F.size("_ng").alias("set_size")
-    )
+    # set_size staged BEFORE the explode: selected next to explode(_ng),
+    # size(_ng) would re-derive the gram array once per exploded row
+    staged = staged.withColumn("set_size", F.size("_ng"))
+    grams = staged.select("doc_id", "set_size", F.explode("_ng").alias("g"))
     probe = grams.filter(F.col("doc_id") == 0).select("g")
     qsize = F.broadcast(
         staged.filter(F.col("doc_id") == 0).select(F.size("_ng").alias("qsize"))

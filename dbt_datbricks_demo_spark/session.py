@@ -33,12 +33,25 @@ def get_spark(
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # InferFiltersFromGenerate turns explode(expensive_array_expr)
+        # into a size(...)>0 filter that predicate-pushdown then clones
+        # BELOW the repartition exchange — the whole array expression
+        # (minhash shingles, n-grams) re-executes on the narrow pre-
+        # shuffle side, single-threaded, before the real computation
+        # runs again post-shuffle. For this engine staged expensive
+        # arrays are the norm, so the rule is globally excluded.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs every executor thread inside this one JVM heap — size
+        # it for N concurrent tasks, not for a lone driver (GC stalls at 8g)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
