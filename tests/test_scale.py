@@ -1,0 +1,118 @@
+"""Scale-technique modules: bucketed co-located joins (zero-exchange
+plans) and deterministic skew salting (identical results, spread keys)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.operators import skew
+from dbt_datbricks_demo_spark.plans import bucketing
+
+
+@pytest.fixture()
+def skewed(spark):
+    # 10_000 rows for key 1 (hot), a handful for keys 2..50
+    hot = spark.range(10_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("row_id"), F.lit(2.0).alias("v")
+    )
+    cold = spark.range(49).select(
+        (F.col("id") + 2).alias("k"),
+        (F.col("id") + 20_000).alias("row_id"),
+        F.lit(3.0).alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    dim = spark.createDataFrame(
+        [(k, f"name{k}") for k in range(1, 51)], "k long, name string"
+    )
+    plain = skewed.join(dim, "k").select("row_id", "name")
+    salted = skew.salted_join(
+        skewed, dim, on="k", buckets=8, probe_salt_from="row_id"
+    ).select("row_id", "name")
+    assert plain.subtract(salted).count() == 0
+    assert salted.subtract(plain).count() == 0
+    assert salted.count() == plain.count()  # no dup/loss from replication
+
+
+def test_salt_spreads_hot_key(spark, skewed):
+    salted = skew.with_salt(skewed, "row_id", 8)
+    per_salt = (
+        salted.filter(F.col("k") == 1).groupBy(skew.SALT_COL).count().collect()
+    )
+    assert len(per_salt) == 8  # hot key occupies every salt bucket
+    assert max(r["count"] for r in per_salt) < 10_000 * 0.5
+
+
+def test_salted_join_is_deterministic(spark, skewed):
+    dim = spark.createDataFrame([(1, "one")], "k long, name string")
+    a = skew.with_salt(skewed, "row_id", 8).select("row_id", skew.SALT_COL)
+    b = skew.with_salt(skewed, "row_id", 8).select("row_id", skew.SALT_COL)
+    assert a.subtract(b).count() == 0  # same salt on re-evaluation
+
+
+def test_salted_aggregate_matches_plain(spark, skewed):
+    plain = (
+        skewed.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    )
+    two_phase = skew.salted_aggregate(
+        skewed,
+        keys=["k"],
+        salt_from="row_id",
+        buckets=8,
+        exprs={
+            "n": (F.count(F.lit(1)), F.sum),
+            "total": (F.sum("v"), F.sum),
+            "mx": (F.max("v"), F.max),
+        },
+    ).collect()
+    assert {tuple(r) for r in plain} == {tuple(r) for r in two_phase}
+
+
+def test_bucketed_join_plans_without_exchange(spark, tmp_path):
+    facts = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("v")
+    )
+    other = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+    )
+    bucketing.write_bucketed(facts, "t_facts_b", "k", 4)
+    bucketing.write_bucketed(other, "t_other_b", "k", 4)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketing.colocated_join(spark, "t_facts_b", "t_other_b", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: shuffle paid at write
+        assert "Bucketed: true" in plan
+        assert joined.count() == 5_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("drop table if exists t_facts_b")
+        spark.sql("drop table if exists t_other_b")
+
+
+def test_bucketed_agg_plans_without_exchange(spark):
+    facts = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("v")
+    )
+    bucketing.write_bucketed(facts, "t_agg_b", "k", 4)
+    try:
+        agg = (
+            bucketing.read_bucketed(spark, "t_agg_b")
+            .groupBy("k")
+            .agg(F.sum("v").alias("sv"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # grouping key = bucket key
+        assert agg.count() == 5_000
+    finally:
+        spark.sql("drop table if exists t_agg_b")
