@@ -7,3 +7,6 @@ from dbt_datbricks_demo_spark.streaming.pipeline import (  # noqa: F401
     sensor_stream_cleaned,
     write_silver_merge,
 )
+from dbt_datbricks_demo_spark.streaming.stateful import (  # noqa: F401
+    anomaly_streaks,
+)

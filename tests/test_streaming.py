@@ -104,3 +104,69 @@ def test_expectations_drop_rows(spark, seeds, cfg):
         },
     )
     assert kept.count() == 207  # 209 − 2 null metric_values
+
+
+# Two batches: DEV001 temperature runs hot for 3 consecutive readings in
+# batch A (alert at the 3rd), cools, then runs hot twice more across the
+# batch boundary into batch B — streak state must survive the boundary
+# and alert again at the 3rd consecutive hot reading.
+STREAK_A = """reading_id,device_id,metric_name,metric_value,reading_ts,ingested_at
+S001,DEV001,temperature,70.0,2025-01-15 08:00:00,2025-01-15 08:00:05
+S002,DEV001,temperature,99.0,2025-01-15 08:05:00,2025-01-15 08:05:05
+S003,DEV001,temperature,98.0,2025-01-15 08:10:00,2025-01-15 08:10:05
+S004,DEV001,temperature,97.0,2025-01-15 08:15:00,2025-01-15 08:15:05
+S005,DEV001,temperature,60.0,2025-01-15 08:20:00,2025-01-15 08:20:05
+S006,DEV001,temperature,96.0,2025-01-15 08:25:00,2025-01-15 08:25:05
+S007,DEV001,temperature,95.0,2025-01-15 08:30:00,2025-01-15 08:30:05
+"""
+STREAK_B = """reading_id,device_id,metric_name,metric_value,reading_ts,ingested_at
+S008,DEV001,temperature,94.0,2025-01-15 08:35:00,2025-01-15 08:35:05
+S009,DEV002,vibration,2.0,2025-01-15 08:36:00,2025-01-15 08:36:05
+"""
+
+
+def test_stateful_anomaly_streaks(spark, seeds, cfg, tmp_path):
+    from dbt_datbricks_demo_spark.streaming import anomaly_streaks
+
+    input_dir = tmp_path / "streak_in"
+    input_dir.mkdir()
+    (input_dir / "a.csv").write_text(STREAK_A)
+    devices = stg_devices(seeds["raw_devices"], cfg)
+
+    out_dir = tmp_path / "streak_out"
+
+    def run_batch():
+        # parquet sink (not memory): supports restart from the checkpoint,
+        # which is what carries the streak state across the two runs
+        stream = read_readings_stream(spark, str(input_dir))
+        cleaned = sensor_stream_cleaned(stream, devices, cfg)
+        q = (
+            anomaly_streaks(cleaned, threshold=3)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "streak_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    first = spark.read.parquet(str(out_dir)).collect()
+    # batch A: S002-S004 = 3 consecutive anomalies -> exactly one alert
+    # (S006-S007 is only a 2-streak so far)
+    assert len(first) == 1
+    assert first[0]["device_id"] == "DEV001"
+    assert first[0]["streak_len"] == 3
+    assert str(first[0]["alert_ts"]) == "2025-01-15 08:15:00"
+    assert str(first[0]["streak_started_ts"]) == "2025-01-15 08:05:00"
+
+    # batch B: S008 extends the S006-S007 streak across the batch
+    # boundary -> second alert; DEV002's normal reading alerts nothing
+    (input_dir / "b.csv").write_text(STREAK_B)
+    run_batch()
+    second = spark.read.parquet(str(out_dir)).collect()
+    assert len(second) == 2
+    newest = max(second, key=lambda r: r["alert_ts"])
+    assert str(newest["alert_ts"]) == "2025-01-15 08:35:00"
+    assert str(newest["streak_started_ts"]) == "2025-01-15 08:25:00"
