@@ -24,6 +24,59 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def train_ivf_centroids(
+    df: DataFrame, k: int = 16, vec_col: str = "embedding", seed: int = 42
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centroids over the corpus (seeded →
+    deterministic). Train on a sample at scale — centroid quality needs
+    thousands of points per cell, not the whole corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_assign(
+    vec_col: Column, centroids: list[list[float]]
+) -> Column:
+    """Nearest-centroid cell id as a pure JVM expression: argmin over
+    −2⟨v,c⟩+‖c‖² (the ‖v‖² term is constant per row). One narrow pass,
+    no shuffle — the IVF analog of hyperplane_bucket."""
+    scores = []
+    for c in centroids:
+        c2 = sum(x * x for x in c)
+        scores.append(F.lit(-2.0) * _dot_with_literal(vec_col, c) + F.lit(c2))
+    arr = F.array(*scores)
+    # array_position is 1-based; cell ids are 0-based
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine restricted to the query's
+    nprobe nearest cells. Expected candidates |corpus|·nprobe/|cells|;
+    raising nprobe trades latency for recall (the IVF knob). At scale the
+    cell id is a write-time partition column, so probing nprobe cells is
+    partition pruning, not a filter scan."""
+    q2 = [(i, sum((a - b) ** 2 for a, b in zip(c, query))) for i, c in enumerate(centroids)]
+    probe_cells = [i for i, _d in sorted(q2, key=lambda t: t[1])[:nprobe]]
+    return (
+        df.filter(ivf_assign(F.col(vec_col), centroids).isin(probe_cells))
+        .select(F.col(id_col), cosine_to_query(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _dot_with_literal(vec_col: Column, query: list[float]) -> Column:
     """Sequential dot product of an array<float> column with a Python
     vector, in double precision."""

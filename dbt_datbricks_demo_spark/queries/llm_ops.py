@@ -520,3 +520,22 @@ def frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = multimodal.attach_binary_payload(_spread(_t(spark, sf_dir, "documents")))
     out = multimodal.frame_sample_plan(docs, every_n=10)
     return out.select("doc_id", F.col("frame_no").cast("bigint").alias("frame_no"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (k-means coarse quantizer) ANN — the partition-pruning scale path
+# ---------------------------------------------------------------------------
+@_register(
+    "ann_ivf_topk",
+    "IVF approximate top-10: seeded k-means coarse quantizer, exact "
+    "cosine restricted to the probe's nprobe=2 nearest cells "
+    "(operators.similarity.train_ivf_centroids / ivf_topk). No SQL "
+    "oracle: k-means training is iterative (rows-only check)",
+    None,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    cents = similarity.train_ivf_centroids(emb, k=16, seed=42)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return similarity.ivf_topk(emb, cents, query, k=10, nprobe=2)

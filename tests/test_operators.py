@@ -172,3 +172,41 @@ def test_cosine_neardup_pairs_finds_duplicate_vectors(spark):
     assert (0, 1) in pairs
     assert pairs[(0, 1)] == pytest.approx(1.0)
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ivf_topk_matches_bruteforce_for_clustered_data(spark):
+    # three well-separated clusters; IVF probing the query's cell must
+    # return the same top-3 as brute force
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    # directionally distinct clusters (cosine is scale-invariant, so the
+    # clusters must differ in direction, not magnitude)
+    directions = [[1, 1, 1, 1, 0, 0, 0, 0], [0, 0, 0, 0, 1, 1, 1, 1],
+                  [-1, -1, 0, 0, 0, 0, 1, 1]]
+    for cluster, d in enumerate(directions):
+        for i in range(30):
+            vec = [10.0 * x + rnd.uniform(-0.5, 0.5) for x in d]
+            rows.append((cluster * 100 + i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.train_ivf_centroids(emb, k=3, seed=1)
+    assert len(cents) == 3 and len(cents[0]) == 8
+    query = rows[5][1]  # inside cluster 0
+    approx = similarity.ivf_topk(emb, cents, query, k=3, nprobe=1).collect()
+    exact = similarity.cosine_topk(emb, query, k=3).collect()
+    assert [r["vec_id"] for r in approx] == [r["vec_id"] for r in exact]
+
+
+def test_ivf_assign_is_argmin_of_distance(spark):
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    emb = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [9.0, 9.0])], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", similarity.ivf_assign(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1}
