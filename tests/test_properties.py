@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis): the hash/fingerprint operators
+must agree with independent Python references on arbitrary inputs, and
+the dedup/aggregate operators must satisfy their algebraic laws.
+
+Each example generates a BATCH of rows and runs one Spark job over the
+batch — one JVM roundtrip per example, not per row."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.functions import NULL_SENTINEL, surrogate_key
+from dbt_datbricks_demo_spark.operators import dedup
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# ASCII text: the properties target fold/signature logic, not Unicode
+# whitespace semantics (Java's \s and trim are ASCII-only while Python's
+# str.strip()/split() are Unicode-aware — the Python references here
+# would diverge on e.g. \xa0 even though Spark and DuckDB agree)
+texts = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ",
+    max_size=60,
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(texts, st.none()), min_size=1, max_size=8))
+def test_surrogate_key_matches_dbt_utils_reference(spark, values):
+    """Byte-parity with dbt_utils.generate_surrogate_key's compiled SQL:
+    md5(concat_ws('-', coalesce(cast(col as string), sentinel)...))."""
+    df = spark.createDataFrame(
+        [tuple(values)], ", ".join(f"c{i} string" for i in range(len(values)))
+    )
+    got = df.select(
+        surrogate_key(*[f"c{i}" for i in range(len(values))]).alias("k")
+    ).first()["k"]
+    joined = "-".join(v if v is not None else NULL_SENTINEL for v in values)
+    assert got == hashlib.md5(joined.encode()).hexdigest()
+
+
+@settings(**SETTINGS)
+@given(st.lists(texts, min_size=1, max_size=12))
+def test_rolling_fingerprint_matches_python_fold(spark, docs):
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["rolling_fp"]
+        for r in dedup.with_rolling_fingerprint(df).collect()
+    }
+    for i, text in enumerate(docs):
+        h = 0
+        for tok in text.strip().lower().split():
+            th = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dedup.MERSENNE31
+            h = (h * dedup.ROLL_BASE + th) % dedup.MERSENNE31
+        # Spark's split on \s+ of "" yields [""] -> fold over the
+        # empty-string token; mirror that edge
+        if text.strip() == "":
+            th = int(hashlib.md5(b"").hexdigest()[:8], 16) % dedup.MERSENNE31
+            h = th % dedup.MERSENNE31
+        assert got[i] == h, (text,)
+
+
+@settings(**SETTINGS)
+@given(st.lists(texts, min_size=2, max_size=10), st.data())
+def test_exact_dedup_laws(spark, docs, data):
+    """Keeps exactly one row per distinct content, the lowest id, and is
+    idempotent."""
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = dedup.exact_dedup(df, ["text"], "doc_id")
+    rows = out.collect()
+    assert len(rows) == len(set(docs))
+    survivors = {r["text"]: r["doc_id"] for r in rows}
+    for text, keeper in survivors.items():
+        assert keeper == min(i for i, d in enumerate(docs) if d == text)
+    again = dedup.exact_dedup(out, ["text"], "doc_id")
+    assert again.count() == len(rows)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=2, max_size=40
+    )
+)
+def test_stddev_exact_matches_statistics(spark, xs):
+    """The exact-decimal-sum stddev (queries/inventory._stddev_exact)
+    agrees with Python's reference implementation."""
+    import statistics
+
+    from dbt_datbricks_demo_spark.queries.inventory import _stddev_exact
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    got = df.agg(
+        _stddev_exact(F.col("v"), F.count(F.lit(1))).alias("s")
+    ).first()["s"]
+    want = round(statistics.stdev(xs), 2)
+    assert got is not None and math.isclose(got, want, abs_tol=0.011)
+
+
+@settings(**SETTINGS)
+@given(texts, texts)
+def test_minhash_signature_invariances(spark, a, b):
+    """Signature is invariant under case/whitespace normalization and
+    shingle multiplicity; identical normalized text ⇒ identical sig."""
+    df = spark.createDataFrame(
+        [(0, a), (1, "  " + a.upper() + " "), (2, b)],
+        "doc_id long, text string",
+    )
+    staged = dedup.with_minhash(df, "text", num_hashes=4, k=3, sig_col="sig")
+    sigs = {r["doc_id"]: r["sig"] for r in staged.select("doc_id", "sig").collect()}
+    assert sigs[0] == sigs[1]
+    if a.strip().lower() == b.strip().lower():
+        assert sigs[0] == sigs[2]
