@@ -539,3 +539,52 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     query = [float(x) for x in qrow["embedding"]]
     return similarity.ivf_topk(emb, cents, query, k=10, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/asof.py) — DuckDB's native ASOF JOIN is the oracle
+# ---------------------------------------------------------------------------
+@_register(
+    "asof_last_error",
+    "backward as-of join: each purchase event picks up the user's most "
+    "recent error event at-or-before it (operators.asof.asof_join, the "
+    "union+running-window pattern: one shuffle, no range-join explosion)",
+    """
+    with ev as (select * replace (date_trunc('microseconds', ts) as ts)
+                from events),
+    l as (select event_id, user_id, ts from ev where event_type = 'purchase'),
+    r as (select user_id, ts, max(event_id) as last_error_id,
+                 max_by(value, event_id) as last_error_value
+          from ev where event_type = 'error' group by user_id, ts)
+    select l.event_id, l.user_id,
+           date_trunc('second', l.ts) as purchase_ts_sec,
+           r.last_error_id, r.last_error_value,
+           date_trunc('second', r.ts) as last_error_ts_sec
+    from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts
+    """,
+)
+def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators.asof import asof_join
+
+    ev = _spread(_t(spark, sf_dir, "events"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedup right to one row per (user, ts) with a deterministic winner
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("last_error_id"),
+            F.max_by("value", "event_id").alias("last_error_value"),
+        )
+    )
+    out = asof_join(
+        purchases, errors, "ts", ["user_id"], ["last_error_id", "last_error_value"]
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_trunc("second", F.col("ts")).alias("purchase_ts_sec"),
+        "last_error_id", "last_error_value",
+        F.date_trunc("second", F.col("matched_ts")).alias("last_error_ts_sec"),
+    )

@@ -210,3 +210,45 @@ def test_ivf_assign_is_argmin_of_distance(spark):
         ).collect()
     }
     assert got == {0: 0, 1: 1}
+
+
+def test_asof_join_basic_and_tolerance(spark):
+    from dbt_datbricks_demo_spark.operators.asof import asof_join
+    import datetime as dt
+
+    T = dt.datetime
+    quotes = spark.createDataFrame(
+        [
+            ("A", T(2025, 1, 1, 10, 0, 0), 100.0),
+            ("A", T(2025, 1, 1, 10, 5, 0), 101.0),
+            ("B", T(2025, 1, 1, 10, 2, 0), 50.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, "A", T(2025, 1, 1, 10, 0, 0)),   # ties quote -> inclusive
+            (2, "A", T(2025, 1, 1, 10, 4, 59)),  # before 2nd quote
+            (3, "A", T(2025, 1, 1, 10, 30, 0)),  # long after
+            (4, "B", T(2025, 1, 1, 10, 1, 0)),   # before any B quote
+        ],
+        "trade_id long, sym string, ts timestamp",
+    )
+    out = {
+        r["trade_id"]: r
+        for r in asof_join(trades, quotes, "ts", ["sym"], ["px"]).collect()
+    }
+    assert out[1]["px"] == 100.0  # equal-time match is inclusive
+    assert out[2]["px"] == 100.0
+    assert out[3]["px"] == 101.0
+    assert out[4]["px"] is None  # left join: kept with null match
+    assert str(out[3]["matched_ts"]) == "2025-01-01 10:05:00"
+
+    tol = {
+        r["trade_id"]: r
+        for r in asof_join(
+            trades, quotes, "ts", ["sym"], ["px"], tolerance_seconds=600
+        ).collect()
+    }
+    assert tol[2]["px"] == 100.0   # 4:59 old, inside 10 min
+    assert tol[3]["px"] is None    # 25 min old match voided
