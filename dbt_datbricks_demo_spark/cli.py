@@ -1,0 +1,118 @@
+"""Command-line entry point — the dbt-verb surface a reference user
+already knows (SETUP_GUIDE.md:315-351: dbt seed / run / test;
+plus the EDA notebook and freshness checks as verbs).
+
+    python -m dbt_datbricks_demo_spark seed  --seeds-dir DIR
+    python -m dbt_datbricks_demo_spark run   [--select bronze,silver,gold]
+                                             [--full-refresh] [--gated]
+    python -m dbt_datbricks_demo_spark test
+    python -m dbt_datbricks_demo_spark freshness
+    python -m dbt_datbricks_demo_spark eda   [query ...]
+
+State lives in RunConfig.warehouse_dir (parquet warehouse); each verb
+builds what it needs from the seeds + existing materializations, so
+`seed → run → test` behaves like the reference's workflow DAG.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from dbt_datbricks_demo_spark.config import RunConfig
+from dbt_datbricks_demo_spark.plans.runner import PipelineRunner
+from dbt_datbricks_demo_spark.queries.eda import ALL_EDA
+from dbt_datbricks_demo_spark.session import get_spark
+from dbt_datbricks_demo_spark.sources import load_seeds
+from dbt_datbricks_demo_spark.sources.freshness import check_freshness
+from dbt_datbricks_demo_spark.testing import reference_suite, run_suite
+from dbt_datbricks_demo_spark.testing.runner import summarize
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbt_datbricks_demo_spark")
+    p.add_argument("--seeds-dir", default="/root/reference/seeds")
+    p.add_argument("--warehouse-dir", default=None)
+    p.add_argument("--target", default=None)
+    sub = p.add_subparsers(dest="verb", required=True)
+    sub.add_parser("seed", help="load the seed CSVs into the raw layer")
+    run = sub.add_parser("run", help="build + materialize the model DAG")
+    run.add_argument("--select", default=None, help="comma-separated tags")
+    run.add_argument("--full-refresh", action="store_true")
+    run.add_argument(
+        "--gated", action="store_true",
+        help="test silver before building gold (workflow gate)",
+    )
+    sub.add_parser("test", help="run the data-quality suite")
+    sub.add_parser("freshness", help="source freshness vs warn/error SLAs")
+    eda = sub.add_parser("eda", help="run analytical queries")
+    eda.add_argument("queries", nargs="*", default=[])
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    cfg_kwargs = {}
+    if args.warehouse_dir:
+        cfg_kwargs["warehouse_dir"] = args.warehouse_dir
+    if args.target:
+        cfg_kwargs["target"] = args.target
+    cfg = RunConfig(**cfg_kwargs)
+    spark = get_spark(app_name=f"engine-{args.verb}")
+    spark.sparkContext.setLogLevel("ERROR")
+    seeds = load_seeds(spark, args.seeds_dir)
+    runner = PipelineRunner(spark, cfg)
+
+    if args.verb == "seed":
+        for name, df in seeds.items():
+            runner.mat.as_table(name, "raw", df)
+            print(f"seeded {name}: {df.count()} rows")
+        return 0
+
+    if args.verb == "run":
+        if args.gated:
+            relations, results = runner.run_gated(seeds)
+            print(summarize(results))
+            ok = all(r.passed for r in results)
+            print(f"built {len(relations) - len(seeds)} relations (gated)")
+            return 0 if ok else 1
+        tags = set(args.select.split(",")) if args.select else None
+        relations = runner.run(seeds, select_tags=tags, full_refresh=args.full_refresh)
+        built = [n for n in relations if n not in seeds]
+        print(f"built {len(built)} relations: {', '.join(built)}")
+        return 0
+
+    if args.verb == "test":
+        relations = runner.run(seeds)
+        results = run_suite(reference_suite(), relations)
+        print(summarize(results))
+        return 0 if all(r.passed for r in results) else 1
+
+    if args.verb == "freshness":
+        # loaded_at fields per sources.yml:7-10,30-31,46 (devices opt out)
+        spec = {
+            "raw_sensor_readings": "ingested_at",
+            "raw_devices": None,
+            "raw_alerts": "alert_ts",
+        }
+        code = 0
+        for name, field in spec.items():
+            res = check_freshness(seeds[name], name, field)
+            age = f"{res.age_seconds / 3600:.1f}h" if res.age_seconds else "-"
+            print(f"{name}: {res.status} (age {age})")
+            code = max(code, 1 if res.status == "error" else 0)
+        return code
+
+    if args.verb == "eda":
+        relations = runner.run(seeds)
+        names = args.queries or list(ALL_EDA)
+        for name in names:
+            print(f"== {name}")
+            ALL_EDA[name](relations).show(20, truncate=False)
+        return 0
+
+    raise AssertionError(args.verb)  # pragma: no cover
+
+
+if __name__ == "__main__":
+    sys.exit(main())

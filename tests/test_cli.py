@@ -1,0 +1,44 @@
+"""CLI verbs drive the same engine paths a reference dbt user runs:
+seed → run (gated) → test → freshness."""
+
+from __future__ import annotations
+
+from dbt_datbricks_demo_spark.cli import main
+from tests.conftest import SEEDS_DIR
+
+
+def _argv(tmp_path, *rest):
+    return [
+        "--seeds-dir", SEEDS_DIR,
+        "--warehouse-dir", str(tmp_path / "wh"),
+        *rest,
+    ]
+
+
+def test_cli_seed_run_test_cycle(spark, tmp_path, capsys):
+    assert main(_argv(tmp_path, "seed")) == 0
+    out = capsys.readouterr().out
+    assert "seeded raw_sensor_readings: 209 rows" in out
+
+    assert main(_argv(tmp_path, "run", "--gated")) == 0
+    out = capsys.readouterr().out
+    assert "built 10 relations (gated)" in out
+    assert "FAIL=0" in out
+
+    assert main(_argv(tmp_path, "test")) == 0
+    out = capsys.readouterr().out
+    assert "PASS=54 FAIL=0 TOTAL=54" in out  # the reference's 54-test suite
+
+
+def test_cli_select_tags(spark, tmp_path, capsys):
+    assert main(_argv(tmp_path, "run", "--select", "bronze")) == 0
+    out = capsys.readouterr().out
+    # bronze = the 3 staging views only
+    assert "built 3 relations" in out
+
+
+def test_cli_freshness_flags_stale_seeds(spark, tmp_path, capsys):
+    assert main(_argv(tmp_path, "freshness")) == 1  # seeds are months old
+    out = capsys.readouterr().out
+    assert "raw_devices: skipped" in out  # loaded_at_field: null opt-out
+    assert "raw_sensor_readings: error" in out
