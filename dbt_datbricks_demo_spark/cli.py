@@ -47,6 +47,11 @@ def _parser() -> argparse.ArgumentParser:
     sub.add_parser("freshness", help="source freshness vs warn/error SLAs")
     eda = sub.add_parser("eda", help="run analytical queries")
     eda.add_argument("queries", nargs="*", default=[])
+    sql = sub.add_parser(
+        "sql", help="ad-hoc Spark SQL over the built relations (temp views)"
+    )
+    sql.add_argument("statement")
+    sql.add_argument("--limit", type=int, default=50)
     return p
 
 
@@ -102,6 +107,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}: {res.status} (age {age})")
             code = max(code, 1 if res.status == "error" else 0)
         return code
+
+    if args.verb == "sql":
+        runner.run(seeds)  # every model registered as a temp view
+        for name, df in seeds.items():
+            df.createOrReplaceTempView(name)
+        spark.sql(args.statement).show(args.limit, truncate=False)
+        return 0
 
     if args.verb == "eda":
         relations = runner.run(seeds)

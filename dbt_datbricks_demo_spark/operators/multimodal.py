@@ -99,6 +99,92 @@ def image_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pa
     )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_w", IntegerType()),
+        StructField("resized_h", IntegerType()),
+        StructField("resized_bytes", LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, box: int = 256, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Fit-into-box resize plumbing via mapInPandas. The pixel resample is
+    the stubbed step (PIL absent) — dimensions derive from the content
+    digest exactly like image_features, and the aspect-ratio-preserving
+    target box math plus the Arrow batch plumbing are real. resized_bytes
+    models the RGB buffer the real kernel would emit."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "resized_w", "resized_h", "resized_bytes")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _fmt = _decode_image_bytes(bytes(payload))
+                m = max(w, h)
+                rw, rh = (w, h) if m <= box else (
+                    max(1, int(w * box / m)), max(1, int(h * box / m))
+                )
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["resized_w"].append(rw)
+                out["resized_h"].append(rh)
+                out["resized_bytes"].append(rw * rh * 3)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        resize, RESIZE_SCHEMA
+    )
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_us", LongType()),  # integer µs — exact
+        StructField("est_loudness", IntegerType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    sample_rate: int = 16_000,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio feature plumbing: payload as 16-bit mono PCM at a declared
+    sample rate. Real decode (librosa/soundfile) is absent, so loudness
+    is an md5-derived deterministic fake; sample count and duration
+    are honest byte math. Duration is integer microseconds — exact, so
+    the oracle comparison never rides on float division."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            data = pdf[payload_col]
+            n = data.map(lambda b: len(bytes(b)) // 2)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_samples": n.astype("int64"),
+                    "duration_us": (n * 1_000_000 // sample_rate).astype("int64"),
+                    "est_loudness": [
+                        int(hashlib.md5(bytes(b)).hexdigest()[8:12], 16) % 1000
+                        for b in data
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        extract, AUDIO_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: emit (doc_id,
     frame_no) rows for every n-th 'frame', where the stubbed frame count

@@ -795,3 +795,85 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         (F.sum(k) * 1.0 / F.count(k)).alias("avg_k"), F.max(k).alias("max_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function surface beyond the reference's lone row_number (§2.6
+# notes lag/lead/rank/frames absent) — extension: lag, lead, rank, and a
+# frame-spec moving average, all with deterministic composite ordering
+# ---------------------------------------------------------------------------
+@_register(
+    "window_functions",
+    "extension past §2.6: lag/lead over (user, time), rank per event_type, "
+    "3-row moving average via an explicit frame; deterministic tie-breaks "
+    "on event_id, decimal-exact moving sum",
+    """
+    with ev as (select * replace (date_trunc('microseconds', ts) as ts)
+                from events)
+    select
+        event_id, user_id,
+        date_trunc('second', ts) as ts_sec,
+        value,
+        lag(value) over w_user as prev_value,
+        lead(value) over w_user as next_value,
+        rank() over (partition by event_type
+                     order by value desc, event_id) as type_value_rank,
+        cast(sum(cast(value as decimal(18,2)))
+             over (partition by user_id order by ts, event_id
+                   rows between 2 preceding and current row) as double)
+          / count(*) over (partition by user_id order by ts, event_id
+                           rows between 2 preceding and current row)
+          as moving_avg_3
+    from ev
+    window w_user as (partition by user_id order by ts, event_id)
+    """,
+)
+def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _spread(_t(spark, sf_dir, "events"))
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_frame = w_user.rowsBetween(-2, Window.currentRow)
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    vd = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id", "user_id",
+        F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+        "value",
+        F.lag("value").over(w_user).alias("prev_value"),
+        F.lead("value").over(w_user).alias("next_value"),
+        F.rank().over(w_rank).alias("type_value_rank"),
+        (
+            F.sum(vd).over(w_frame).cast("double")
+            / F.count(F.lit(1)).over(w_frame)
+        ).alias("moving_avg_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP hierarchy totals (absent from the reference's aggregations —
+# SURVEY §2.5 notes no grouping sets / cube / rollup anywhere)
+# ---------------------------------------------------------------------------
+@_register(
+    "rollup_report",
+    "extension past §2.5: GROUP BY ROLLUP(event_type, month) — per-month, "
+    "per-type and grand totals in one pass, decimal-exact sums",
+    """
+    select
+        event_type,
+        cast(date_trunc('month', ts) as date) as event_month,
+        count(*) as n_events,
+        cast(sum(cast(value as decimal(18,2))) as double) as total_value
+    from events
+    group by rollup(event_type, cast(date_trunc('month', ts) as date))
+    """,
+)
+def rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _spread(_t(spark, sf_dir, "events"))
+    month = F.date_trunc("month", F.col("ts")).cast("date")
+    return ev.rollup(F.col("event_type"), month.alias("event_month")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )

@@ -588,3 +588,56 @@ def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_error_id", "last_error_value",
         F.date_trunc("second", F.col("matched_ts")).alias("last_error_ts_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize + audio plumbing (stubbed decode, real Arrow path)
+# ---------------------------------------------------------------------------
+@_register(
+    "resize_plan",
+    "fit-into-256 resize plumbing over binary payloads via mapInPandas "
+    "(operators.multimodal.resize_images) — fake md5-derived source dims, "
+    "exact integer target-box math",
+    """
+    with dims as (
+        select doc_id,
+               ('0x' || substr(md5(text), 1, 4))::int % 1024 + 1 as width,
+               ('0x' || substr(md5(text), 5, 4))::int % 1024 + 1 as height
+        from documents
+    )
+    select doc_id, width, height,
+           case when greatest(width, height) <= 256 then width
+                else greatest(1, (width * 256) // greatest(width, height)) end
+               as resized_w,
+           case when greatest(width, height) <= 256 then height
+                else greatest(1, (height * 256) // greatest(width, height)) end
+               as resized_h,
+           cast((case when greatest(width, height) <= 256 then width
+                 else greatest(1, (width * 256) // greatest(width, height)) end)
+              * (case when greatest(width, height) <= 256 then height
+                 else greatest(1, (height * 256) // greatest(width, height)) end)
+              * 3 as bigint) as resized_bytes
+    from dims
+    """,
+)
+def resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_binary_payload(_spread(_t(spark, sf_dir, "documents")))
+    return multimodal.resize_images(docs, box=256)
+
+
+@_register(
+    "audio_features",
+    "audio feature plumbing: payload as 16-bit mono PCM @16kHz — sample "
+    "count + integer-µs duration (honest byte math), md5-derived fake "
+    "loudness (operators.multimodal.audio_features)",
+    """
+    select doc_id,
+           octet_length(encode(text)) // 2 as n_samples,
+           (octet_length(encode(text)) // 2) * 1000000 // 16000 as duration_us,
+           ('0x' || substr(md5(text), 9, 4))::int % 1000 as est_loudness
+    from documents
+    """,
+)
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.attach_binary_payload(_spread(_t(spark, sf_dir, "documents")))
+    return multimodal.audio_features(docs, sample_rate=16_000)
