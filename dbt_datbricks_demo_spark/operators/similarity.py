@@ -25,16 +25,23 @@ from pyspark.sql import functions as F
 
 
 def train_ivf_centroids(
-    df: DataFrame, k: int = 16, vec_col: str = "embedding", seed: int = 42
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    init_mode: str = "k-means||",
 ) -> list[list[float]]:
     """IVF coarse quantizer: k-means centroids over the corpus (seeded →
     deterministic). Train on a sample at scale — centroid quality needs
-    thousands of points per cell, not the whole corpus."""
+    thousands of points per cell, not the whole corpus. init_mode
+    "random" with modest max_iter is the FAISS-style cheap quantizer
+    (k-means|| init costs several extra distributed passes)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feats = df.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=k, seed=seed, maxIter=10).fit(feats)
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode=init_mode).fit(feats)
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 

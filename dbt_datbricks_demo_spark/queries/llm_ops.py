@@ -534,8 +534,13 @@ def frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train on the compact input: k-means runs 10+ tiny jobs, and 32-way
+    # spread just multiplies scheduling overhead; only the assignment
+    # scan benefits from parallelism
+    cents = similarity.train_ivf_centroids(
+        _t(spark, sf_dir, "embeddings"), k=16, seed=42, max_iter=5, init_mode="random"
+    )
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    cents = similarity.train_ivf_centroids(emb, k=16, seed=42)
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     query = [float(x) for x in qrow["embedding"]]
     return similarity.ivf_topk(emb, cents, query, k=10, nprobe=2)
