@@ -1,0 +1,90 @@
+"""End-to-end training-corpus cleaning pipeline — the composition the
+individual operators exist for. One call takes a raw document table to a
+training-ready corpus:
+
+    1. exact dedup        — content-hash groupBy, lowest doc_id wins
+    2. quality filter     — token count / punctuation ratio gates
+    3. language filter    — stopword-heuristic language allowlist
+    4. near-dup removal   — MinHash band candidates, exact-Jaccard
+                            verification, drop the higher doc_id of each
+                            confirmed pair (single-link, non-transitive:
+                            chains A~B~C keep A and C — full clustering
+                            needs an iterative connected-components pass,
+                            out of one-query scope and documented as such)
+
+Shuffle budget (see SCALE.md): one content-hash exchange (1), narrow
+scans (2, 3), the band-pair exchange + broadcast-verified Jaccard (4).
+The corpus bodies shuffle exactly once — everything else moves digests
+and ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.operators import dedup, text
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.2,
+    allowed_langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.9,
+) -> DataFrame:
+    """Return the cleaned corpus (original columns preserved)."""
+    # 1. exact dedup
+    deduped = dedup.exact_dedup(docs, [text_col], id_col)
+
+    # 2 + 3. quality and language gates — one narrow pass
+    toks = text.tokens(text_col)
+    n_tokens = F.size(toks)
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    quality_ok = (n_tokens >= min_tokens) & (
+        (n_punct * 1.0 / F.nullif(F.length(text_col), F.lit(0)))
+        <= max_punct_ratio
+    )
+    gated = deduped.filter(quality_ok).filter(
+        text.predict_lang(text_col).isin(*allowed_langs)
+    )
+
+    # 4. near-dup removal among the survivors
+    pairs = dedup.minhash_candidate_pairs(
+        gated, id_col, text_col, num_hashes=num_hashes, bands=bands, k=shingle_k
+    )
+    confirmed = dedup.jaccard_pairs(gated, pairs, id_col, text_col, k=shingle_k)
+    losers = (
+        confirmed.filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return gated.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
+def corpus_stats(
+    cleaned: DataFrame, lang_col_expr=None, text_col: str = "text"
+) -> DataFrame:
+    """Training-readiness report: per predicted language, document count,
+    total/mean whitespace tokens and total BPE-ish tokens."""
+    lang = lang_col_expr if lang_col_expr is not None else text.predict_lang(text_col)
+    n_tokens = F.size(text.tokens(text_col))
+    return (
+        cleaned.select(
+            lang.alias("lang"),
+            n_tokens.alias("n_tokens"),
+            text.bpe_token_count(text_col).alias("n_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens") * 1.0 / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+        )
+    )

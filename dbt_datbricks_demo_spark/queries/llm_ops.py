@@ -646,3 +646,79 @@ def resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = multimodal.attach_binary_payload(_spread(_t(spark, sf_dir, "documents")))
     return multimodal.audio_features(docs, sample_rate=16_000)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus cleaning pipeline (operators/corpus.py) — the full
+# composition, oracle-checked: dedup → quality/lang gates → near-dup
+# removal → per-language training-readiness stats
+# ---------------------------------------------------------------------------
+_SQL_PUNCT_RATIO = (
+    "len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / nullif(length(text), 0)"
+)
+
+
+@_register(
+    "corpus_pipeline",
+    "end-to-end corpus cleaning (operators.corpus.clean_corpus + "
+    "corpus_stats): exact dedup, >=10-token + punct<=0.2 quality gate, "
+    "language allowlist, MinHash near-dup removal (jaccard>=0.9, "
+    "single-link), per-language doc/token totals",
+    f"""
+    with dedup1 as (
+        select d.* from documents d
+        join (select md5(text) as ch, min(doc_id) as keeper
+              from documents group by md5(text)) k
+          on md5(d.text) = k.ch and d.doc_id = k.keeper
+    ),
+    gated as (
+        select * from dedup1
+        where len({_SQL_TOKENS}) >= 10
+          and {_SQL_PUNCT_RATIO} <= 0.2
+          and {_sql_lang_predict()} in ('en', 'de', 'es', 'fr')
+    ),
+    hashed as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from gated),
+    sigs as (select doc_id, {', '.join(_sql_minhash_cols(8))} from hashed),
+    bands as (
+        select doc_id, md5(concat_ws('-', '0', h0, h1, h2, h3)) as band_key from sigs
+        union all
+        select doc_id, md5(concat_ws('-', '1', h4, h5, h6, h7)) as band_key from sigs
+    ),
+    pairs as (
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from bands a join bands b
+          on a.band_key = b.band_key and a.doc_id < b.doc_id
+    ),
+    sh as (select doc_id, unnest(hs) as sh from hashed),
+    sizes as (select doc_id, len(hs) as set_size from hashed),
+    jac as (
+        select p.id_a, p.id_b,
+               count(*) * 1.0
+                 / (sa.set_size + sb.set_size - count(*)) as jaccard
+        from pairs p
+        join sh a on a.doc_id = p.id_a
+        join sh b on b.doc_id = p.id_b and b.sh = a.sh
+        join sizes sa on sa.doc_id = p.id_a
+        join sizes sb on sb.doc_id = p.id_b
+        group by p.id_a, p.id_b, sa.set_size, sb.set_size
+    ),
+    final as (
+        select * from gated
+        where doc_id not in (select id_b from jac where jaccard >= 0.9)
+    )
+    select {_sql_lang_predict()} as lang,
+           count(*) as n_docs,
+           cast(sum(len({_SQL_TOKENS})) as bigint) as total_tokens,
+           sum(len({_SQL_TOKENS})) * 1.0 / count(*) as avg_tokens,
+           cast(sum(len(regexp_extract_all(text, '{text.BPE_TOKEN_RE}')))
+                as bigint) as total_bpe_tokens
+    from final
+    group by {_sql_lang_predict()}
+    """,
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators.corpus import clean_corpus, corpus_stats
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    cleaned = clean_corpus(docs)
+    return corpus_stats(cleaned)

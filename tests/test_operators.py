@@ -252,3 +252,27 @@ def test_asof_join_basic_and_tolerance(spark):
     }
     assert tol[2]["px"] == 100.0   # 4:59 old, inside 10 min
     assert tol[3]["px"] is None    # 25 min old match voided
+
+
+def test_clean_corpus_pipeline(spark):
+    from dbt_datbricks_demo_spark.operators.corpus import clean_corpus, corpus_stats
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today " * 3
+    ).strip()
+    rows = [
+        (0, base),                                   # keeper
+        (1, base),                                   # exact dup -> dropped
+        (2, base.replace("quick", "quack", 1)),      # near dup (J=0.925) -> dropped
+        (3, "der schnelle braune fuchs und der faule hund laufen heute sehr weit"),
+        (4, "short text"),                           # < 10 tokens -> dropped
+        (5, "!!! ??? ;;; " + base),                  # near-dup superset of 0 -> dropped
+        (6, "机器 学习 模型 训练 数据 管道 现在 开始 运行 了 吗 呢"),  # zh -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned = clean_corpus(docs, min_tokens=10, jaccard_threshold=0.8)
+    kept = sorted(r["doc_id"] for r in cleaned.collect())
+    assert kept == [0, 3]
+    stats = {r["lang"]: r for r in corpus_stats(cleaned).collect()}
+    assert stats["en"]["n_docs"] == 1 and stats["en"]["total_tokens"] == 39
+    assert stats["de"]["n_docs"] == 1
