@@ -877,3 +877,91 @@ def rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization — the classic event-pipeline operator, pure
+# window functions (no state, no UDF): new session when a user is idle
+# > 30 minutes; one shuffle on user_id
+# ---------------------------------------------------------------------------
+@_register(
+    "sessionize_events",
+    "gap-based sessionization (30-min idle): lag + running sum of "
+    "boundary flags assigns session ids, then per-session aggregates — "
+    "single hash exchange on user_id, integer-µs gap math",
+    """
+    with ev as (select * replace (date_trunc('microseconds', ts) as ts)
+                from events),
+    flagged as (
+        select user_id, event_id, ts, value,
+               case when epoch_us(ts) - lag(epoch_us(ts)) over w
+                         > 1800000000
+                         or lag(epoch_us(ts)) over w is null
+                    then 1 else 0 end as is_new
+        from ev
+        window w as (partition by user_id order by ts, event_id)
+    ),
+    sessions as (
+        select *, sum(is_new) over (partition by user_id
+                                    order by ts, event_id
+                                    rows unbounded preceding) as session_seq
+        from flagged
+    )
+    select user_id, cast(session_seq as bigint) as session_seq,
+           count(*) as n_events,
+           date_trunc('second', min(ts)) as session_start_sec,
+           date_trunc('second', max(ts)) as session_end_sec,
+           cast(sum(cast(value as decimal(18,2))) as double) as session_value
+    from sessions
+    group by user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _spread(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    is_new = F.when(
+        (us - F.lag(us).over(w) > 1_800_000_000)
+        | F.lag(us).over(w).isNull(),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = ev.select(
+        "user_id", "event_id", "ts", "value", is_new.alias("is_new")
+    ).withColumn("session_seq", F.sum("is_new").over(run))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_trunc("second", F.min("ts")).alias("session_start_sec"),
+        F.date_trunc("second", F.max("ts")).alias("session_end_sec"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "session_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles — Spark percentile() and DuckDB quantile_cont are
+# both linear-interpolation over the sorted set: bit-identical
+# ---------------------------------------------------------------------------
+@_register(
+    "percentile_report",
+    "exact p50/p95/max per event_type: Spark percentile() vs DuckDB "
+    "quantile_cont — identical linear interpolation, no approximation",
+    """
+    select event_type,
+           quantile_cont(value, 0.5) as p50_value,
+           quantile_cont(value, 0.95) as p95_value,
+           round(max(value), 2) as max_value
+    from events
+    group by event_type
+    """,
+)
+def percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _spread(_t(spark, sf_dir, "events"))
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_value"),
+        F.expr("percentile(value, 0.95)").alias("p95_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
