@@ -965,3 +965,63 @@ def percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.95)").alias("p95_value"),
         F.round(F.max("value"), 2).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long → wide) — the EAV/long time-series model (SURVEY §1.1)
+# reshaped to one column per category; conditional-agg equivalent SQL
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "pivot_user_activity",
+    "long→wide pivot: per-user total value by event_type as one column "
+    "each (groupBy().pivot() with explicit categories — no extra pass to "
+    "discover them); decimal-exact sums",
+    f"""
+    select user_id,
+           {', '.join(
+               f"cast(sum(case when event_type = '{t}' "
+               f"then cast(value as decimal(18,2)) end) as double) as {t}"
+               for t in _EVENT_TYPES)}
+    from events
+    group by user_id
+    """,
+)
+def pivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _spread(_t(spark, sf_dir, "events"))
+    vd = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(vd).cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide → long)
+# ---------------------------------------------------------------------------
+@_register(
+    "unpivot_part_attrs",
+    "wide→long unpivot/melt of part's numeric attributes into "
+    "(attr, val) rows — DataFrame.unpivot, UNION ALL oracle",
+    """
+    select p_partkey as part_key, 'p_size' as attr,
+           cast(p_size as double) as val from part
+    union all
+    select p_partkey, 'p_retailprice', cast(p_retailprice as double) from part
+    """,
+)
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey"),
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    ).select(F.col("p_partkey").alias("part_key"), "attr", "val")
