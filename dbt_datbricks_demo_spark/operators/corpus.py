@@ -37,8 +37,14 @@ def clean_corpus(
     bands: int = 2,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.9,
+    persist_gated: bool = False,
 ) -> DataFrame:
-    """Return the cleaned corpus (original columns preserved)."""
+    """Return the cleaned corpus (original columns preserved).
+
+    persist_gated materializes the post-gate corpus once (localCheckpoint;
+    on a real pipeline: write it to storage) — the near-dup stage reads it
+    from 4 plan branches, and without materialization each branch re-runs
+    the regex-heavy language/quality gates over the full corpus."""
     # 1. exact dedup
     deduped = dedup.exact_dedup(docs, [text_col], id_col)
 
@@ -53,6 +59,8 @@ def clean_corpus(
     gated = deduped.filter(quality_ok).filter(
         text.predict_lang(text_col).isin(*allowed_langs)
     )
+    if persist_gated:
+        gated = gated.localCheckpoint(eager=False)
 
     # 4. near-dup removal among the survivors
     pairs = dedup.minhash_candidate_pairs(

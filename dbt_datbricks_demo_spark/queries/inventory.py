@@ -1025,3 +1025,24 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="attr",
         valueColumnName="val",
     ).select(F.col("p_partkey").alias("part_key"), "attr", "val")
+
+
+# ---------------------------------------------------------------------------
+# Sketches — the approximate path for 100 TB interactive work. Rows-only
+# check: HLL/KLL estimates are engine-specific by design (the exact
+# counterparts above are the correctness anchors)
+# ---------------------------------------------------------------------------
+@_register(
+    "sketch_report",
+    "approximate aggregates per event_type: HyperLogLog++ distinct users "
+    "(rsd=0.01) and KLL-style approx p50/p95 — constant memory per group "
+    "at any scale; no oracle (estimates are engine-specific)",
+    None,
+)
+def sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _spread(_t(spark, sf_dir, "events"))
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+        F.percentile_approx("value", 0.95, 10_000).alias("approx_p95"),
+    )

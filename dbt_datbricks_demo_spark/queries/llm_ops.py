@@ -720,5 +720,5 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_datbricks_demo_spark.operators.corpus import clean_corpus, corpus_stats
 
     docs = _spread(_t(spark, sf_dir, "documents"))
-    cleaned = clean_corpus(docs)
+    cleaned = clean_corpus(docs, persist_gated=True)
     return corpus_stats(cleaned)
