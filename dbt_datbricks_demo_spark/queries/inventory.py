@@ -1046,3 +1046,50 @@ def sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
         F.percentile_approx("value", 0.95, 10_000).alias("approx_p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (point-in-interval) join via time binning — the scale path for
+# inequality joins (operators/rangejoin.py); plain inequality-join oracle
+# ---------------------------------------------------------------------------
+@_register(
+    "range_join_order_events",
+    "keyed point-in-interval join: events inside each order's 7-day "
+    "window for the same id, binned to an equi-join on (key, bin) — "
+    "never the O(L×R) nested loop; per-order event counts",
+    """
+    with ev as (select * replace (date_trunc('microseconds', ts) as ts)
+                from events)
+    select o.o_orderkey as order_key,
+           count(*) as n_events_in_week,
+           cast(sum(cast(e.value as decimal(18,2))) as double) as window_value
+    from orders o
+    join ev e
+      on e.user_id = o.o_custkey
+     and e.ts >= o.o_orderdate
+     and e.ts < o.o_orderdate + interval 7 day
+    group by o.o_orderkey
+    """,
+)
+def range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators.rangejoin import point_in_interval_join
+
+    ev = _spread(_t(spark, sf_dir, "events")).select(
+        F.col("user_id").alias("join_id"), "ts", "value"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("join_id"),
+        "o_orderkey",
+        F.col("o_orderdate").alias("win_lo"),
+        (F.col("o_orderdate") + F.expr("interval 7 days")).alias("win_hi"),
+    )
+    joined = point_in_interval_join(
+        ev, orders, on="join_id", point_time="ts",
+        interval_lo="win_lo", interval_hi="win_hi",
+    )
+    return joined.groupBy(F.col("o_orderkey").alias("order_key")).agg(
+        F.count(F.lit(1)).alias("n_events_in_week"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "window_value"
+        ),
+    )

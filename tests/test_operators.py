@@ -276,3 +276,33 @@ def test_clean_corpus_pipeline(spark):
     stats = {r["lang"]: r for r in corpus_stats(cleaned).collect()}
     assert stats["en"]["n_docs"] == 1 and stats["en"]["total_tokens"] == 39
     assert stats["de"]["n_docs"] == 1
+
+
+def test_point_in_interval_join(spark):
+    import datetime as dt
+
+    T = dt.datetime
+    pts = spark.createDataFrame(
+        [
+            (1, "u1", T(2025, 1, 5, 12, 0)),
+            (2, "u1", T(2025, 1, 20, 0, 0)),   # in no interval
+            (3, "u2", T(2025, 1, 5, 12, 0)),   # right key, other user's window
+            (4, "u1", T(2025, 1, 10, 0, 0)),   # hi is exclusive
+        ],
+        "pid long, k string, t timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("u1", 100, T(2025, 1, 1), T(2025, 1, 10)),
+            ("u2", 200, T(2025, 1, 8), T(2025, 1, 9)),
+        ],
+        "k string, iid long, lo timestamp, hi timestamp",
+    )
+    from dbt_datbricks_demo_spark.operators.rangejoin import point_in_interval_join
+
+    out = point_in_interval_join(
+        pts, ivs, on="k", point_time="t", interval_lo="lo", interval_hi="hi",
+        bin_seconds=24 * 3600,  # 1-day bins: interval 100 spans 9 bins
+    )
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert got == {(1, 100)}  # exactly once despite 9-bin replication
