@@ -61,3 +61,19 @@ def colocated_join(
     return read_bucketed(spark, left_name).join(
         read_bucketed(spark, right_name), on=on_cols, how=how
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout (one directory per partition
+    value). Reads that filter on the partition column prune entire
+    directories BEFORE listing files — at 100 TB a day-partitioned events
+    table turns a 'last 7 days' query from a full scan into 7 directory
+    reads. Keep partition cardinality sane (date/region, not user_id):
+    each partition should hold >= file-sized data or small files dominate."""
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)

@@ -116,3 +116,23 @@ def test_bucketed_agg_plans_without_exchange(spark):
         assert agg.count() == 5_000
     finally:
         spark.sql("drop table if exists t_agg_b")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    from dbt_datbricks_demo_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    bucketing.write_partitioned(ev, path, "event_date")
+
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("event_date") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # the date predicate lands in PartitionFilters (directory pruning),
+    # not PushedFilters (row-group stats) — whole partitions are skipped
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    # correctness: partitioned round-trip preserves the day's rows
+    want = ev.filter(F.col("event_date") == "2024-01-05").count()
+    assert one_day.count() == want and want > 0
