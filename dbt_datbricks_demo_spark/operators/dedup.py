@@ -268,6 +268,84 @@ def with_rolling_fingerprint(
     return staged.withColumn(out, fold).drop(th_col)
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Undirected connected components by iterative min-label propagation
+    — the transitive closure pairwise near-dup detection needs (A~B, B~C
+    ⇒ {A,B,C} one cluster) without a graph library.
+
+    vertices: one row per id; edges: (id_a, id_b) candidate pairs.
+    Returns (id, component) where component = the smallest id reachable.
+
+    Each iteration: every vertex takes the min of its own label and its
+    neighbors' labels — two shuffles (edge join + min agg) per round;
+    rounds needed = graph diameter in the worst case, but near-dup
+    graphs are unions of small cliques, so 2-3 rounds converge.
+    Convergence is checked with a count of changed labels (a cheap agg);
+    labels are localCheckpointed per round so the plan doesn't grow
+    exponentially with iterations.
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=False)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 2,
+    k: int = 5,
+    jaccard_threshold: float = 0.9,
+) -> DataFrame:
+    """Full transitive near-dup clustering: LSH candidates → exact-Jaccard
+    confirmed edges → connected components. Returns every document with
+    its cluster representative (min id); singletons map to themselves."""
+    pairs = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, k)
+    confirmed = jaccard_pairs(df, pairs, id_col, text_col, k).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    comp = connected_components(df, confirmed.select("id_a", "id_b"), id_col)
+    return comp.select(F.col("id").alias(id_col), "component")
+
+
 def _simhash_from_hashes(hs: Column) -> Column:
     """32-bit SimHash from a token-hash array: per bit, sum ±1 across
     token hashes; bit set where the sum is positive."""

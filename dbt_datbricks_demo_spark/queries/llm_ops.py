@@ -722,3 +722,62 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
     cleaned = clean_corpus(docs, persist_gated=True)
     return corpus_stats(cleaned)
+
+
+# ---------------------------------------------------------------------------
+# Transitive near-dup clustering — connected components over confirmed
+# near-dup edges; oracle = DuckDB recursive CTE min-label propagation
+# ---------------------------------------------------------------------------
+@_register(
+    "neardup_components",
+    "transitive near-dup clusters (A~B, B~C => one cluster): LSH "
+    "candidates -> jaccard>=0.9 edges -> iterative min-label connected "
+    "components (operators.dedup.neardup_clusters); every doc labeled "
+    "with its cluster representative",
+    f"""
+    with recursive
+    hashed as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from documents),
+    sigs as (select doc_id, {', '.join(_sql_minhash_cols(8))} from hashed),
+    bands as (
+        select doc_id, md5(concat_ws('-', '0', h0, h1, h2, h3)) as band_key from sigs
+        union all
+        select doc_id, md5(concat_ws('-', '1', h4, h5, h6, h7)) as band_key from sigs
+    ),
+    pairs as (
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from bands a join bands b
+          on a.band_key = b.band_key and a.doc_id < b.doc_id
+    ),
+    sh as (select doc_id, unnest(hs) as sh from hashed),
+    sizes as (select doc_id, len(hs) as set_size from hashed),
+    jac as (
+        select p.id_a, p.id_b,
+               count(*) * 1.0 / (sa.set_size + sb.set_size - count(*)) as jaccard
+        from pairs p
+        join sh a on a.doc_id = p.id_a
+        join sh b on b.doc_id = p.id_b and b.sh = a.sh
+        join sizes sa on sa.doc_id = p.id_a
+        join sizes sb on sb.doc_id = p.id_b
+        group by p.id_a, p.id_b, sa.set_size, sb.set_size
+    ),
+    edges as (
+        select id_a, id_b from jac where jaccard >= 0.9
+        union
+        select id_b, id_a from jac where jaccard >= 0.9
+    ),
+    cc(id, label) as (
+        select doc_id, doc_id from documents
+        union
+        -- propagate only smaller labels: the component minimum m reaches
+        -- every member u because m < u along the whole path
+        select e.id_a, cc.label
+        from cc join edges e on e.id_b = cc.id
+        where cc.label < e.id_a
+    )
+    select id as doc_id, cast(min(label) as bigint) as component
+    from cc group by id
+    """,
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return dedup.neardup_clusters(docs, jaccard_threshold=0.9)

@@ -306,3 +306,35 @@ def test_point_in_interval_join(spark):
     )
     got = {(r["pid"], r["iid"]) for r in out.collect()}
     assert got == {(1, 100)}  # exactly once despite 9-bin replication
+
+
+def test_connected_components_transitive_chain(spark):
+    verts = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # chain 0-1-2, pair 4-5; 3 and 6 singletons — 0~2 linked only via 1
+    edges = spark.createDataFrame(
+        [(1, 2), (0, 1), (4, 5)], "id_a long, id_b long"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(verts, edges).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+
+def test_neardup_clusters_transitive(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today " * 3
+    ).strip()
+    rows = [
+        (0, base),
+        (1, base.replace("quick", "quack", 1)),   # ~0
+        (2, base.replace("today", "todays", 1)),  # ~0 (maybe not ~1 directly)
+        (3, "completely different content about spark engines and clusters"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup.neardup_clusters(docs, jaccard_threshold=0.85).collect()
+    }
+    assert comp[0] == 0 and comp[3] == 3
+    assert comp[1] == 0 and comp[2] == 0  # transitive single cluster
