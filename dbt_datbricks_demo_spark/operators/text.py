@@ -125,3 +125,29 @@ def fingerprint(col: Column | str) -> Column:
     token set. Detects bag-of-words-identical documents regardless of
     word order — the batch analog of a rolling-hash content signature."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def split_assignment(
+    id_col: Column | str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    mod: int = 10_000,
+) -> Column:
+    """Deterministic dataset split (train/val/test …) by content-free id
+    hash: md5(salt || id) mod `mod` lands in cumulative fraction ranges.
+    Stable across runs, engines and partitionings — every engine that can
+    md5 assigns every row to the same split; changing `salt` reshuffles.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10
+    ).cast("bigint") % mod
+    out = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = bucket < int(round(acc * mod))
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+    last = items[-1][0]
+    return (out.otherwise(last)) if out is not None else F.lit(last)

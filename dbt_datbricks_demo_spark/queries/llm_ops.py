@@ -8,7 +8,7 @@ weights), so both engines compute literally the same integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_datbricks_demo_spark.operators import dedup, multimodal, similarity, text
@@ -781,3 +781,75 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
     return dedup.neardup_clusters(docs, jaccard_threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split + ntile quality binning — the
+# dataset-curation tail of the training pipeline
+# ---------------------------------------------------------------------------
+@_register(
+    "dataset_split",
+    "deterministic hash-based train/val/test split (90/5/5, engine- and "
+    "partitioning-stable; operators.text.split_assignment) with "
+    "per-split doc and token totals",
+    f"""
+    with assigned as (
+        select *,
+            ('0x' || substr(md5('split' || cast(doc_id as varchar)), 1, 8))::ubigint
+                % 10000 as bucket
+        from documents
+    )
+    select case when bucket < 9000 then 'train'
+                when bucket < 9500 then 'val'
+                else 'test' end as split,
+           count(*) as n_docs,
+           cast(sum(len({_SQL_TOKENS})) as bigint) as total_tokens
+    from assigned
+    group by 1
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    split = text.split_assignment(
+        "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    return docs.select(
+        split.alias("split"), F.size(text.tokens("text")).alias("n_tokens")
+    ).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@_register(
+    "quality_deciles",
+    "curriculum binning: ntile(10) deciles by document length "
+    "(deterministic doc_id tie-break) with per-decile stats — the first "
+    "window ntile in the surface (absent from the reference)",
+    """
+    select decile, count(*) as n_docs,
+           cast(min(n_chars) as bigint) as min_chars,
+           cast(max(n_chars) as bigint) as max_chars
+    from (
+        select n_chars,
+               ntile(10) over (order by n_chars, doc_id) as decile
+        from documents
+    )
+    group by decile
+    """,
+)
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a global-order ntile funnels through one partition — fine for a
+    # curation report; at 100 TB use percentile cutoffs (percentile_report
+    # pattern) and a broadcast-bin join instead of a global window
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select("n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )

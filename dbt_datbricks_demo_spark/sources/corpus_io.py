@@ -1,0 +1,49 @@
+"""JSONL corpus interchange — the lingua franca of training-data
+pipelines (one JSON document per line, gzip-friendly, splittable when
+uncompressed).
+
+Spark's json source handles this natively; these helpers pin the
+settings that matter at scale: an EXPLICIT schema (schema inference
+costs a full extra pass over 100 TB), permissive mode with a corrupt
+record column (a bad line must not kill a day-long job), and
+partition-count control on write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Read JSONL with a declared schema. Default: malformed lines are
+    dropped at parse (DROPMALFORMED — no corrupt column, so downstream
+    count()/filter queries never hit Spark's corrupt-column-only query
+    restriction). keep_corrupt=True switches to PERMISSIVE with the bad
+    line preserved in _corrupt_record for quarantine pipelines."""
+    if not keep_corrupt:
+        return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
+    full = StructType(schema.fields + [StructField(CORRUPT_COL, StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def write_jsonl(
+    df: DataFrame, path: str, num_files: int | None = None, mode: str = "overwrite"
+) -> None:
+    """Write JSONL; num_files coalesces for interchange-friendly file
+    counts (None keeps the plan's partitioning — the right choice for
+    big outputs)."""
+    out = df.coalesce(num_files) if num_files else df
+    out.write.mode(mode).json(path)

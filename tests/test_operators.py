@@ -338,3 +338,32 @@ def test_neardup_clusters_transitive(spark):
     }
     assert comp[0] == 0 and comp[3] == 3
     assert comp[1] == 0 and comp[2] == 0  # transitive single cluster
+
+
+def test_jsonl_roundtrip_and_corrupt_handling(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from dbt_datbricks_demo_spark.sources.corpus_io import read_jsonl, write_jsonl
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "guten tag")], schema
+    )
+    path = str(tmp_path / "corpus")
+    write_jsonl(docs, path, num_files=1)
+    back = read_jsonl(spark, path, schema)
+    assert {tuple(r) for r in back.collect()} == {(1, "hello world"), (2, "guten tag")}
+
+    # corrupt line: dropped by default, visible with keep_corrupt
+    broken = tmp_path / "broken"
+    broken.mkdir()
+    (broken / "part.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok"}\nnot json at all\n{"doc_id": 2, "text": "also ok"}\n'
+    )
+    clean = read_jsonl(spark, str(broken), schema)
+    assert clean.count() == 2
+    kept = read_jsonl(spark, str(broken), schema, keep_corrupt=True).cache()
+    assert kept.filter("_corrupt_record is not null").count() == 1
+    kept.unpersist()
