@@ -9,4 +9,13 @@ everything hash/token shaped, Arrow-batched pandas UDFs only where
 genuinely needed (multimodal decode).
 """
 
-from dbt_datbricks_demo_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
+from dbt_datbricks_demo_spark.operators import (  # noqa: F401
+    asof,
+    corpus,
+    dedup,
+    multimodal,
+    rangejoin,
+    similarity,
+    skew,
+    text,
+)
