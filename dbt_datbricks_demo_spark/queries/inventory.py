@@ -1093,3 +1093,23 @@ def range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT — completes the set-op family (§2.8 notes it absent from the
+# reference alongside the used UNION ALL / EXCEPT)
+# ---------------------------------------------------------------------------
+@_register(
+    "intersect_buyers_with_events",
+    "INTERSECT distinct: ids that both placed an order and emitted an "
+    "event (DataFrame.intersect ≡ INTERSECT)",
+    """
+    select o_custkey as id from orders
+    intersect
+    select user_id from events
+    """,
+)
+def intersect_buyers_with_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    events = _t(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    return orders.intersect(events)
