@@ -10,3 +10,8 @@ from dbt_datbricks_demo_spark.streaming.pipeline import (  # noqa: F401
 from dbt_datbricks_demo_spark.streaming.stateful import (  # noqa: F401
     anomaly_streaks,
 )
+from dbt_datbricks_demo_spark.streaming.corpus import (  # noqa: F401
+    corpus_stream_cleaned,
+    read_document_stream,
+    write_corpus_append,
+)

@@ -42,3 +42,17 @@ def test_cli_freshness_flags_stale_seeds(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "raw_devices: skipped" in out  # loaded_at_field: null opt-out
     assert "raw_sensor_readings: error" in out
+
+
+def test_cli_sql_verb(spark, tmp_path, capsys):
+    assert (
+        main(
+            _argv(
+                tmp_path, "sql",
+                "select count(*) as n from fct_anomaly_events",
+            )
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "14" in out  # FIXTURES: 14 anomaly events

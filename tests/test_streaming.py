@@ -170,3 +170,49 @@ def test_stateful_anomaly_streaks(spark, seeds, cfg, tmp_path):
     newest = max(second, key=lambda r: r["alert_ts"])
     assert str(newest["alert_ts"]) == "2025-01-15 08:35:00"
     assert str(newest["streak_started_ts"]) == "2025-01-15 08:25:00"
+
+
+def test_streaming_corpus_dedup_across_batches(spark, tmp_path):
+    from dbt_datbricks_demo_spark.streaming.corpus import (
+        corpus_stream_cleaned,
+        read_document_stream,
+        write_corpus_append,
+    )
+
+    input_dir = tmp_path / "docs_in"
+    input_dir.mkdir()
+    out, ckpt = str(tmp_path / "corpus_out"), str(tmp_path / "corpus_ckpt")
+    en = "the quick brown fox and the lazy dog of the morning is here"
+    de = "der schnelle braune fuchs und der faule hund ist heute da"
+    zh = "机器 学习 模型 训练 数据 管道 现在 开始"
+
+    def run():
+        stream = read_document_stream(spark, str(input_dir))
+        q = (
+            write_corpus_append(corpus_stream_cleaned(stream), out, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (input_dir / "b1.jsonl").write_text(
+        f'{{"doc_id": 1, "text": "{en}"}}\n'
+        f'{{"doc_id": 2, "text": "{en}"}}\n'      # in-batch exact dup
+        f'{{"doc_id": 3, "text": "{de}"}}\n'
+        f'{{"doc_id": 4, "text": "too short"}}\n'  # quality gate
+        f'{{"doc_id": 5, "text": "{zh}"}}\n'       # lang gate
+        "not json\n"                                # malformed -> dropped
+    )
+    run()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 3}
+
+    # batch 2: a cross-batch duplicate of doc 1 plus one new doc —
+    # dedup state persists through the checkpointed restart
+    (input_dir / "b2.jsonl").write_text(
+        f'{{"doc_id": 6, "text": "{en}"}}\n'
+        f'{{"doc_id": 7, "text": "{de} und jetzt etwas ganz neues dazu"}}\n'
+    )
+    run()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 3, 7}  # 6 deduped against batch-1 state
