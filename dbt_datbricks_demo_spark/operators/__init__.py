@@ -13,6 +13,7 @@ from dbt_datbricks_demo_spark.operators import (  # noqa: F401
     asof,
     corpus,
     dedup,
+    embeddings,
     multimodal,
     rangejoin,
     similarity,

@@ -853,3 +853,23 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map spectral analysis (applyInPandas) — rows-only (eigensolver)
+# ---------------------------------------------------------------------------
+@_register(
+    "label_principal_directions",
+    "per-label top principal component of the embedding cloud via "
+    "applyInPandas grouped-map (operators.embeddings) — whole group as a "
+    "matrix + eigensolver, the genuinely imperative per-group case; "
+    "rows-only (no SQL eigensolver)",
+    None,
+)
+def label_principal_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators.embeddings import (
+        per_group_principal_direction,
+    )
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    return per_group_principal_direction(emb, group_col="label")

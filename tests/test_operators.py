@@ -367,3 +367,29 @@ def test_jsonl_roundtrip_and_corrupt_handling(spark, tmp_path):
     kept = read_jsonl(spark, str(broken), schema, keep_corrupt=True).cache()
     assert kept.filter("_corrupt_record is not null").count() == 1
     kept.unpersist()
+
+
+def test_per_group_principal_direction(spark):
+    import math
+    import random
+
+    from dbt_datbricks_demo_spark.operators.embeddings import (
+        per_group_principal_direction,
+    )
+
+    rnd = random.Random(3)
+    rows = []
+    # group 0: points spread along axis e0 (+noise); group 1: along e2
+    for g, axis in [(0, 0), (1, 2)]:
+        for _ in range(40):
+            v = [rnd.gauss(0, 0.05) for _ in range(4)]
+            v[axis] += rnd.gauss(0, 3.0)  # dominant variance direction
+            rows.append((g, v))
+    emb = spark.createDataFrame(rows, "label long, embedding array<float>")
+    out = {r["group"]: r for r in per_group_principal_direction(emb).collect()}
+    for g, axis in [(0, 0), (1, 2)]:
+        d = out[g]["principal_direction"]
+        assert abs(d[axis]) > 0.99  # aligned with the planted axis
+        assert math.isclose(sum(x * x for x in d), 1.0, rel_tol=1e-9)
+        assert out[g]["explained_var_ratio"] > 0.9
+        assert out[g]["n_vectors"] == 40
