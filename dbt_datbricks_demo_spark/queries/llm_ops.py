@@ -534,9 +534,10 @@ def frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # train on the compact input: k-means runs 10+ tiny jobs, and 32-way
-    # spread just multiplies scheduling overhead; only the assignment
-    # scan benefits from parallelism
+    # MLlib k-means with random init: measured faster than a DataFrame-
+    # expression Lloyd's here (literal-heavy assign expressions recompile
+    # per round and dominate); train on the compact input, spread only
+    # the assignment/search scan
     cents = similarity.train_ivf_centroids(
         _t(spark, sf_dir, "embeddings"), k=16, seed=42, max_iter=5, init_mode="random"
     )

@@ -393,3 +393,4 @@ def test_per_group_principal_direction(spark):
         assert math.isclose(sum(x * x for x in d), 1.0, rel_tol=1e-9)
         assert out[g]["explained_var_ratio"] > 0.9
         assert out[g]["n_vectors"] == 40
+
