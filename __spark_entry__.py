@@ -5,9 +5,11 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash → CORRECTNESS_r{N}.json).
 
-The actual inventory lives in dbt_datbricks_demo_spark/queries/inventory.py
-(one QuerySpec per SURVEY.md §2 operator family); this module just adapts
-it to the driver's interface.
+The actual inventory lives in dbt_datbricks_demo_spark/queries/
+(inventory.py: SURVEY.md §2 operator families + relational extensions;
+llm_ops.py: the LLM-data-pipeline operators); this module just adapts
+it to the driver's interface. COVERAGE.md maps every query to its
+operator and tests.
 """
 
 from __future__ import annotations
