@@ -1113,3 +1113,28 @@ def intersect_buyers_with_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
     events = _t(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
     return orders.intersect(events)
+
+
+# ---------------------------------------------------------------------------
+# Semi-join — noted absent in the reference (§2.4); completes the join
+# family alongside the anti-join
+# ---------------------------------------------------------------------------
+@_register(
+    "semi_join_active_customers",
+    "left semi-join: customers that placed at least one order, "
+    "projected from the customer side only (EXISTS shape)",
+    """
+    select c.c_custkey as cust_key, c.c_mktsegment as segment
+    from customer c
+    where exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_mktsegment").alias("segment"),
+    )

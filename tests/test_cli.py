@@ -56,3 +56,31 @@ def test_cli_sql_verb(spark, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "14" in out  # FIXTURES: 14 anomaly events
+
+
+def test_bench_contract(tmp_path):
+    """bench.py must print ONE JSON line with the driver's expected keys
+    (metric/value/unit/queries/sf) — guard the contract, not the timings."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        BENCH_QUERIES="union_report,topk_orders",
+        BENCH_RUNS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        env=env, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    assert payload["unit"] == "sec" and payload["sf"] == 0.001
+    assert set(payload["queries"]) == {"union_report", "topk_orders"}
+    assert payload["value"] > 0
