@@ -52,6 +52,7 @@ def _parser() -> argparse.ArgumentParser:
     )
     sql.add_argument("statement")
     sql.add_argument("--limit", type=int, default=50)
+    sub.add_parser("docs", help="print the model DAG and materializations")
     return p
 
 
@@ -63,6 +64,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.target:
         cfg_kwargs["target"] = args.target
     cfg = RunConfig(**cfg_kwargs)
+
+    if args.verb == "docs":  # static — no Spark session needed
+        from dbt_datbricks_demo_spark.plans.dag import MODELS, topo_order
+
+        print(f"{'model':<28} {'materialization':<15} {'layer':<8} depends on")
+        for name in topo_order(MODELS):
+            m = MODELS[name]
+            deps = ", ".join(m.deps) if m.deps else "(sources)"
+            print(f"{name:<28} {m.materialization:<15} {m.schema_suffix:<8} {deps}")
+        return 0
+
     spark = get_spark(app_name=f"engine-{args.verb}")
     spark.sparkContext.setLogLevel("ERROR")
     seeds = load_seeds(spark, args.seeds_dir)

@@ -84,3 +84,11 @@ def test_bench_contract(tmp_path):
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
     assert set(payload["queries"]) == {"union_report", "topk_orders"}
     assert payload["value"] > 0
+
+
+def test_cli_docs_lineage(tmp_path, capsys):
+    assert main(_argv(tmp_path, "docs")) == 0
+    out = capsys.readouterr().out
+    assert "fct_device_summary" in out and "incremental" in out
+    # topological: staging appears before the facts that depend on it
+    assert out.index("stg_sensor_readings") < out.index("fct_device_summary")

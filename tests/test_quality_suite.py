@@ -52,3 +52,17 @@ def test_failing_suite_reports_counts(spark, dag):
     )
     res = run_test(bad, dag)
     assert not res.passed and res.failures == 10
+
+
+def test_testdata_suite_all_pass(spark):
+    """The generic-test framework generalizes past the IoT models: the
+    declared suite over the TPC-H-ish testdata tables passes wholesale."""
+    from dbt_datbricks_demo_spark.sources.testdata import register_testdata
+    from dbt_datbricks_demo_spark.testing.runner import run_suite, summarize
+    from dbt_datbricks_demo_spark.testing.testdata_suite import testdata_suite
+
+    relations = register_testdata(spark, "/root/testdata/sf0.001")
+    results = run_suite(testdata_suite(), relations)
+    assert len(results) >= 26
+    failed = [r.name for r in results if not r.passed]
+    assert not failed, summarize(results)
