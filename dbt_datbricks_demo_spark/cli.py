@@ -8,6 +8,8 @@ plus the EDA notebook and freshness checks as verbs).
     python -m dbt_datbricks_demo_spark test
     python -m dbt_datbricks_demo_spark freshness
     python -m dbt_datbricks_demo_spark eda   [query ...]
+    python -m dbt_datbricks_demo_spark sql   "select ..."
+    python -m dbt_datbricks_demo_spark docs
 
 State lives in RunConfig.warehouse_dir (parquet warehouse); each verb
 builds what it needs from the seeds + existing materializations, so

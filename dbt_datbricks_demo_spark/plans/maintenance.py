@@ -99,7 +99,10 @@ class VersionedTable:
 
     # ---- write / read / time travel ---------------------------------------
     def write(self, df: DataFrame, operation: str = "WRITE", **op_params) -> int:
-        version = (self.current_version() or 0) + 1 if self._commits() else 0
+        commits = self._commits()
+        # next id from FULL history (not just live versions): a table
+        # vacuumed down to zero live versions must not reuse version ids
+        version = max(c["version"] for c in commits) + 1 if commits else 0
         path = self._vpath(version)
         df.write.mode("overwrite").parquet(path)
         rows = self.spark.read.parquet(path).count()

@@ -106,3 +106,14 @@ def test_analyze_stats(spark, vt):
     assert stats["columns"]["id"]["min"] == 1
     assert stats["columns"]["id"]["max"] == 5
     assert stats["columns"]["s"]["nullCount"] == 1
+
+
+def test_write_after_full_vacuum_does_not_reuse_version_ids(spark, vt):
+    vt.write(_df(spark, 5, "a"))
+    vt.write(_df(spark, 6, "b"))
+    vt.vacuum(retain_last=0)  # drop every snapshot; history remains
+    v = vt.write(_df(spark, 7, "c"))
+    assert v == 2  # ids keep increasing past vacuumed history
+    versions = [r["version"] for r in vt.history().collect()]
+    assert sorted(versions) == [0, 1, 2]
+    assert vt.read().count() == 7
