@@ -33,11 +33,13 @@ def point_in_interval_join(
     interval_lo: str,
     interval_hi: str,
     bin_seconds: int = 7 * 24 * 3600,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join each point row to interval rows of the same key with
+    """Inner join of each point row to interval rows of the same key with
     lo <= t < hi. Keys + both frames' other columns are preserved
-    (disambiguate colliding names upstream)."""
+    (disambiguate colliding names upstream). Inner-only by design: an
+    outer variant through the residual filter would silently drop
+    unmatched rows — left semantics need a post-join anti-union, not a
+    filter."""
     keys = [on] if isinstance(on, str) else list(on)
     bw = F.lit(bin_seconds)
 
@@ -50,7 +52,7 @@ def point_in_interval_join(
     i = intervals.withColumn(
         _BIN, F.explode(F.sequence(lo_bin, hi_bin))
     )
-    joined = p.join(i, on=keys + [_BIN], how=how)
+    joined = p.join(i, on=keys + [_BIN], how="inner")
     return joined.filter(
         (F.col(point_time) >= F.col(interval_lo))
         & (F.col(point_time) < F.col(interval_hi))
