@@ -1,9 +1,10 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
 Scale design:
-  * exact_dedup — one hash-partitioned shuffle on the content hash; at
-    100 TB hash first (16-byte md5) so the shuffle carries digests, not
-    documents.
+  * exact_dedup — ONE hash-partitioned shuffle on the 16-byte content
+    digest (window rn=1, not groupBy+join-back which costs two
+    exchanges); WindowGroupLimit keeps only the per-mapper winner per
+    digest, so duplicate bodies are dropped before they ever shuffle.
   * MinHash+LSH — per-row signature computation is pure JVM array math
     (transform/array_min, codegen); the only shuffle is the band-bucket
     self-join, whose input is |docs| × bands tiny (band_hash, doc_id)
@@ -52,19 +53,51 @@ def md5_int32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+NULL_DIGEST_SENTINEL = "\x00_content_hash_null_"
+
+
 def content_hash(*cols: Column | str) -> Column:
-    """Digest for exact dedup over one or more columns."""
+    """Digest for exact dedup over one or more columns.
+
+    Single column: md5 of the value itself (byte-compatible with a plain
+    SQL ``md5(col)``, which the exact_dedup_docs oracle relies on); NULL
+    maps to a sentinel so NULL and '' get distinct digests.
+
+    Multiple columns: each field is length-prefixed ("<len>:<value>") and
+    NULLs use the sentinel, so field boundaries are unambiguous —
+    ("ab","c") vs ("a","bc") and ("a",NULL) vs ("a","") digest
+    differently (a bare concat_ws would collide on both).
+    """
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
-    return F.md5(F.concat_ws("", *[c.cast("string") for c in cs]))
+    strs = [c.cast("string") for c in cs]
+    if len(strs) == 1:
+        return F.md5(F.coalesce(strs[0], F.lit(NULL_DIGEST_SENTINEL)))
+    parts = [
+        F.coalesce(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s),
+            F.lit(NULL_DIGEST_SENTINEL),
+        )
+        for s in strs
+    ]
+    return F.md5(F.concat_ws("|", *parts))
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep the lowest-id row per distinct content (deterministic winner).
-    One shuffle on the 16-byte digest regardless of row width."""
-    keyed = df.withColumn("_content_hash", content_hash(*cols))
-    winners = keyed.groupBy("_content_hash").agg(F.min(id_col).alias(id_col))
-    return keyed.join(winners, on=["_content_hash", id_col], how="inner").drop(
-        "_content_hash"
+
+    Window rn=1 over the 16-byte digest: ONE hash-partition exchange
+    regardless of row width, and Spark's WindowGroupLimit pushes the
+    rank<=1 filter map-side, so the shuffle carries ~one row per distinct
+    digest, not the whole corpus (plan pinned in tests/test_plans.py).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_content_hash").orderBy(id_col)
+    return (
+        df.withColumn("_content_hash", content_hash(*cols))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_content_hash")
     )
 
 

@@ -31,6 +31,36 @@ def test_exact_dedup_keeps_lowest_id(docs):
     assert ids == {1, 3, 4, 5, 6}  # 2 collapsed into 1
 
 
+def test_exact_dedup_single_exchange_plan(docs):
+    plan = dedup.exact_dedup(docs, ["text"], "doc_id")._jdf.queryExecution().toString()
+    # one hash-partition shuffle on the digest; rank<=1 pushed map-side
+    assert plan.count("hashpartitioning(") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_content_hash_no_boundary_or_null_collisions(spark):
+    rows = [
+        (1, "ab", "c"),
+        (2, "a", "bc"),   # same concatenation, different fields
+        (3, "a", None),
+        (4, "a", ""),     # null vs empty must differ
+        (5, "a", "b|c"),  # field containing the separator
+        (6, "a|b", "c"),
+    ]
+    df = spark.createDataFrame(rows, "id long, x string, y string")
+    digests = [
+        r["h"]
+        for r in df.select(dedup.content_hash("x", "y").alias("h")).collect()
+    ]
+    assert len(set(digests)) == len(digests)
+
+
+def test_content_hash_single_column_matches_plain_md5(spark):
+    df = spark.createDataFrame([("hello world",)], "text string")
+    got = df.select(dedup.content_hash("text").alias("h")).first()["h"]
+    assert got == hashlib.md5(b"hello world").hexdigest()
+
+
 def test_minhash_identical_docs_identical_signatures(docs):
     sig = dedup.minhash_signature("text", num_hashes=8)
     rows = {r["doc_id"]: r["sig"] for r in docs.select("doc_id", sig.alias("sig")).collect()}
