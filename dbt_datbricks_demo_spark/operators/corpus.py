@@ -13,9 +13,10 @@ training-ready corpus:
                             out of one-query scope and documented as such)
 
 Shuffle budget (see SCALE.md): one content-hash exchange (1), narrow
-scans (2, 3), the band-pair exchange + broadcast-verified Jaccard (4).
-The corpus bodies shuffle exactly once — everything else moves digests
-and ids.
+scans (2, 3), the band-pair exchange + AQE-planned Jaccard verification
+joins (4) — broadcast at runtime when the candidate set is small,
+shuffled when it is not. The corpus bodies shuffle exactly once —
+everything else moves digests and ids.
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ def clean_corpus(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.9,
     persist_gated: bool = False,
+    broadcast_pair_limit: int = dedup.BROADCAST_PAIR_LIMIT,
 ) -> DataFrame:
     """Return the cleaned corpus (original columns preserved).
 
@@ -62,17 +64,28 @@ def clean_corpus(
     if persist_gated:
         gated = gated.localCheckpoint(eager=False)
 
-    # 4. near-dup removal among the survivors
-    pairs = dedup.minhash_candidate_pairs(
-        gated, id_col, text_col, num_hashes=num_hashes, bands=bands, k=shingle_k
+    # 4. near-dup removal among the survivors: ONE text pass builds the
+    # shingle-hash table; candidates and Jaccard verification both read it
+    hashed = dedup.shingle_hash_table(gated, id_col, text_col, k=shingle_k)
+    pairs = dedup.candidate_pairs_from_hashes(
+        hashed, id_col, num_hashes=num_hashes, bands=bands
     )
-    confirmed = dedup.jaccard_pairs(gated, pairs, id_col, text_col, k=shingle_k)
+    confirmed = dedup.jaccard_pairs_from_hashes(
+        hashed, pairs, id_col, broadcast_pair_limit=broadcast_pair_limit
+    )
+    # losers is O(confirmed duplicate pairs) — tiny on a clean corpus,
+    # unbounded on a dirty one. Size-guard the broadcast (same pattern as
+    # jaccard_pairs): materialize + count, broadcast only under the
+    # limit, shuffled anti-join otherwise.
     losers = (
         confirmed.filter(F.col("jaccard") >= jaccard_threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    return gated.join(F.broadcast(losers), on=id_col, how="left_anti")
+    if losers.count() <= broadcast_pair_limit:
+        losers = F.broadcast(losers)
+    return gated.join(losers, on=id_col, how="left_anti")
 
 
 def corpus_stats(

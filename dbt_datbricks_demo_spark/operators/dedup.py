@@ -1,10 +1,10 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
 Scale design:
-  * exact_dedup — ONE hash-partitioned shuffle on the 16-byte content
-    digest (window rn=1, not groupBy+join-back which costs two
-    exchanges); WindowGroupLimit keeps only the per-mapper winner per
-    digest, so duplicate bodies are dropped before they ever shuffle.
+  * exact_dedup — the only shuffle carries (16-byte digest, id), never
+    document bodies: loser ids come from a narrow window over the
+    digest, and the corpus anti-joins them (size-guarded broadcast; a
+    dup-heavy corpus falls back to one body shuffle).
   * MinHash+LSH — per-row signature computation is pure JVM array math
     (transform/array_min, codegen); the only shuffle is the band-bucket
     self-join, whose input is |docs| × bands tiny (band_hash, doc_id)
@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from dbt_datbricks_demo_spark.operators.text import tokens
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1, the minhash permutation field
+
+BROADCAST_PAIR_LIMIT = 2_000_000  # ~32 MB of (id, id) rows — well under the ceiling
 
 
 def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
@@ -82,23 +84,36 @@ def content_hash(*cols: Column | str) -> Column:
     return F.md5(F.concat_ws("|", *parts))
 
 
-def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    cols: list[str],
+    id_col: str,
+    broadcast_loser_limit: int = BROADCAST_PAIR_LIMIT,
+) -> DataFrame:
     """Keep the lowest-id row per distinct content (deterministic winner).
 
-    Window rn=1 over the 16-byte digest: ONE hash-partition exchange
-    regardless of row width, and Spark's WindowGroupLimit pushes the
-    rank<=1 filter map-side, so the shuffle carries ~one row per distinct
-    digest, not the whole corpus (plan pinned in tests/test_plans.py).
+    The only shuffle moves (16-byte digest, id) — never document bodies:
+    a narrow projection finds LOSER ids (window rn>1 over the digest),
+    and the corpus drops them with an anti-join. The loser set is
+    O(duplicate rows), so it is materialized + counted (watermark-scalar
+    pattern) and broadcast when under `broadcast_loser_limit` — on a
+    typical corpus the bodies then never shuffle at all. Above the limit
+    (dup-heavy corpus) the anti-join falls back to one corpus shuffle —
+    the same worst case a direct window-over-digest plan always pays.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("_content_hash").orderBy(id_col)
-    return (
-        df.withColumn("_content_hash", content_hash(*cols))
+    losers = (
+        df.select(content_hash(*cols).alias("_content_hash"), F.col(id_col))
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_content_hash")
+        .filter(F.col("_rn") > 1)
+        .select(id_col)
+        .localCheckpoint(eager=True)
     )
+    if losers.count() <= broadcast_loser_limit:
+        losers = F.broadcast(losers)
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 def char_shingles(col: Column | str, k: int = 5) -> Column:
@@ -206,6 +221,44 @@ def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*keys)
 
 
+def shingle_hash_table(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """The materialization point of the near-dup pipeline: (id, shingle-
+    hash array), computed in ONE pass over the text and localCheckpointed
+    (on a real cluster: written to storage). Candidate generation and
+    Jaccard verification both derive from this table, so the regex/md5-
+    heavy text pass runs exactly once no matter how many consumers read
+    it — the signature-table pattern every web-scale dedup pipeline uses.
+    """
+    staged = with_shingle_hashes(df, text_col, k, out="_hs")
+    return staged.select(F.col(id_col), F.col("_hs")).localCheckpoint(eager=True)
+
+
+def candidate_pairs_from_hashes(
+    hashed: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) from a shingle_hash_table."""
+    rows_per_band = num_hashes // bands
+    sig = F.array(*_minhash_slots(F.col("_hs"), num_hashes))
+    keyed = hashed.select(
+        F.col(id_col),
+        F.explode(lsh_band_keys(sig, bands, rows_per_band)).alias("band_key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -216,13 +269,15 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): documents sharing ≥1 band bucket.
 
-    The self-join runs on exploded (band_key, id) pairs — |docs|×bands
-    rows of ~50 bytes — so the shuffle is tiny relative to the corpus;
-    both sides shuffle the identical subplan, so Spark's ReuseExchange
-    computes the signatures once.
+    Standalone form — stages the shingle hashes itself. Pipelines that
+    also verify with Jaccard should build one shingle_hash_table and use
+    candidate_pairs_from_hashes / jaccard_pairs_from_hashes so the text
+    pass is shared. The self-join runs on exploded (band_key, id) pairs —
+    |docs|×bands rows of ~50 bytes — so the shuffle is tiny relative to
+    the corpus.
     """
-    rows_per_band = num_hashes // bands
     staged = with_minhash(df, text_col, num_hashes, k, sig_col="_sig")
+    rows_per_band = num_hashes // bands
     keyed = staged.select(
         F.col(id_col),
         F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias(
@@ -241,23 +296,52 @@ def minhash_candidate_pairs(
 
 
 def jaccard_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str = "text", k: int = 5
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    broadcast_pair_limit: int = BROADCAST_PAIR_LIMIT,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (standalone form —
+    stages the shingle hashes itself; pipelines share a
+    shingle_hash_table and call jaccard_pairs_from_hashes)."""
+    hashed = shingle_hash_table(df, id_col, text_col, k)
+    return jaccard_pairs_from_hashes(
+        hashed, pairs, id_col, broadcast_pair_limit=broadcast_pair_limit
+    )
+
+
+def jaccard_pairs_from_hashes(
+    hashed: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    broadcast_pair_limit: int = BROADCAST_PAIR_LIMIT,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs, fully relational:
     explode distinct shingle hashes, join on equality, count intersections,
     |A∪B| = |A| + |B| − |A∩B|. Integer-only until the final division.
 
-    pairs (LSH survivors) are broadcast — the corpus-sized exploded side
-    never shuffles for the first join; set sizes come from F.size on the
-    staged array (no extra aggregation shuffle)."""
-    staged = with_shingle_hashes(df, text_col, k, out="_hs")
-    sh = staged.select(F.col(id_col), F.explode("_hs").alias("sh"))
-    sizes = staged.select(F.col(id_col), F.size("_hs").alias("set_size"))
+    The candidate set is materialized (localCheckpoint) and COUNTED
+    before planning — the standard watermark-scalar pattern. Under
+    `broadcast_pair_limit` it is broadcast, so the corpus-sized exploded
+    side joins without shuffling at all (the clean-corpus fast path);
+    above the limit — a dirty 100-TB corpus where survivors are
+    O(duplicate pairs) and would blow the broadcast ceiling — the joins
+    fall back to shuffles. The per-doc sizes tables are corpus-sized and
+    are never hint-broadcast; AQE picks their strategy from actual
+    post-shuffle sizes."""
+    pairs = pairs.localCheckpoint(eager=True)
+    use_broadcast = pairs.count() <= broadcast_pair_limit
+    pairs_hinted = F.broadcast(pairs) if use_broadcast else pairs
+
+    sh = hashed.select(F.col(id_col), F.explode("_hs").alias("sh"))
+    sizes = hashed.select(F.col(id_col), F.size("_hs").alias("set_size"))
 
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
     inter = (
-        F.broadcast(pairs).join(a, "id_a")
+        pairs_hinted.join(a, "id_a")
         .join(b, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -265,8 +349,8 @@ def jaccard_pairs(
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b")
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a", "id_b", "n_common", "size_a", "size_b",
             (
@@ -371,8 +455,9 @@ def neardup_clusters(
     """Full transitive near-dup clustering: LSH candidates → exact-Jaccard
     confirmed edges → connected components. Returns every document with
     its cluster representative (min id); singletons map to themselves."""
-    pairs = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, k)
-    confirmed = jaccard_pairs(df, pairs, id_col, text_col, k).filter(
+    hashed = shingle_hash_table(df, id_col, text_col, k)
+    pairs = candidate_pairs_from_hashes(hashed, id_col, num_hashes, bands)
+    confirmed = jaccard_pairs_from_hashes(hashed, pairs, id_col).filter(
         F.col("jaccard") >= jaccard_threshold
     )
     comp = connected_components(df, confirmed.select("id_a", "id_b"), id_col)

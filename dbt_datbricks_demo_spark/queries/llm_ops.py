@@ -205,10 +205,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
-    pairs = dedup.minhash_candidate_pairs(
-        docs, "doc_id", "text", num_hashes=8, bands=2, k=5
-    )
-    return dedup.jaccard_pairs(docs, pairs, "doc_id", "text", k=5)
+    hashed = dedup.shingle_hash_table(docs, "doc_id", "text", k=5)
+    pairs = dedup.candidate_pairs_from_hashes(hashed, "doc_id", num_hashes=8, bands=2)
+    return dedup.jaccard_pairs_from_hashes(hashed, pairs, "doc_id")
 
 
 # ---------------------------------------------------------------------------

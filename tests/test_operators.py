@@ -31,11 +31,22 @@ def test_exact_dedup_keeps_lowest_id(docs):
     assert ids == {1, 3, 4, 5, 6}  # 2 collapsed into 1
 
 
-def test_exact_dedup_single_exchange_plan(docs):
+def test_exact_dedup_corpus_side_never_shuffles(docs):
     plan = dedup.exact_dedup(docs, ["text"], "doc_id")._jdf.queryExecution().toString()
-    # one hash-partition shuffle on the digest; rank<=1 pushed map-side
-    assert plan.count("hashpartitioning(") == 1
-    assert "WindowGroupLimit" in plan
+    # losers broadcast: the document bodies anti-join without any exchange
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "hashpartitioning(" not in plan
+
+
+def test_exact_dedup_shuffled_fallback_matches(docs):
+    want = {r["doc_id"] for r in dedup.exact_dedup(docs, ["text"], "doc_id").collect()}
+    got = {
+        r["doc_id"]
+        for r in dedup.exact_dedup(
+            docs, ["text"], "doc_id", broadcast_loser_limit=0
+        ).collect()
+    }
+    assert got == want == {1, 3, 4, 5, 6}
 
 
 def test_content_hash_no_boundary_or_null_collisions(spark):

@@ -167,3 +167,54 @@ def test_runtime_bloom_filter_injection(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_neardup_path_survives_shuffled_fallback_on_dup_heavy_corpus(spark):
+    """The Jaccard-verification and loser anti-joins carry O(duplicate
+    pairs) sets, so they must not depend on being broadcast-able: force
+    every join to the shuffled strategy (broadcast thresholds off) on a
+    pathologically duplicate-heavy corpus and require the same answer the
+    default-planned run gives."""
+    from dbt_datbricks_demo_spark.operators import corpus
+
+    # 40 distinct "templates", 10 exact copies each, plus noise docs:
+    # candidate/confirmed pair count is O(copies^2 per template), far
+    # larger per-doc than a clean corpus — the regime where an
+    # unconditional broadcast would have been the wrong plan
+    body = (
+        "the quick brown fox number {t} jumps over the lazy dog and then "
+        "writes a long enough sentence to pass the quality gates easily"
+    )
+    rows = [(t * 10 + c, body.format(t=t)) for t in range(40) for c in range(10)]
+    rows += [
+        (1000 + i, f"unique filler document {i} with plenty of ordinary "
+                   f"words to stay above the minimum token threshold")
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cleaned_default = corpus.clean_corpus(docs).select("doc_id")
+    want = {r["doc_id"] for r in cleaned_default.collect()}
+    # exact dedup collapses each template's copies; near-dup removal also
+    # collapses across templates AND across fillers (each family differs
+    # by one digit), so pin only that dedup was heavy and min ids survive
+    assert 0 in want and 1000 in want
+    assert 2 <= len(want) <= 40 + 50
+
+    # force the over-limit fallback: limit 0 disables the pair/loser
+    # broadcasts, the joins run shuffled — answers must be identical
+    cleaned_guarded = corpus.clean_corpus(docs, broadcast_pair_limit=0).select(
+        "doc_id"
+    )
+    assert {r["doc_id"] for r in cleaned_guarded.collect()} == want
+
+    # belt-and-braces: also kill every broadcast (static + AQE) so even
+    # the dim-style joins run shuffled
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        cleaned_shuffled = corpus.clean_corpus(docs).select("doc_id")
+        assert {r["doc_id"] for r in cleaned_shuffled.collect()} == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
