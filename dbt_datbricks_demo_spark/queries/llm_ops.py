@@ -823,9 +823,10 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "quality_deciles",
-    "curriculum binning: ntile(10) deciles by document length "
-    "(deterministic doc_id tie-break) with per-decile stats — the first "
-    "window ntile in the surface (absent from the reference)",
+    "curriculum binning: exact ntile(10) deciles by document length via "
+    "distributed rank-interval arithmetic (operators.ranking.ntile_report)"
+    " — one corpus aggregation, no single-partition window on row data; "
+    "oracle is the literal SQL ntile",
     """
     select decile, count(*) as n_docs,
            cast(min(n_chars) as bigint) as min_chars,
@@ -839,19 +840,14 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # a global-order ntile funnels through one partition — fine for a
-    # curation report; at 100 TB use percentile cutoffs (percentile_report
-    # pattern) and a broadcast-bin join instead of a global window
+    from dbt_datbricks_demo_spark.operators.ranking import ntile_report
+
     docs = _spread(_t(spark, sf_dir, "documents"))
-    w = Window.orderBy("n_chars", "doc_id")
-    return (
-        docs.select("n_chars", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("n_chars").cast("bigint").alias("min_chars"),
-            F.max("n_chars").cast("bigint").alias("max_chars"),
-        )
+    return ntile_report(docs, "n_chars", k=10, bucket_col="decile").select(
+        "decile",
+        F.col("n_rows").alias("n_docs"),
+        F.col("min_value").cast("bigint").alias("min_chars"),
+        F.col("max_value").cast("bigint").alias("max_chars"),
     )
 
 

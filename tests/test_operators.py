@@ -435,3 +435,65 @@ def test_per_group_principal_direction(spark):
         assert out[g]["explained_var_ratio"] > 0.9
         assert out[g]["n_vectors"] == 40
 
+
+
+class TestDistributedRanking:
+    """operators.ranking: exact ntile semantics without the
+    single-partition window (tie groups split across bucket boundaries
+    exactly like SQL ntile)."""
+
+    @pytest.fixture(scope="class")
+    def values(self, spark):
+        # 23 rows, heavy ties (including a tie group straddling bucket
+        # boundaries), n % k != 0 so bucket sizes differ
+        rows = [(i, v) for i, v in enumerate(
+            [5] * 9 + [7] * 6 + [1] * 3 + [9] * 4 + [3]
+        )]
+        return spark.createDataFrame(rows, "rid long, v long")
+
+    def _expected(self, spark, values, k):
+        from pyspark.sql import Window
+        w = Window.orderBy("v", "rid")
+        return (
+            values.select("rid", "v", F.ntile(k).over(w).alias("b"))
+            .collect()
+        )
+
+    @pytest.mark.parametrize("k", [3, 4, 10])
+    def test_per_row_matches_sql_ntile(self, spark, values, k):
+        from dbt_datbricks_demo_spark.operators.ranking import (
+            with_distributed_ntile,
+        )
+        want = {(r["rid"]): r["b"] for r in self._expected(spark, values, k)}
+        got = {
+            r["rid"]: r["bucket"]
+            for r in with_distributed_ntile(values, "v", "rid", k=k).collect()
+        }
+        assert got == want
+
+    @pytest.mark.parametrize("k", [3, 4, 10])
+    def test_report_matches_sql_ntile_aggregates(self, spark, values, k):
+        from collections import defaultdict
+        from dbt_datbricks_demo_spark.operators.ranking import ntile_report
+
+        per_bucket = defaultdict(list)
+        for r in self._expected(spark, values, k):
+            per_bucket[r["b"]].append(r["v"])
+        got = {
+            r["bucket"]: (r["n_rows"], r["min_value"], r["max_value"])
+            for r in ntile_report(values, "v", k=k).collect()
+        }
+        want = {
+            b: (len(vs), min(vs), max(vs)) for b, vs in per_bucket.items()
+        }
+        assert got == want
+
+    def test_report_no_window_below_aggregation(self, spark, values):
+        from dbt_datbricks_demo_spark.operators.ranking import ntile_report
+
+        plan = ntile_report(values, "v")._jdf.queryExecution().toString()
+        assert "ntile" not in plan
+        # the only single-partition movement sits ABOVE the histogram
+        # aggregation — corpus rows aggregate map-side first
+        first_agg = plan.index("HashAggregate")
+        assert "SinglePartition" not in plan[:first_agg]
