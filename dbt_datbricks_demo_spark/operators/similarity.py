@@ -60,6 +60,16 @@ def ivf_assign(
     return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
 
+def probe_cells(centroids: list[list[float]], query: list[float], nprobe: int) -> list[int]:
+    """The query's nprobe nearest cell ids (driver-side math on the tiny
+    centroid table — the IVF routing step)."""
+    q2 = [
+        (i, sum((a - b) ** 2 for a, b in zip(c, query)))
+        for i, c in enumerate(centroids)
+    ]
+    return [i for i, _d in sorted(q2, key=lambda t: t[1])[:nprobe]]
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: list[list[float]],
@@ -69,15 +79,59 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate top-k: exact cosine restricted to the query's
-    nprobe nearest cells. Expected candidates |corpus|·nprobe/|cells|;
-    raising nprobe trades latency for recall (the IVF knob). At scale the
-    cell id is a write-time partition column, so probing nprobe cells is
-    partition pruning, not a filter scan."""
-    q2 = [(i, sum((a - b) ** 2 for a, b in zip(c, query))) for i, c in enumerate(centroids)]
-    probe_cells = [i for i, _d in sorted(q2, key=lambda t: t[1])[:nprobe]]
+    """IVF approximate top-k over an UN-indexed DataFrame: exact cosine
+    restricted to the query's nprobe nearest cells, found by re-deriving
+    the cell assignment as a filter — a full scan. This is the ad-hoc /
+    one-shot form; repeated queries should write the corpus cell-
+    partitioned once (write_ivf_index) and search via ivf_index_topk,
+    where probing is directory pruning instead of a scan."""
+    cells = probe_cells(centroids, query, nprobe)
     return (
-        df.filter(ivf_assign(F.col(vec_col), centroids).isin(probe_cells))
+        df.filter(ivf_assign(F.col(vec_col), centroids).isin(cells))
+        .select(F.col(id_col), cosine_to_query(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+IVF_CELL_COL = "ivf_cell"
+
+
+def write_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the corpus written hive-partitioned by
+    nearest-centroid cell id (one directory per cell). At 100 TB this is
+    the point of IVF — a query probing nprobe of |cells| directories
+    reads nprobe/|cells| of the data, enforced by the planner's
+    partition pruning, not by a filter over a full scan."""
+    from dbt_datbricks_demo_spark.plans.bucketing import write_partitioned
+
+    cell = ivf_assign(F.col(vec_col), centroids)
+    write_partitioned(df.withColumn(IVF_CELL_COL, cell), path, IVF_CELL_COL)
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a write_ivf_index layout: the cell predicate is
+    a PartitionFilter (directory pruning — plan pinned in
+    tests/test_plans.py), then exact cosine + top-k over the nprobe
+    cells only."""
+    cells = probe_cells(centroids, query, nprobe)
+    indexed = spark.read.parquet(index_path)
+    return (
+        indexed.filter(F.col(IVF_CELL_COL).isin(cells))
         .select(F.col(id_col), cosine_to_query(F.col(vec_col), query).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)

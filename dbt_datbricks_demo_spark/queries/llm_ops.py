@@ -524,26 +524,65 @@ def frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF (k-means coarse quantizer) ANN — the partition-pruning scale path
 # ---------------------------------------------------------------------------
-@_register(
-    "ann_ivf_topk",
-    "IVF approximate top-10: seeded k-means coarse quantizer, exact "
-    "cosine restricted to the probe's nprobe=2 nearest cells "
-    "(operators.similarity.train_ivf_centroids / ivf_topk). No SQL "
-    "oracle: k-means training is iterative (rows-only check)",
-    None,
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]]:
+    """Build (once) and locate the cell-partitioned IVF index for a
+    testdata dir. Keyed by the source parquet's path+mtime+size so a
+    regenerated table invalidates the cache; training is seeded, so a
+    rebuild reproduces the identical index."""
+    import glob
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    stamp = "|".join(
+        f"{p}:{os.stat(p).st_mtime_ns}:{os.stat(p).st_size}"
+        for p in sorted(glob.glob(src) + glob.glob(os.path.join(src, "*")))
+    )
+    key = hashlib.md5(f"{stamp}|k16|seed42|iter5|random".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    cent_path = os.path.join(base, "centroids.json")
+    idx_path = os.path.join(base, "index")
+    if os.path.exists(cent_path) and os.path.exists(
+        os.path.join(idx_path, "_SUCCESS")
+    ):
+        with open(cent_path) as f:
+            return idx_path, json.load(f)
     # MLlib k-means with random init: measured faster than a DataFrame-
     # expression Lloyd's here (literal-heavy assign expressions recompile
     # per round and dominate); train on the compact input, spread only
-    # the assignment/search scan
+    # the assignment scan
     cents = similarity.train_ivf_centroids(
         _t(spark, sf_dir, "embeddings"), k=16, seed=42, max_iter=5, init_mode="random"
     )
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    similarity.write_ivf_index(_spread(_t(spark, sf_dir, "embeddings")), cents, idx_path)
+    os.makedirs(base, exist_ok=True)
+    with open(cent_path, "w") as f:
+        json.dump(cents, f)
+    return idx_path, cents
+
+
+@_register(
+    "ann_ivf_topk",
+    "IVF approximate top-10: seeded k-means coarse quantizer, corpus "
+    "written cell-PARTITIONED once (operators.similarity.write_ivf_index),"
+    " probing nprobe=2 cells = directory pruning (PartitionFilters, "
+    "pinned in tests/test_plans.py), exact cosine over the probed cells "
+    "(ivf_index_topk). No SQL oracle: k-means training is iterative "
+    "(rows-only check)",
+    None,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx_path, cents = _ivf_index_for(spark, sf_dir)
+    qrow = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
     query = [float(x) for x in qrow["embedding"]]
-    return similarity.ivf_topk(emb, cents, query, k=10, nprobe=2)
+    return similarity.ivf_index_topk(spark, idx_path, cents, query, k=10, nprobe=2)
 
 
 # ---------------------------------------------------------------------------

@@ -97,3 +97,19 @@ def test_hash_operators_have_no_python_stage(spark, name):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "mapInPandas" not in plan.lower()
+
+
+def test_ivf_search_prunes_partitions(spark):
+    """The IVF scale claim: probing nprobe cells is DIRECTORY pruning on
+    the cell-partitioned index, not a filter over a full scan."""
+    df = QUERIES["ann_ivf_topk"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # and the full corpus is NOT re-assigned at query time: no centroid
+    # argmin math on the scan side
+    assert "array_position" not in plan
+    rows = df.collect()
+    assert len(rows) == 10
+    assert rows[0]["vec_id"] == 0  # the query vector finds itself first
