@@ -213,17 +213,32 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    block_salts: int = 4,
+    hot_bucket_width: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) via the LSH
     scale path: vectors only compare within a shared hyperplane bucket,
     so the self-join is per-bucket (expected N²/2^planes work), then the
     exact cosine filters to >= threshold.
 
+    HOT-BUCKET DEFENSE: a near-constant embedding cloud puts N vectors
+    in one bucket and N² work on one reducer — AQE's skew split can't
+    help because every split of a self-join partition still needs every
+    other row of the same bucket. Buckets wider than hot_bucket_width
+    (found from the ≤2^planes-row bucket histogram, a driver-side scalar
+    read like the watermark pattern) are re-joined as an S×S GRID with
+    S = block_salts: side A keeps its deterministic salt and replicates
+    across all B-blocks, side B the converse, join key (bucket, salt_a,
+    salt_b) — every pair still meets in exactly one grid cell, so the
+    result set is identical (tests/test_scale.py pins this), but the
+    hottest task holds (width/S)² work for an S× shuffle-volume price
+    paid ONLY by the hot buckets. Healthy buckets keep the plain
+    single-key self-join and its round-trip-free plan.
+
     The bucket id and L2 norm are staged as columns before the join —
-    each computes once per row; the join itself shuffles (id, bucket,
-    norm, vector), and ReuseExchange evaluates the staged plan once for
-    both sides. Near-dups that straddle a bucket boundary are missed —
-    the standard LSH recall trade; add plane families for higher recall.
+    each computes once per row. Near-dups that straddle a bucket
+    boundary are missed — the standard LSH recall trade; add plane
+    families for higher recall.
     """
     w = hyperplane_weights(planes, dims)
     staged = df.select(
@@ -231,19 +246,54 @@ def cosine_neardup_pairs(
         hyperplane_bucket(F.col(vec_col), w).alias("_bucket"),
         _norm(F.col(vec_col)).alias("_l2"),
     )
-    a, b = staged.alias("a"), staged.alias("b")
-    ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-    cos = pairwise_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        F.col("a._l2") * F.col("b._l2")
-    )
-    return (
-        a.join(b, F.col("a._bucket") == F.col("b._bucket"))
-        .filter(ida < idb)
-        .select(
-            ida.alias("id_a"), idb.alias("id_b"),
-            F.col("a._bucket").alias("bucket"), cos.alias("cosine"),
+
+    def bucket_pairs(side: DataFrame, grid: bool) -> DataFrame:
+        if grid:
+            own = F.pmod(F.hash(F.col(id_col)), F.lit(block_salts)).cast("int")
+            blocks = F.explode(F.array(*[F.lit(i) for i in range(block_salts)]))
+            a = side.withColumn("_sa", own).withColumn("_sb", blocks).alias("a")
+            b = side.withColumn("_sb", own).withColumn("_sa", blocks).alias("b")
+            cond = (
+                (F.col("a._bucket") == F.col("b._bucket"))
+                & (F.col("a._sa") == F.col("b._sa"))
+                & (F.col("a._sb") == F.col("b._sb"))
+            )
+        else:
+            a, b = side.alias("a"), side.alias("b")
+            cond = F.col("a._bucket") == F.col("b._bucket")
+        ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+        cos = pairwise_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+            F.col("a._l2") * F.col("b._l2")
         )
-        .filter(F.col("cosine") >= threshold)
+        return (
+            a.join(b, cond)
+            .filter(ida < idb)
+            .select(
+                ida.alias("id_a"), idb.alias("id_b"),
+                F.col("a._bucket").alias("bucket"), cos.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    # hot-bucket detection runs on a seeded 10% SAMPLE: a bucket wide
+    # enough to matter is unmissable in a sample, and the detection pass
+    # then costs a tenth of a bucket-assignment scan. A borderline bucket
+    # the sample misses just keeps the plain join — correct either way.
+    hot: list[int] = []
+    if block_salts > 1:
+        frac = 0.1
+        hot = [
+            r["_bucket"]
+            for r in staged.sample(fraction=frac, seed=42)
+            .groupBy("_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > F.lit(int(hot_bucket_width * frac)))
+            .collect()
+        ]
+    if not hot:
+        return bucket_pairs(staged, grid=False)
+    return bucket_pairs(staged.filter(~F.col("_bucket").isin(hot)), grid=False).unionByName(
+        bucket_pairs(staged.filter(F.col("_bucket").isin(hot)), grid=True)
     )
 
 

@@ -218,3 +218,42 @@ def test_neardup_path_survives_shuffled_fallback_on_dup_heavy_corpus(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_blocked_self_join_bounds_hot_lsh_bucket(spark):
+    """Near-constant embeddings put everything in one hyperplane bucket;
+    the S×S grid salting must (a) return the identical pair set and
+    (b) bound the hottest join-key group at ~bucket/S per side."""
+    import math
+
+    from dbt_datbricks_demo_spark.operators import similarity
+
+    # 300 vectors, all tiny perturbations of one direction → one bucket
+    rows = [
+        (i, [1000.0 + (i % 7) * 0.001 * d for d in range(8)])
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(planes=4, threshold=0.99, dims=8)
+    plain = similarity.cosine_neardup_pairs(emb, block_salts=1, **kw)
+    salted = similarity.cosine_neardup_pairs(
+        emb, block_salts=4, hot_bucket_width=100, **kw
+    )
+    want = {(r["id_a"], r["id_b"]) for r in plain.collect()}
+    got = {(r["id_a"], r["id_b"]) for r in salted.collect()}
+    assert got == want and len(want) > 1000  # genuinely hot
+
+    # per-key bound: the A side of the grid join groups by
+    # (bucket, salt_a, salt_b); no group may exceed ~bucket/S
+    w = similarity.hyperplane_weights(4, 8)
+    staged = emb.select(
+        "vec_id",
+        similarity.hyperplane_bucket(F.col("embedding"), w).alias("bucket"),
+        F.pmod(F.hash(F.col("vec_id")), F.lit(4)).alias("sa"),
+    )
+    sizes = [
+        r["n"]
+        for r in staged.groupBy("bucket", "sa").agg(F.count("*").alias("n")).collect()
+    ]
+    assert max(sizes) <= math.ceil(300 / 4 * 1.5)
