@@ -22,10 +22,30 @@ from dbt_datbricks_demo_spark.queries import QUERIES  # noqa: E402
 from dbt_datbricks_demo_spark.session import get_spark  # noqa: E402
 
 
+def _unpersist_all(spark) -> None:
+    """Drop cached/localCheckpointed blocks left behind by a finished
+    query. The size-guarded operators eagerly localCheckpoint small
+    relations (candidate pairs, signature tables); across 52 queries × 2
+    runs those blocks pile up in the block manager and the later
+    queries' timings degrade from memory pressure. Each query's blocks
+    are dead once its noop write returns — freeing them keeps runs
+    independent."""
+    it = (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+    )
+    while it.hasNext():
+        it.next().unpersist(False)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    # no console progress bars: the driver records the merged output tail,
+    # which should end with the JSON line, not stage-bar control chars
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     selected = os.environ.get("BENCH_QUERIES")
@@ -53,7 +73,12 @@ def main() -> None:
             ).save()
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+            _unpersist_all(spark)
 
+    # orderly shutdown BEFORE the result line: an exiting JVM with
+    # in-flight task-completion events logs spurious DAGScheduler
+    # errors into stderr (seen in round 1's recorded tail)
+    spark.stop()
     print(
         json.dumps(
             {
