@@ -40,6 +40,9 @@ def replicate_salts(df: DataFrame, buckets: int) -> DataFrame:
     )
 
 
+SALT_SAFE_JOINS = frozenset({"inner", "left", "left_outer", "left_semi", "left_anti"})
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,
@@ -50,7 +53,18 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: probe salted, build replicated, join on
     (keys..., salt). Result rows identical to the unsalted join; the hot
-    key's work is spread across `buckets` reducers instead of one."""
+    key's work is spread across `buckets` reducers instead of one.
+
+    Only probe-preserving join types are allowed: in a right/full outer
+    join an unmatched BUILD row surfaces once per salt replicate
+    (`buckets` duplicates), so those types are rejected rather than
+    silently wrong — salt the other side instead."""
+    if how not in SALT_SAFE_JOINS:
+        raise ValueError(
+            f"salted_join supports {sorted(SALT_SAFE_JOINS)}; got {how!r}. "
+            "Right/full-outer would emit unmatched build rows once per "
+            "salt replicate — swap the sides instead."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     p = with_salt(probe, probe_salt_from, buckets)
     b = replicate_salts(build, buckets)

@@ -58,6 +58,17 @@ class PipelineRunner:
                         df.createOrReplaceTempView(name)
                         relations[name] = df
                     continue
+            missing = [d for d in model.deps if d not in relations]
+            if missing:
+                # without this, the build lambda dies on a bare KeyError
+                # (e.g. `run --select gold` on a fresh warehouse whose
+                # silver tables were never materialized)
+                raise RuntimeError(
+                    f"model '{name}' depends on {missing}, which are not "
+                    "materialized and were not selected "
+                    f"(select_tags={sorted(select_tags or ())}). Run the "
+                    "upstream models first or widen the selection."
+                )
             relations[name] = self._run_model(
                 model, relations, full_refresh, max_retries
             )

@@ -163,3 +163,9 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     assert len(rows) == 8
     assert rows[0]["extra"] is None and rows[0]["v"] == "a"  # untouched row
     assert rows[4]["v"] == "b" and rows[4]["extra"] == 1.5  # updated row
+
+
+def test_selected_model_with_missing_upstream_raises_descriptive(runner, seeds):
+    # fresh warehouse: gold's silver dependencies were never materialized
+    with pytest.raises(RuntimeError, match="not\n*.*materialized|not materialized"):
+        runner.run(seeds, select_tags={"gold"})

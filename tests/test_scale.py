@@ -257,3 +257,11 @@ def test_blocked_self_join_bounds_hot_lsh_bucket(spark):
         for r in staged.groupBy("bucket", "sa").agg(F.count("*").alias("n")).collect()
     ]
     assert max(sizes) <= math.ceil(300 / 4 * 1.5)
+
+
+def test_salted_join_rejects_build_preserving_types(spark, skewed):
+    dim = spark.createDataFrame([(1, "x")], "k long, name string")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        skew.salted_join(skewed, dim, "k", 4, "row_id", how="full_outer")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        skew.salted_join(skewed, dim, "k", 4, "row_id", how="right")
