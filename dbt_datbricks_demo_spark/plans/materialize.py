@@ -46,10 +46,26 @@ class Materializer:
     schema routing ``<target>_<suffix>.<name>`` (reference
     macros/generate_schema_name.sql:9-23)."""
 
-    def __init__(self, spark: SparkSession, warehouse_dir: str, target: str = "iot_dev"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        target: str = "iot_dev",
+        table_format: str = "parquet",
+    ):
+        if table_format not in ("parquet", "delta"):
+            raise ValueError(f"unsupported table_format {table_format!r}")
+        if table_format == "delta" and not _HAVE_DELTA:
+            raise RuntimeError(
+                "table_format='delta' requires delta-spark, which is not "
+                "importable here — run on a Delta-enabled cluster or "
+                "install delta-spark (see tests/test_delta_path.py for "
+                "the test matrix)"
+            )
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.target = target
+        self.table_format = table_format
         os.makedirs(warehouse_dir, exist_ok=True)
 
     # ---- paths / existence -------------------------------------------------
@@ -59,11 +75,18 @@ class Materializer:
     def exists(self, name: str, schema_suffix: str) -> bool:
         p = self.path(name, schema_suffix)
         return os.path.isdir(p) and bool(
-            [f for f in os.listdir(p) if f.endswith(".parquet") or f == "_SUCCESS"]
+            [
+                f
+                for f in os.listdir(p)
+                if f.endswith(".parquet") or f in ("_SUCCESS", "_delta_log")
+            ]
         )
 
     def read(self, name: str, schema_suffix: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(name, schema_suffix))
+        return (
+            self.spark.read.format(self.table_format)
+            .load(self.path(name, schema_suffix))
+        )
 
     # ---- strategies --------------------------------------------------------
     def as_view(self, name: str, df: DataFrame) -> DataFrame:
@@ -86,8 +109,15 @@ class Materializer:
         self, name: str, schema_suffix: str, new_rows: DataFrame, unique_key: str
     ) -> DataFrame:
         """Keyed upsert: rows in `new_rows` replace same-key target rows,
-        others append (MERGE whenMatchedUpdateAll/whenNotMatchedInsertAll)."""
+        others append (MERGE whenMatchedUpdateAll/whenNotMatchedInsertAll).
+
+        Delta targets use the native transactional MERGE — file-level
+        rewrite of only the touched files, which is the whole point at
+        100 TB. Parquet targets emulate the row-level semantics with
+        anti-join + unionByName + atomic swap (full rewrite)."""
         path = self.path(name, schema_suffix)
+        if self.table_format == "delta":
+            return self._merge_upsert_delta(path, name, new_rows, unique_key)
         target = self.spark.read.parquet(path)
         kept = target.join(
             new_rows.select(unique_key).distinct(), on=unique_key, how="left_anti"
@@ -98,11 +128,43 @@ class Materializer:
         out.createOrReplaceTempView(name)
         return out
 
+    def _merge_upsert_delta(
+        self, path: str, name: str, new_rows: DataFrame, unique_key: str
+    ) -> DataFrame:
+        """Native Delta MERGE (reference MERGE shape,
+        databricks_data_flow.sql:193-203). autoMerge carries the
+        append_new_columns schema-evolution contract the parquet path
+        implements via unionByName(allowMissingColumns)."""
+        self.spark.conf.set(
+            "spark.databricks.delta.schema.autoMerge.enabled", "true"
+        )
+        (
+            DeltaTable.forPath(self.spark, path)
+            .alias("t")
+            .merge(new_rows.alias("s"), f"t.{unique_key} = s.{unique_key}")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        out = self.spark.read.format("delta").load(path)
+        out.createOrReplaceTempView(name)
+        return out
+
     # ---- internals ---------------------------------------------------------
     def _atomic_write(self, df: DataFrame, path: str) -> None:
         """Write to a temp dir then swap — readers never see a half-written
         table, and self-referencing plans (merge reads the table it
-        replaces) are computed before the old data disappears."""
+        replaces) are computed before the old data disappears. Delta
+        writes are transactional via the log, so they overwrite in
+        place instead of directory-swapping."""
+        if self.table_format == "delta":
+            (
+                df.write.format("delta")
+                .mode("overwrite")
+                .option("overwriteSchema", "true")
+                .save(path)
+            )
+            return
         tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
         if os.path.isdir(path):
