@@ -297,6 +297,23 @@ def cosine_neardup_pairs(
     )
 
 
+def multiprobe_buckets(
+    query: list[float], weights: list[list[int]], probes: int
+) -> list[int]:
+    """The query's base LSH bucket plus (probes-1) neighbor buckets that
+    flip the LOWEST-|margin| hyperplane bits — the planes the query sits
+    closest to, i.e. where a true near-neighbor most likely landed on
+    the other side. Driver-side math on the plane table; deterministic
+    tie-break on (|margin|, plane index)."""
+    margins = [sum(a * b for a, b in zip(w, query)) for w in weights]
+    base = 0
+    for p, m in enumerate(margins):
+        if m >= 0:
+            base |= 1 << p
+    order = sorted(range(len(weights)), key=lambda p: (abs(margins[p]), p))
+    return [base] + [base ^ (1 << p) for p in order[: max(0, probes - 1)]]
+
+
 def bucketed_ann_topk(
     df: DataFrame,
     query: list[float],
@@ -304,18 +321,19 @@ def bucketed_ann_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: restrict the exact cosine scan to the query's
-    LSH bucket. Recall is traded for a 2^planes-fold candidate reduction;
-    multi-probe (flipping low-margin bits) is the standard recall fix."""
+    LSH bucket(s). Recall is traded for a (2^planes)/probes-fold
+    candidate reduction; probes > 1 is multi-probe — flipping the
+    query's low-margin bits — the standard recall knob that multiplies
+    candidates by probes instead of halving the plane count (which
+    would SQUARE the bucket occupancy)."""
     dims = len(query)
     w = hyperplane_weights(planes, dims)
-    qbucket = 0
-    for p, row in enumerate(w):
-        if sum(a * b for a, b in zip(row, query)) >= 0:
-            qbucket |= 1 << p
+    buckets = multiprobe_buckets(query, w, probes)
     return (
-        df.filter(hyperplane_bucket(F.col(vec_col), w) == qbucket)
+        df.filter(hyperplane_bucket(F.col(vec_col), w).isin(buckets))
         .select(F.col(id_col), cosine_to_query(F.col(vec_col), query).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)

@@ -501,6 +501,97 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-probe bucketed ANN + recall report — the recall knob for the
+# LSH scale path (probe the base bucket plus low-margin bit flips)
+# ---------------------------------------------------------------------------
+def _sql_multiprobe_ctes(probes: int) -> str:
+    """CTEs reproducing multiprobe_buckets in SQL: per-plane query
+    margins, rank by (|margin|, plane), flip the lowest probes-1 bits."""
+    w = similarity.hyperplane_weights(8, 64)
+    margin_exprs = ", ".join(
+        _sql_dot("qv", [float(x) for x in row]) for row in w
+    )
+    return f"""
+    b as (select vec_id, embedding, {_sql_bucket("embedding")} as bucket
+          from embeddings),
+    q as (select embedding as qv, bucket as qbucket from b where vec_id = 0),
+    m as (select unnest(range(0, 8)) as p,
+                 unnest([{margin_exprs}]) as margin
+          from q),
+    flips as (select p from m order by abs(margin), p limit {probes - 1}),
+    probe_set as (select qbucket as pb from q
+                  union all
+                  select xor(qbucket, (1::bigint << p)) as pb from flips, q)
+    """
+
+
+@_register(
+    "ann_multiprobe_topk",
+    "multi-probe LSH ANN top-10: probe the query's bucket plus the 2 "
+    "lowest-|margin| bit flips (operators.similarity.multiprobe_buckets) "
+    "— 3x candidates for near-baseline latency, the standard recall fix "
+    "for boundary-straddling neighbors",
+    f"""
+    with {_sql_multiprobe_ctes(3)}
+    select vec_id,
+           {_sql_dot("embedding", "list_transform(qv, x -> cast(x as double))")}
+           / ({_sql_l2("embedding")} * {_sql_l2("qv")}) as cosine
+    from b, q
+    where b.bucket in (select pb from probe_set)
+    order by cosine desc, vec_id
+    limit 10
+    """,
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return similarity.bucketed_ann_topk(
+        emb, query, planes=8, k=10, id_col="vec_id", vec_col="embedding", probes=3
+    )
+
+
+@_register(
+    "ann_recall_report",
+    "ANN quality gate: recall@10 of the 3-probe bucketed search against "
+    "the exact brute-force top-10 — the measurement loop that tunes the "
+    "planes/probes trade",
+    f"""
+    with {_sql_multiprobe_ctes(3)},
+    scored as (
+        select vec_id,
+               {_sql_dot("embedding", "list_transform(qv, x -> cast(x as double))")}
+               / ({_sql_l2("embedding")} * {_sql_l2("qv")}) as cosine,
+               bucket
+        from b, q
+    ),
+    brute as (select vec_id from scored order by cosine desc, vec_id limit 10),
+    approx as (select vec_id from scored
+               where bucket in (select pb from probe_set)
+               order by cosine desc, vec_id limit 10)
+    select 10 as k, 3 as n_probes,
+           count(*) as n_hits,
+           count(*) * 1.0 / 10 as recall_at_k
+    from brute
+    where vec_id in (select vec_id from approx)
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    brute = similarity.cosine_topk(emb, query, k=10)
+    approx = similarity.bucketed_ann_topk(emb, query, planes=8, k=10, probes=3)
+    hits = brute.select("vec_id").intersect(approx.select("vec_id"))
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(10).alias("k"),
+        F.lit(3).alias("n_probes"),
+        F.col("n_hits"),
+        (F.col("n_hits") * 1.0 / 10).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Frame-sampling plumbing for video-like payloads
 # ---------------------------------------------------------------------------
 @_register(

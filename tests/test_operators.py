@@ -497,3 +497,18 @@ class TestDistributedRanking:
         # aggregation — corpus rows aggregate map-side first
         first_agg = plan.index("HashAggregate")
         assert "SinglePartition" not in plan[:first_agg]
+
+
+def test_multiprobe_expands_candidates_and_keeps_base_bucket(spark):
+    rows = [(i, [float((i * 13 + d * 5) % 17 - 8) for d in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = rows[7][1]
+    w = similarity.hyperplane_weights(4, 8)
+    buckets = similarity.multiprobe_buckets(query, w, probes=3)
+    assert len(buckets) == 3 and len(set(buckets)) == 3
+    # each extra probe differs from the base in exactly one bit
+    assert all(bin(buckets[0] ^ b).count("1") == 1 for b in buckets[1:])
+    single = {r["vec_id"] for r in similarity.bucketed_ann_topk(emb, query, planes=4, k=60).collect()}
+    multi = {r["vec_id"] for r in similarity.bucketed_ann_topk(emb, query, planes=4, k=60, probes=3).collect()}
+    assert single <= multi  # multi-probe only ever adds candidates
+    assert 7 in multi
