@@ -580,8 +580,21 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(_t(spark, sf_dir, "embeddings"))
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     query = [float(x) for x in qrow["embedding"]]
-    brute = similarity.cosine_topk(emb, query, k=10)
-    approx = similarity.bucketed_ann_topk(emb, query, planes=8, k=10, probes=3)
+    # score the corpus ONCE — (id, cosine, bucket) is ~24 B/row — and
+    # read it from both top-k branches instead of re-scanning vectors
+    w = similarity.hyperplane_weights(8, 64)
+    scored = emb.select(
+        "vec_id",
+        similarity.cosine_to_query(F.col("embedding"), query).alias("cosine"),
+        similarity.hyperplane_bucket(F.col("embedding"), w).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    probe_set = similarity.multiprobe_buckets(query, w, probes=3)
+    brute = scored.orderBy(F.col("cosine").desc(), "vec_id").limit(10)
+    approx = (
+        scored.filter(F.col("bucket").isin(probe_set))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
     hits = brute.select("vec_id").intersect(approx.select("vec_id"))
     return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
         F.lit(10).alias("k"),
