@@ -54,7 +54,19 @@ def _parser() -> argparse.ArgumentParser:
     )
     sql.add_argument("statement")
     sql.add_argument("--limit", type=int, default=50)
-    sub.add_parser("docs", help="print the model DAG and materializations")
+    docs = sub.add_parser(
+        "docs", help="print the model DAG; --artifacts writes manifest/catalog"
+    )
+    docs.add_argument(
+        "--artifacts",
+        metavar="DIR",
+        help="write manifest.json (+ catalog.json with --catalog) to DIR",
+    )
+    docs.add_argument(
+        "--catalog",
+        action="store_true",
+        help="also emit catalog.json (schema per model; needs a Spark session)",
+    )
     return p
 
 
@@ -67,14 +79,29 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["target"] = args.target
     cfg = RunConfig(**cfg_kwargs)
 
-    if args.verb == "docs":  # static — no Spark session needed
+    if args.verb == "docs":
         from dbt_datbricks_demo_spark.plans.dag import MODELS, topo_order
+        from dbt_datbricks_demo_spark.plans.docs import (
+            build_catalog,
+            build_manifest,
+            write_artifacts,
+        )
 
         print(f"{'model':<28} {'materialization':<15} {'layer':<8} depends on")
         for name in topo_order(MODELS):
             m = MODELS[name]
             deps = ", ".join(m.deps) if m.deps else "(sources)"
             print(f"{name:<28} {m.materialization:<15} {m.schema_suffix:<8} {deps}")
+        if args.artifacts:
+            catalog = None
+            if args.catalog:  # schema inference needs a session + seeds
+                spark = get_spark(app_name="engine-docs")
+                spark.sparkContext.setLogLevel("ERROR")
+                catalog = build_catalog(
+                    spark, load_seeds(spark, args.seeds_dir), cfg
+                )
+            for path in write_artifacts(args.artifacts, build_manifest(), catalog):
+                print(f"wrote {path}")
         return 0
 
     spark = get_spark(app_name=f"engine-{args.verb}")

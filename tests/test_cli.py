@@ -92,3 +92,28 @@ def test_cli_docs_lineage(tmp_path, capsys):
     assert "fct_device_summary" in out and "incremental" in out
     # topological: staging appears before the facts that depend on it
     assert out.index("stg_sensor_readings") < out.index("fct_device_summary")
+
+
+def test_docs_artifacts_manifest_and_catalog(tmp_path, capsys):
+    from dbt_datbricks_demo_spark.cli import main
+
+    rc = main(
+        ["--seeds-dir", "/root/reference/seeds",
+         "docs", "--artifacts", str(tmp_path / "art"), "--catalog"]
+    )
+    assert rc == 0
+    import json
+
+    manifest = json.loads((tmp_path / "art" / "manifest.json").read_text())
+    catalog = json.loads((tmp_path / "art" / "catalog.json").read_text())
+    # lineage: gold fact depends on both silver inputs, maps are mutual
+    fct = manifest["nodes"]["model.fct_device_summary"]
+    assert set(fct["depends_on"]) == {
+        "int_sensor_readings_cleaned", "int_alerts_enriched"
+    }
+    assert "fct_device_summary" in manifest["child_map"]["int_alerts_enriched"]
+    assert manifest["parent_map"]["fct_device_summary"] == fct["depends_on"]
+    # catalog carries real inferred schemas
+    cols = {c["name"]: c["type"] for c in catalog["model.fct_device_summary"]["columns"]}
+    assert cols["health_score"] == "double"
+    assert cols["device_id"] == "string"
