@@ -22,7 +22,7 @@ dropDuplicates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -75,4 +75,157 @@ def write_corpus_append(
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch NEAR-dup ingestion (foreachBatch + persistent signature store)
+# ---------------------------------------------------------------------------
+def neardup_ingest_batch_fn(
+    corpus_dir: str,
+    sig_store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.9,
+):
+    """foreachBatch function for streaming ingestion that drops documents
+    NEAR-duplicating anything previously admitted — the streaming analog
+    of operators/corpus.clean_corpus step 4 (dropDuplicates only catches
+    byte-identical bodies).
+
+    The admitted-document SIGNATURE STORE persists as parquet rows
+    (id, content_hash, shingle-hash array, band keys): ~1 KB per doc
+    instead of the body, the same metadata the batch pipeline computes.
+    Per micro-batch:
+
+      1. within-batch exact dedup (lowest id wins) + exact cross-batch
+         dedup (anti-join on content_hash against the store);
+      2. near-dup candidates = band-key join (batch × store ∪ batch ×
+         batch, id-ordered), verified with exact Jaccard via
+         array_intersect on the staged shingle-hash arrays — no
+         explode, the arrays are already distinct hashes;
+      3. survivors append to the corpus and their signatures to the
+         store, both PARTITIONED BY BATCH ID with dynamic overwrite —
+         a replayed batch overwrites its own partition, so retries are
+         idempotent (the parquet stand-in for a Delta MERGE).
+
+    State growth is the store: O(admitted docs) × ~1 KB, a table scan
+    per batch. At 10¹¹ docs, bucket the store by band key so the
+    candidate join prunes (plans/bucketing.py) and compact it
+    periodically; the logic here is unchanged.
+    """
+    from dbt_datbricks_demo_spark.operators.dedup import (
+        content_hash,
+        lsh_band_keys,
+        with_minhash,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rows_per_band = num_hashes // bands
+
+        staged = with_minhash(
+            batch_df, text_col, num_hashes, shingle_k,
+            sig_col="_sig", keep_hashes="_hs",
+        )
+        staged = staged.withColumn("_ch", content_hash(text_col)).withColumn(
+            "_bands", lsh_band_keys(F.col("_sig"), bands, rows_per_band)
+        )
+        # 1. within-batch exact dedup, lowest id wins
+        w_rn = F.row_number().over(Window.partitionBy("_ch").orderBy(id_col))
+        staged = staged.withColumn("_rn", w_rn).filter(F.col("_rn") == 1).drop("_rn")
+
+        try:
+            store = spark.read.parquet(sig_store_dir)
+        except Exception:  # first batch: empty store
+            store = None
+
+        if store is not None:
+            staged = staged.join(
+                store.select(F.col("content_hash").alias("_ch")).distinct(),
+                on="_ch",
+                how="left_anti",
+            )
+
+        # 2. near-dup candidates: batch vs store, plus batch vs batch
+        cand_b = staged.select(
+            F.col(id_col).alias("_bid"),
+            F.col("_hs").alias("_bhs"),
+            F.explode("_bands").alias("band_key"),
+        )
+        sides = []
+        if store is not None:
+            sides.append(
+                cand_b.join(
+                    store.select(
+                        F.col("hs").alias("_ohs"),
+                        F.explode(F.col("band_keys")).alias("band_key"),
+                    ),
+                    on="band_key",
+                )
+            )
+        older = staged.select(
+            F.col(id_col).alias("_oid"),
+            F.col("_hs").alias("_ohs"),
+            F.explode("_bands").alias("band_key"),
+        )
+        sides.append(
+            cand_b.join(older, on="band_key").filter(
+                F.col("_oid") < F.col("_bid")
+            ).drop("_oid")
+        )
+        cands = sides[0]
+        for s in sides[1:]:
+            cands = cands.unionByName(s)
+        inter = F.size(F.array_intersect("_bhs", "_ohs"))
+        union = F.size("_bhs") + F.size("_ohs") - inter
+        losers = (
+            cands.withColumn("_j", inter / F.nullif(union, F.lit(0)))
+            .filter(F.col("_j") >= jaccard_threshold)
+            .select(F.col("_bid").alias(id_col))
+            .distinct()
+        )
+        survivors = staged.join(losers, on=id_col, how="left_anti")
+
+        # 3. idempotent batch-partitioned appends
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            survivors.select(id_col, text_col)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch")
+            .parquet(corpus_dir)
+        )
+        (
+            survivors.select(
+                F.col(id_col),
+                F.col("_ch").alias("content_hash"),
+                F.col("_hs").alias("hs"),
+                F.col("_bands").alias("band_keys"),
+            )
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch")
+            .parquet(sig_store_dir)
+        )
+
+    return process
+
+
+def write_corpus_neardup(
+    stream: DataFrame,
+    corpus_dir: str,
+    sig_store_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Near-dup-aware streaming sink: quality/language gates in-stream,
+    then foreachBatch ingestion against the signature store."""
+    return (
+        stream.writeStream.foreachBatch(
+            neardup_ingest_batch_fn(corpus_dir, sig_store_dir, **kwargs)
+        ).option("checkpointLocation", checkpoint_dir)
     )

@@ -216,3 +216,58 @@ def test_streaming_corpus_dedup_across_batches(spark, tmp_path):
     run()
     got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got2 == {1, 3, 7}  # 6 deduped against batch-1 state
+
+
+def test_streaming_corpus_neardup_across_batches(spark, tmp_path):
+    """Cross-batch NEAR-dup ingestion: a later batch's minor edit of an
+    admitted document is dropped via the persistent signature store,
+    while genuinely new documents are admitted."""
+    from dbt_datbricks_demo_spark.streaming.corpus import (
+        corpus_stream_cleaned,
+        read_document_stream,
+        write_corpus_neardup,
+    )
+
+    input_dir = tmp_path / "nd_in"
+    input_dir.mkdir()
+    corpus = str(tmp_path / "nd_corpus")
+    store = str(tmp_path / "nd_store")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the morning "
+        "sun rises slowly over the quiet green valley again today"
+    )
+    near = base.replace("quiet green valley", "quiet green valleys")
+    other = (
+        "completely different content about distributed query engines "
+        "and the columnar execution of analytical workloads at scale"
+    )
+
+    def run():
+        stream = corpus_stream_cleaned(read_document_stream(spark, str(input_dir)))
+        q = (
+            write_corpus_neardup(stream, corpus, store, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (input_dir / "b1.jsonl").write_text(
+        f'{{"doc_id": 1, "text": "{base}"}}\n'
+        f'{{"doc_id": 2, "text": "{base}"}}\n'  # in-batch exact dup
+    )
+    run()
+    got1 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1}
+
+    (input_dir / "b2.jsonl").write_text(
+        f'{{"doc_id": 3, "text": "{near}"}}\n'   # near-dup of admitted 1
+        f'{{"doc_id": 4, "text": "{other}"}}\n'  # genuinely new
+        f'{{"doc_id": 5, "text": "{base}"}}\n'   # exact cross-batch dup
+    )
+    run()
+    got2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {1, 4}
+    # the store accumulated exactly the admitted docs' signatures
+    assert {r["doc_id"] for r in spark.read.parquet(store).collect()} == {1, 4}
