@@ -113,3 +113,14 @@ def test_ivf_search_prunes_partitions(spark):
     rows = df.collect()
     assert len(rows) == 10
     assert rows[0]["vec_id"] == 0  # the query vector finds itself first
+
+
+def test_quality_deciles_no_corpus_window(spark):
+    """VERDICT r1 #4: the decile report must not funnel corpus rows
+    through a global ntile window — all single-partition movement sits
+    above the histogram aggregation."""
+    plan = _plan(spark, "quality_deciles")
+    assert "ntile" not in plan
+    first_agg = plan.index("HashAggregate")
+    assert "SinglePartition" not in plan[:first_agg]
+    assert "partial_count" in plan  # histogram combines map-side
