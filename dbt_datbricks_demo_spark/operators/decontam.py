@@ -1,0 +1,120 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark set.
+
+The standard pre-training hygiene step (GPT-3 appendix C / PaLM §7):
+before training, any document with substantial n-gram overlap against
+held-out benchmarks is dropped or flagged, otherwise eval numbers are
+contaminated. Re-expressed Spark-first:
+
+- the benchmark side collapses to its DISTINCT n-gram set once — that
+  set is O(|benchmark|), orders of magnitude smaller than the corpus,
+  and is broadcast under a counted size guard (same discipline as
+  operators.dedup: never an unconditional broadcast of data-dependent
+  size);
+- the corpus side explodes each document's distinct n-grams and
+  inner-joins the benchmark set — with the broadcast in place this is a
+  map-side hash probe, so the 100 TB scan never shuffles document
+  bodies; only (doc_id, matched-gram) survivors reach the per-doc
+  aggregation, and those are O(contamination), not O(corpus);
+- a left join back onto the document spine restores the zero-overlap
+  documents (the common case) without ever shuffling text.
+
+Reference parity: the reference repo has no decontamination (it is an
+IoT demo); this module is part of the training-data-pipeline extension
+surface alongside operators.dedup / operators.text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.operators.text import tokens, word_ngrams_all
+
+# Max benchmark n-gram set size to broadcast: ~50 B/gram string → ~100 MB,
+# comfortably under Spark's 8 GB broadcast ceiling with headroom for the
+# hash relation. Above it the join degrades to a shuffled hash join.
+BROADCAST_GRAM_LIMIT = 2_000_000
+
+
+def distinct_ngram_set(
+    df: DataFrame, text_col: str = "text", n: int = 5, out: str = "gram"
+) -> DataFrame:
+    """The distinct word n-gram set of a corpus as a 1-column DataFrame.
+    Explode per-document distinct grams, then global distinct — the
+    shuffle carries short gram strings only."""
+    staged = df.select(word_ngrams_all(tokens(text_col), n).alias("_grams"))
+    return (
+        staged.select(F.explode(F.array_distinct("_grams")).alias(out)).distinct()
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark_grams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    flag_threshold: float = 0.2,
+    broadcast_gram_limit: int = BROADCAST_GRAM_LIMIT,
+) -> DataFrame:
+    """Per-document benchmark overlap: distinct n-grams, how many occur
+    in `benchmark_grams` (1 column: gram), the overlap fraction, and a
+    contaminated flag at `flag_threshold`. Documents shorter than n
+    tokens have no grams → overlap_frac NULL, flagged false.
+
+    `benchmark_grams` is materialized and counted once; broadcast only
+    under `broadcast_gram_limit` (shuffled join fallback above it).
+    """
+    bench = benchmark_grams.localCheckpoint(eager=True)
+    if bench.count() <= broadcast_gram_limit:
+        bench = F.broadcast(bench)
+
+    docs = corpus.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams_all(tokens(text_col), n)).alias("_grams"),
+    ).localCheckpoint(eager=True)
+
+    hits = (
+        docs.select(F.col(id_col), F.explode("_grams").alias("gram"))
+        .join(bench, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+    # zero-hit documents have a REAL overlap of 0.0 (only gram-less docs
+    # are NULL), so coalesce before the division
+    frac = (
+        F.coalesce("n_overlap", F.lit(0)) * 1.0
+        / F.nullif(F.col("n_grams"), F.lit(0))
+    )
+    return (
+        docs.select(F.col(id_col), F.size("_grams").cast("bigint").alias("n_grams"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            frac.alias("overlap_frac"),
+            F.coalesce(frac >= flag_threshold, F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    flag_threshold: float = 0.2,
+) -> DataFrame:
+    """Drop contaminated documents: corpus minus docs whose distinct
+    n-gram overlap fraction against `benchmark` reaches the threshold.
+    The removal is a left-anti join on the (small) contaminated id set."""
+    grams = distinct_ngram_set(benchmark, text_col=text_col, n=n)
+    flagged = contamination_report(
+        corpus, grams, text_col=text_col, id_col=id_col, n=n,
+        flag_threshold=flag_threshold,
+    ).filter(F.col("contaminated"))
+    return corpus.join(flagged.select(id_col), id_col, "left_anti")

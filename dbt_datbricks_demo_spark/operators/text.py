@@ -120,6 +120,79 @@ def with_word_ngrams(
     return staged.withColumn(out, grams).drop(tok_col)
 
 
+def word_ngrams_all(tok_col: Column, n: int) -> Column:
+    """All (non-distinct) space-joined word n-grams of a staged token
+    array. Counting multiplicity is the point — callers measure
+    repetition, so `with_word_ngrams`'s array_distinct would erase the
+    signal. Empty array when the document has fewer than n tokens."""
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tok_col, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(tok_col) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(tok_col) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_run_count(arr: Column) -> Column:
+    """Multiplicity of the most frequent element: sort the array, then a
+    single aggregate() pass tracks the current run length and the best
+    seen. O(n log n) per row, pure JVM expression — no explode, no
+    shuffle, no Python. 0 for an empty array."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(arr), acc0, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition features (Rae et al. 2021
+    §A1.1, re-expressed for token n-grams): the fraction of the document
+    covered by its single most frequent 2-gram / 3-gram, and the fraction
+    of 5-grams that are repeats of an earlier 5-gram. High values mean
+    boilerplate / template spam — standard pre-training corpus filters.
+
+    Plan shape: token and n-gram arrays are STAGED as real columns
+    (one projection each) so CollapseProject cannot inline the
+    tokenization into every consumer; the whole computation is a single
+    narrow scan — zero shuffles, zero Python. Fractions are NULL when the
+    document is too short to have grams of that order.
+    """
+    t = F.col("_rep_tok")
+    staged = df.withColumn("_rep_tok", tokens(text_col))
+    for n, name in ((2, "_rep_g2"), (3, "_rep_g3"), (5, "_rep_g5")):
+        staged = staged.withColumn(name, word_ngrams_all(t, n))
+    g2, g3, g5 = F.col("_rep_g2"), F.col("_rep_g3"), F.col("_rep_g5")
+    return staged.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        (
+            top_run_count(g2) * 1.0 / F.nullif(F.size(g2).cast("bigint"), F.lit(0))
+        ).alias("top_bigram_frac"),
+        (
+            top_run_count(g3) * 1.0 / F.nullif(F.size(g3).cast("bigint"), F.lit(0))
+        ).alias("top_trigram_frac"),
+        (
+            (F.size(g5) - F.size(F.array_distinct(g5)))
+            * 1.0
+            / F.nullif(F.size(g5).cast("bigint"), F.lit(0))
+        ).alias("dup_5gram_frac"),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set. Detects bag-of-words-identical documents regardless of

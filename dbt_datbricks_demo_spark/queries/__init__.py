@@ -11,6 +11,7 @@ least verification signal.
 
 from dbt_datbricks_demo_spark.queries.inventory import QUERIES, QuerySpec  # noqa: F401
 from dbt_datbricks_demo_spark.queries import llm_ops  # noqa: F401  (registers into QUERIES)
+from dbt_datbricks_demo_spark.queries import pipeline_ops  # noqa: F401  (registers into QUERIES)
 
 _ordered = {n: s for n, s in QUERIES.items() if s.oracle is not None}
 _ordered.update({n: s for n, s in QUERIES.items() if s.oracle is None})

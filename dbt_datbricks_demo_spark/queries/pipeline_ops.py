@@ -1,0 +1,355 @@
+"""Training-data-pipeline queries (round 2 extension surface):
+within-document repetition filters, benchmark decontamination, PII
+redaction, sequence packing, and domain-mixture sampling — each with a
+DuckDB oracle computing literally the same integers/doubles.
+
+Shared conventions with llm_ops.py: tokens are
+string_split_regex(trim(lower(text)), '\\s+') in both engines; id
+hashing is the first 8 md5 hex digits as an unsigned 32-bit int.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.operators import decontam, packing, pii, sampling, text
+from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
+from dbt_datbricks_demo_spark.queries.llm_ops import _SQL_TOKENS
+
+# md5-bucket expression shared by split/pack/mix hashing (DuckDB side).
+def _sql_bucket(salt: str, mod: int) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}' || cast(doc_id as varchar)), 1, 8))::ubigint"
+        f" % {mod}"
+    )
+
+
+def _sql_ngram_list(tok: str, n: int) -> str:
+    """All (non-distinct) space-joined word n-grams of a token list."""
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(n)).replace("t[i + 0]", "t[i]")
+    return (
+        f"list_transform(range(1, greatest(len({tok}) - {n - 1}, 0) + 1),"
+        f" i -> {parts})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style filters)
+# ---------------------------------------------------------------------------
+@_register(
+    "repetition_report",
+    "Gopher-style within-doc repetition features: top-2/3-gram coverage "
+    "fraction and duplicate-5-gram fraction via sorted-run aggregate() — "
+    "single narrow scan, zero shuffles, zero Python "
+    "(operators.text.repetition_stats)",
+    f"""
+    with tok as (
+        select doc_id, {_SQL_TOKENS} as t from documents
+    ),
+    g as (
+        select doc_id, len(t) as n_tokens,
+               {_sql_ngram_list('t', 2)} as g2,
+               {_sql_ngram_list('t', 3)} as g3,
+               {_sql_ngram_list('t', 5)} as g5
+        from tok
+    ),
+    top2 as (
+        select doc_id, max(c) as m from (
+            select doc_id, gg, count(*) as c
+            from (select doc_id, unnest(g2) as gg from g) group by 1, 2
+        ) group by 1
+    ),
+    top3 as (
+        select doc_id, max(c) as m from (
+            select doc_id, gg, count(*) as c
+            from (select doc_id, unnest(g3) as gg from g) group by 1, 2
+        ) group by 1
+    )
+    select g.doc_id,
+           cast(n_tokens as bigint)                         as n_tokens,
+           top2.m * 1.0 / nullif(len(g2), 0)                as top_bigram_frac,
+           top3.m * 1.0 / nullif(len(g3), 0)                as top_trigram_frac,
+           (len(g5) - len(list_distinct(g5))) * 1.0
+               / nullif(len(g5), 0)                         as dup_5gram_frac
+    from g
+    left join top2 using (doc_id)
+    left join top3 using (doc_id)
+    """,
+)
+def repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    rep = text.repetition_stats(docs)
+    return rep.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "top_bigram_frac",
+        "top_trigram_frac",
+        "dup_5gram_frac",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train vs held-out test split)
+# ---------------------------------------------------------------------------
+_DECONTAM_N = 3
+_DECONTAM_FLAG = 0.05
+
+
+@_register(
+    "decontam_report",
+    "benchmark decontamination: per-train-doc distinct word-3-gram overlap "
+    "against the held-out test split's n-gram set (size-guarded broadcast "
+    "of the benchmark set; operators.decontam.contamination_report)",
+    f"""
+    with assigned as (
+        select doc_id, {_SQL_TOKENS} as t,
+               {_sql_bucket('split', 10_000)} as bucket
+        from documents
+    ),
+    grams as (
+        select doc_id, bucket,
+               list_distinct({_sql_ngram_list('t', _DECONTAM_N)}) as gd
+        from assigned
+    ),
+    bench as (
+        select distinct unnest(gd) as gram from grams where bucket >= 9500
+    ),
+    corpus as (
+        select doc_id, gd from grams where bucket < 9500
+    ),
+    hits as (
+        select doc_id, count(*) as c
+        from (select doc_id, unnest(gd) as gram from corpus)
+        join bench using (gram)
+        group by 1
+    )
+    select corpus.doc_id,
+           cast(len(gd) as bigint)                        as n_grams,
+           cast(coalesce(hits.c, 0) as bigint)            as n_overlap,
+           coalesce(hits.c, 0) * 1.0 / nullif(len(gd), 0) as overlap_frac,
+           coalesce(coalesce(hits.c, 0) * 1.0 / nullif(len(gd), 0)
+                    >= {_DECONTAM_FLAG}, false)           as contaminated
+    from corpus left join hits using (doc_id)
+    """,
+)
+def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    split = text.split_assignment("doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})
+    assigned = docs.withColumn("_split", split)
+    bench = decontam.distinct_ngram_set(
+        assigned.filter(F.col("_split") == "test"), n=_DECONTAM_N
+    )
+    corpus = assigned.filter(F.col("_split") != "test")
+    return decontam.contamination_report(
+        corpus, bench, n=_DECONTAM_N, flag_threshold=_DECONTAM_FLAG
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction audit
+# ---------------------------------------------------------------------------
+# The synthetic corpus contains no PII, so the audit decorates every
+# document with deterministic doc_id-derived PII (email, phone, IPv4,
+# SSN) IN BOTH ENGINES, then proves detection counts and a zero residual
+# after redaction. The patterns live in operators.pii (Java-regex ∩ RE2).
+_SQL_DECORATED = (
+    "text || ' reach user' || cast(doc_id as varchar) || '@example.com"
+    " or +1-555-' || lpad(cast(doc_id * 7 % 1000 as varchar), 3, '0')"
+    " || '-' || lpad(cast(doc_id * 13 % 10000 as varchar), 4, '0')"
+    " || ' host 10.' || cast(doc_id % 256 as varchar)"
+    " || '.0.' || cast(doc_id * 3 % 256 as varchar)"
+    " || ' ssn 123-45-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')"
+)
+
+
+@_register(
+    "pii_redaction_report",
+    "PII scrub audit: deterministic synthetic PII injected per doc, "
+    "counted per class, redacted, and proven residual-free — pure "
+    "regexp expressions, zero shuffles beyond the final rollup "
+    "(operators.pii)",
+    f"""
+    with decorated as (
+        select source, {_SQL_DECORATED} as txt from documents
+    ),
+    red as (
+        select source, txt,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(txt, '{pii.EMAIL_RE}', '[EMAIL]', 'g'),
+                     '{pii.IPV4_RE}', '[IP]', 'g'),
+                   '{pii.SSN_RE}', '[SSN]', 'g'),
+                 '{pii.PHONE_RE}', '[PHONE]', 'g') as rtxt
+        from decorated
+    )
+    select source,
+           count(*) as n_docs,
+           cast(sum(len(regexp_extract_all(txt, '{pii.EMAIL_RE}'))) as bigint)
+               as n_email,
+           cast(sum(len(regexp_extract_all(txt, '{pii.IPV4_RE}'))) as bigint)
+               as n_ipv4,
+           cast(sum(len(regexp_extract_all(txt, '{pii.SSN_RE}'))) as bigint)
+               as n_ssn,
+           cast(sum(len(regexp_extract_all(txt, '{pii.PHONE_RE}'))) as bigint)
+               as n_phone,
+           cast(sum(len(regexp_extract_all(rtxt, '{pii.EMAIL_RE}'))
+                  + len(regexp_extract_all(rtxt, '{pii.IPV4_RE}'))
+                  + len(regexp_extract_all(rtxt, '{pii.SSN_RE}'))
+                  + len(regexp_extract_all(rtxt, '{pii.PHONE_RE}'))) as bigint)
+               as n_residual
+    from red
+    group by source
+    """,
+)
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    decorated = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), d.cast("string"), F.lit("@example.com or +1-555-"),
+            F.lpad((d * 7 % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d * 13 % 10000).cast("string"), 4, "0"),
+            F.lit(" host 10."), (d % 256).cast("string"),
+            F.lit(".0."), (d * 3 % 256).cast("string"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ).alias("txt"),
+    )
+    counts = pii.pii_counts("txt")
+    redacted = pii.redact_pii("txt")
+    per_doc = decorated.select(
+        "source",
+        counts["email"].alias("_email"),
+        counts["ipv4"].alias("_ipv4"),
+        counts["ssn"].alias("_ssn"),
+        counts["phone"].alias("_phone"),
+        pii.residual_pii_count(redacted).alias("_residual"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_email").cast("bigint").alias("n_email"),
+        F.sum("_ipv4").cast("bigint").alias("n_ipv4"),
+        F.sum("_ssn").cast("bigint").alias("n_ssn"),
+        F.sum("_phone").cast("bigint").alias("n_phone"),
+        F.sum("_residual").cast("bigint").alias("n_residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style fixed-budget chunking)
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 256
+_PACK_BUCKETS = 16
+
+
+@_register(
+    "pack_chunks_report",
+    "sequence packing: documents laid end-to-end into fixed 256-token "
+    "training chunks across 16 md5-bucket streams via per-bucket window "
+    "prefix sums — no single-partition window (operators.packing)",
+    f"""
+    with tok as (
+        select doc_id, len({_SQL_TOKENS}) as n from documents
+    ),
+    b as (
+        select doc_id, n, {_sql_bucket('pack', _PACK_BUCKETS)} as bucket
+        from tok where n > 0
+    ),
+    placed as (
+        select bucket, doc_id, n,
+               cast(coalesce(sum(n) over (partition by bucket order by doc_id
+                        rows between unbounded preceding and 1 preceding), 0)
+                    as bigint) as s
+        from b
+    ),
+    spans as (
+        select bucket, doc_id, s, s + n as e,
+               unnest(generate_series(s // {_PACK_BUDGET},
+                                      (s + n - 1) // {_PACK_BUDGET})) as chunk_id
+        from placed
+    ),
+    chunk_rows as (
+        select bucket, chunk_id,
+               least(e, (chunk_id + 1) * {_PACK_BUDGET})
+                 - greatest(s, chunk_id * {_PACK_BUDGET}) as ct,
+               (s < chunk_id * {_PACK_BUDGET}) as cont
+        from spans
+    )
+    select cast(bucket as bigint) as bucket,
+           cast(chunk_id as bigint) as chunk_id,
+           count(*) as n_docs,
+           cast(sum(ct) as bigint) as fill_tokens,
+           cast(sum(cast(cont as bigint)) as bigint) as n_continued
+    from chunk_rows
+    group by 1, 2
+    """,
+)
+def pack_chunks_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    with_counts = docs.select(
+        "doc_id", F.size(text.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return packing.chunk_report(
+        with_counts, "n_tokens", budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling
+# ---------------------------------------------------------------------------
+# Target weights over the 20 synthetic sources: srcN gets weight (N%4)+1.
+_MIX_WEIGHTS = {f"src{i}": float((i % 4) + 1) for i in range(20)}
+_SQL_MIX_WEIGHTS = ", ".join(
+    f"('{k}', {v!r})" for k, v in _MIX_WEIGHTS.items()
+)
+
+
+@_register(
+    "mixture_sample_report",
+    "deterministic domain-mixture sampling: per-source md5 acceptance "
+    "thresholds t_d = floor(K*w_d/n_d*mod) computed fully in-plan (no "
+    "collect), kept counts follow the target weights "
+    "(operators.sampling.mixture_sample)",
+    f"""
+    with w(source, wt) as (values {_SQL_MIX_WEIGHTS}),
+    n as (
+        select source, cast(count(*) as double) as n from documents group by 1
+    ),
+    k as (
+        select min(n.n / w.wt) as k from n join w using (source) where w.wt > 0
+    ),
+    r as (
+        select n.source, cast(n.n as bigint) as n_docs,
+               cast(floor(k.k * w.wt / n.n * 10000) as bigint) as threshold
+        from n join w using (source), k
+    ),
+    kept as (
+        select source, count(*) as c from documents
+        join r using (source)
+        where {_sql_bucket('mix', 10_000)} < threshold
+        group by source
+    )
+    select r.source, r.n_docs, r.threshold,
+           cast(coalesce(kept.c, 0) as bigint) as n_kept
+    from r left join kept using (source)
+    """,
+)
+def mixture_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    thresholds = sampling.mixture_thresholds(docs, _MIX_WEIGHTS)
+    kept = (
+        sampling.mixture_sample(docs, _MIX_WEIGHTS)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return thresholds.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "threshold",
+        F.coalesce("_c", F.lit(0)).cast("bigint").alias("n_kept"),
+    )

@@ -1,0 +1,238 @@
+"""Unit tests for the round-2 training-pipeline operators: repetition
+filters, decontamination, PII scrub, sequence packing, mixture sampling.
+
+Values here are hand-computed on tiny inputs (the oracle harness covers
+the full-corpus equivalence); plan assertions pin the scale contract —
+zero Python in any hot path, no single-partition window in packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.operators import decontam, packing, pii, sampling, text
+from dbt_datbricks_demo_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# repetition
+# ---------------------------------------------------------------------------
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # tokens: [a b a b a] -> bigrams: ab ba ab ba (top 2/4),
+            # trigrams: aba bab aba (top 2/3), 5-grams: 1 distinct of 1
+            (1, "a b a b a"),
+            # too short for any gram order beyond tokens
+            (2, "x"),
+            # all-same: bigrams yy*3 top 3/3, 5-gram none (4 tokens)
+            (3, "y y y y"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 5
+    assert rows[1]["top_bigram_frac"] == pytest.approx(2 / 4)
+    assert rows[1]["top_trigram_frac"] == pytest.approx(2 / 3)
+    assert rows[1]["dup_5gram_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] is None
+    assert rows[2]["dup_5gram_frac"] is None
+    assert rows[3]["top_bigram_frac"] == pytest.approx(1.0)
+    assert rows[3]["top_trigram_frac"] == pytest.approx(1.0)
+
+
+def test_top_run_count_matches_multiplicity(spark):
+    df = spark.createDataFrame([(["b", "a", "b", "c", "b", "a"],)], ["arr"])
+    assert df.select(text.top_run_count(F.col("arr")).alias("m")).first()["m"] == 3
+    empty = spark.createDataFrame([([],)], "arr array<string>")
+    assert empty.select(text.top_run_count(F.col("arr")).alias("m")).first()["m"] == 0
+
+
+def test_repetition_plan_is_pure_jvm_no_shuffle(spark):
+    df = QUERIES["repetition_report"].build(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # narrow scan: the only exchange is the test-data _spread repartition
+    assert "hashpartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+def test_contamination_report_counts_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "dogs bark loudly at night")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(10, "the cat sat on a rug")], ["doc_id", "text"]
+    )
+    grams = decontam.distinct_ngram_set(bench, n=3)
+    rep = {
+        r["doc_id"]: r
+        for r in decontam.contamination_report(
+            corpus, grams, n=3, flag_threshold=0.2
+        ).collect()
+    }
+    # doc 1 shares 'the cat sat' and 'cat sat on' (2 of its 4 trigrams)
+    assert rep[1]["n_grams"] == 4
+    assert rep[1]["n_overlap"] == 2
+    assert rep[1]["overlap_frac"] == pytest.approx(0.5)
+    assert rep[1]["contaminated"] is True
+    assert rep[2]["n_overlap"] == 0
+    assert rep[2]["overlap_frac"] == 0.0
+    assert rep[2]["contaminated"] is False
+
+
+def test_decontaminate_drops_flagged_docs(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "dogs bark loudly at night")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(10, "the cat sat on a rug")], ["doc_id", "text"])
+    kept = decontam.decontaminate(corpus, bench, n=3, flag_threshold=0.2)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_short_docs_have_null_overlap_frac(spark):
+    corpus = spark.createDataFrame([(1, "hi")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(10, "something else entirely here")], ["doc_id", "text"])
+    grams = decontam.distinct_ngram_set(bench, n=3)
+    row = decontam.contamination_report(corpus, grams, n=3).first()
+    assert row["n_grams"] == 0
+    assert row["overlap_frac"] is None
+    assert row["contaminated"] is False
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+def test_pii_detection_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail jane.doe+x@corp.example.org now"),
+            (2, "server 192.168.1.200 and +1-415-555-0199"),
+            (3, "ssn 078-05-1120 ok"),
+            (4, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii.pii_report(df).collect()}
+    assert rows[1]["n_email"] == 1
+    assert rows[1]["redacted_text"] == "mail [EMAIL] now"
+    assert rows[2]["n_ipv4"] == 1 and rows[2]["n_phone"] == 1
+    assert rows[2]["redacted_text"] == "server [IP] and [PHONE]"
+    assert rows[3]["n_ssn"] == 1
+    assert rows[3]["redacted_text"] == "ssn [SSN] ok"
+    assert rows[4]["redacted_text"] == "nothing sensitive here"
+    assert all(r["n_residual"] == 0 for r in rows.values())
+
+
+def test_pii_plan_is_pure_jvm(spark):
+    plan = (
+        QUERIES["pii_redaction_report"]
+        .build(spark, SF)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+def test_pack_chunks_spans_and_fill(spark):
+    # one bucket so the layout is a single deterministic stream
+    df = spark.createDataFrame(
+        [(1, 3), (2, 10), (3, 4), (4, 2)], ["doc_id", "n_tokens"]
+    )
+    packed = packing.pack_chunks(
+        df, "n_tokens", budget=8, n_buckets=1
+    ).collect()
+    by_doc = {}
+    for r in packed:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # stream: doc1 [0,3) doc2 [3,13) doc3 [13,17) doc4 [17,19)
+    assert [r["chunk_id"] for r in by_doc[1]] == [0]
+    assert sorted(r["chunk_id"] for r in by_doc[2]) == [0, 1]  # straddles
+    assert sum(r["chunk_tokens"] for r in by_doc[2]) == 10
+    assert [bool(r["continues"]) for r in sorted(by_doc[2], key=lambda r: r["chunk_id"])] == [False, True]
+    # every non-tail chunk is exactly full
+    fills = {}
+    for r in packed:
+        fills[r["chunk_id"]] = fills.get(r["chunk_id"], 0) + r["chunk_tokens"]
+    assert fills[0] == 8 and fills[1] == 8 and fills[2] == 3
+
+
+def test_pack_chunks_total_token_conservation(spark):
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tokens")
+    )
+    packed = packing.pack_chunks(df, "n_tokens", budget=64, n_buckets=4)
+    total = packed.agg(F.sum("chunk_tokens").alias("s")).first()["s"]
+    assert total == df.agg(F.sum("n_tokens").alias("s")).first()["s"]
+
+
+def test_pack_window_is_partitioned_not_global(spark):
+    plan = (
+        QUERIES["pack_chunks_report"]
+        .build(spark, SF)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    # the window must partition by the bucket stream — a global window
+    # would compile to SinglePartition exchange
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling
+# ---------------------------------------------------------------------------
+def test_mixture_thresholds_cap_and_proportionality(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b") for i in range(150)], ["doc_id", "source"]
+    )
+    # a:100 docs w=1, b:50 docs w=3 -> K = min(100/1, 50/3) = 50/3
+    # t_a = floor(50/3 * 1/100 * 10000) = 1666, t_b = floor(10000) = 10000
+    t = {
+        r["source"]: r
+        for r in sampling.mixture_thresholds(df, {"a": 1.0, "b": 3.0}).collect()
+    }
+    assert t["a"]["threshold"] == 1666
+    assert t["b"]["threshold"] == 10000  # the binding domain keeps everything
+    kept = sampling.mixture_sample(df, {"a": 1.0, "b": 3.0})
+    counts = {r["source"]: r["c"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert counts["b"] == 50  # threshold 10000 keeps all of b
+    assert 0 < counts["a"] < 100
+
+
+def test_mixture_sample_drops_unweighted_domains(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "mystery")], ["doc_id", "source"]
+    )
+    kept = sampling.mixture_sample(df, {"a": 1.0})
+    assert {r["source"] for r in kept.collect()} == {"a"}
+
+
+def test_mixture_sample_is_deterministic(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source")
+    )
+    w = {"s0": 1.0, "s1": 2.0, "s2": 1.0}
+    a = sorted(r["doc_id"] for r in sampling.mixture_sample(df, w).collect())
+    b = sorted(r["doc_id"] for r in sampling.mixture_sample(df.repartition(7), w).collect())
+    assert a == b
