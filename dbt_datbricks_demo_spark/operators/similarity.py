@@ -45,6 +45,53 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def ivf_fixed_centroids(
+    cells: int, dims: int, scale: int = 1000
+) -> list[list[float]]:
+    """Deterministic pseudo-random centroids: component (c, d) =
+    (md5int("c{c}d{d}") mod (2*scale+1)) − scale, as floats. The
+    engine-portable coarse quantizer: any engine that can md5 derives
+    the same grid, which makes the IVF SEARCH path exactly
+    oracle-checkable (assignment, probing, and scoring are all plain
+    IEEE arithmetic). Real deployments train k-means
+    (train_ivf_centroids) — recall is better, but the routing/pruning
+    machinery under test is identical."""
+    out = []
+    for c in range(cells):
+        row = []
+        for d in range(dims):
+            h = int(hashlib.md5(f"c{c}d{d}".encode()).hexdigest()[:8], 16)
+            row.append(float(h % (2 * scale + 1) - scale))
+        out.append(row)
+    return out
+
+
+def centroid_scores(query: list[float], centroids: list[list[float]]) -> list[float]:
+    """Driver-side −2⟨q,c⟩+‖c‖² per centroid, with the exact same
+    operation order as ivf_assign's in-plan expression (left-fold dot,
+    then −2·dot + ‖c‖²) — so driver routing and executor assignment
+    agree bit-for-bit, as does any SQL oracle using the same fold."""
+    out = []
+    for c in centroids:
+        dot = 0.0
+        for q, x in zip(query, c):
+            dot = dot + float(q) * float(x)
+        c2 = 0.0
+        for x in c:
+            c2 = c2 + float(x) * float(x)
+        out.append(-2.0 * dot + c2)
+    return out
+
+
+def probe_cells_by_score(
+    centroids: list[list[float]], query: list[float], nprobe: int
+) -> list[int]:
+    """nprobe nearest cells by centroid_scores, ties broken by cell id —
+    the routing used by the oracle-checked fixed-centroid search."""
+    scores = centroid_scores(query, centroids)
+    return [i for i, _s in sorted(enumerate(scores), key=lambda t: (t[1], t[0]))[:nprobe]]
+
+
 def ivf_assign(
     vec_col: Column, centroids: list[list[float]]
 ) -> Column:

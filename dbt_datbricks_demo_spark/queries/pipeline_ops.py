@@ -13,9 +13,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbt_datbricks_demo_spark.operators import decontam, packing, pii, sampling, text
+from dbt_datbricks_demo_spark.operators import (
+    decontam,
+    packing,
+    pii,
+    sampling,
+    search,
+    similarity,
+    text,
+)
 from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
-from dbt_datbricks_demo_spark.queries.llm_ops import _SQL_TOKENS
+from dbt_datbricks_demo_spark.queries.llm_ops import _SQL_TOKENS, _sql_dot
 
 # md5-bucket expression shared by split/pack/mix hashing (DuckDB side).
 def _sql_bucket(salt: str, mod: int) -> str:
@@ -352,4 +360,142 @@ def mixture_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "threshold",
         F.coalesce("_c", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text search
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "merge", "window"]
+_BM25_K = 15
+_SQL_BM25_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@_register(
+    "bm25_search",
+    "BM25 top-15 documents for a 3-term query via the inverted-stats "
+    "plan (postings filtered under the explode, broadcast dfs/avgdl, "
+    "sorted-term score fold for bit-stable doubles); rational idf so "
+    "both engines use exact IEEE arithmetic (operators.search.bm25_topk)",
+    f"""
+    with base as (
+        select doc_id, {_SQL_TOKENS} as t from documents
+    ),
+    lens as (
+        select doc_id, cast(len(t) as bigint) as dl, t from base
+    ),
+    stats as (
+        select cast(count(*) as bigint) as n_docs,
+               sum(dl) * 1.0 / count(*) as avgdl
+        from lens
+    ),
+    post as (
+        select doc_id, term, cast(count(*) as bigint) as tf,
+               any_value(dl) as dl
+        from (select doc_id, dl, unnest(t) as term from lens)
+        where term in ({_SQL_BM25_TERMS})
+        group by doc_id, term
+    ),
+    dfs as (
+        select term, cast(count(*) as bigint) as doc_freq from post group by term
+    ),
+    contrib as (
+        -- 2.2/1.2 cast to double: DuckDB parses bare float literals as
+        -- exact DECIMALs, which would diverge from Spark's double math
+        select post.doc_id, post.term,
+               ((n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+               * (tf * 2.2::double)
+               / (tf + 1.2::double * (1.0 - 0.75 + 0.75 * dl / avgdl)) as c
+        from post join dfs using (term), stats
+    )
+    select doc_id, sum(c order by term) as score,
+           cast(count(*) as bigint) as n_matched_terms
+    from contrib
+    group by doc_id
+    order by score desc, doc_id
+    limit {_BM25_K}
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return search.bm25_topk(docs, _BM25_TERMS, k=_BM25_K, idf_mode="rational")
+
+
+# ---------------------------------------------------------------------------
+# IVF with a fixed (md5-derived) coarse quantizer — exactly oracle-checked
+# ---------------------------------------------------------------------------
+# The trained-k-means IVF stays rows-only (iterative MLlib training has
+# no SQL equivalent); this variant swaps in the engine-portable fixed
+# grid so assignment, nprobe routing, and scoring are all verified by
+# value hash. The search machinery (argmin assignment, cell filter,
+# cosine top-k) is the same code path.
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+_IVF_FIXED = similarity.ivf_fixed_centroids(_IVF_CELLS, 64)
+
+
+def _sql_ivf_fixed() -> str:
+    score_exprs = []
+    for c in _IVF_FIXED:
+        c2 = 0.0
+        for x in c:
+            c2 = c2 + x * x
+        score_exprs.append(f"(-2.0 * {_sql_dot('embedding', c)} + {c2!r})")
+    sc = "[" + ",\n               ".join(score_exprs) + "]"
+    self_dot = _sql_dot(
+        "embedding", "list_transform(embedding, x -> cast(x as double))"
+    )
+    return f"""
+    with scored as (
+        select vec_id, embedding,
+               {sc} as sc
+        from embeddings
+    ),
+    assigned as (
+        select vec_id, embedding,
+               list_position(sc, list_min(sc)) - 1 as cell
+        from scored
+    ),
+    qcells as (
+        select i - 1 as cell from (
+            select unnest(sc) as s, generate_subscripts(sc, 1) as i
+            from scored where vec_id = 0
+        ) order by s, i limit {_IVF_NPROBE}
+    ),
+    q as (
+        select list_transform(embedding, x -> cast(x as double)) as qv
+        from embeddings where vec_id = 0
+    )
+    select vec_id,
+           {_sql_dot('embedding', 'qv')}
+           / (sqrt({self_dot}) * sqrt({_sql_dot('qv', 'qv')})) as cosine
+    from assigned join qcells using (cell), q
+    order by cosine desc, vec_id
+    limit 10
+    """
+
+
+@_register(
+    "ann_ivf_fixed_topk",
+    "IVF ANN search with the md5-derived fixed coarse quantizer: argmin "
+    "cell assignment, nprobe=4 routing, exact cosine within probed cells "
+    "— the full search path value-hash-verified (operators.similarity."
+    "ivf_fixed_centroids/ivf_assign)",
+    _sql_ivf_fixed(),
+)
+def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    cells = similarity.probe_cells_by_score(_IVF_FIXED, query, _IVF_NPROBE)
+    return (
+        emb.filter(
+            similarity.ivf_assign(F.col("embedding"), _IVF_FIXED).isin(cells)
+        )
+        .select(
+            "vec_id",
+            similarity.cosine_to_query(F.col("embedding"), query).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
     )

@@ -236,3 +236,102 @@ def test_mixture_sample_is_deterministic(spark):
     a = sorted(r["doc_id"] for r in sampling.mixture_sample(df, w).collect())
     b = sorted(r["doc_id"] for r in sampling.mixture_sample(df.repartition(7), w).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# BM25 search
+# ---------------------------------------------------------------------------
+def test_bm25_hand_computed(spark):
+    # 3 docs, query {cat}: df=2, N=3, dl: 2,2,4, avgdl=8/3
+    df = spark.createDataFrame(
+        [(1, "cat cat"), (2, "cat dog"), (3, "bird bird bird bird")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in __import__(
+            "dbt_datbricks_demo_spark.operators.search", fromlist=["search"]
+        ).bm25_scores(df, ["cat"], idf_mode="rational").collect()
+    }
+    assert set(rows) == {1, 2}  # doc 3 matches nothing
+    idf = (3 - 2 + 0.5) / (2 + 0.5)  # 0.6
+    avgdl = 8 / 3
+    for doc, tf in ((1, 2), (2, 1)):
+        expected = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * 2 / avgdl))
+        assert rows[doc]["score"] == pytest.approx(expected)
+    assert rows[1]["score"] > rows[2]["score"]  # higher tf wins
+    assert rows[1]["n_matched_terms"] == 1
+
+
+def test_bm25_multi_term_fold_is_partition_stable(spark):
+    from dbt_datbricks_demo_spark.operators import search
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma " * (i % 5 + 1)) for i in range(100)],
+        ["doc_id", "text"],
+    )
+    terms = ["alpha", "beta", "gamma"]
+    a = {r["doc_id"]: r["score"] for r in search.bm25_scores(df, terms).collect()}
+    b = {
+        r["doc_id"]: r["score"]
+        for r in search.bm25_scores(df.repartition(13), terms).collect()
+    }
+    assert a == b  # bit-identical across partitionings (sorted fold)
+
+
+def test_bm25_topk_plan_shape(spark):
+    plan = (
+        QUERIES["bm25_search"]
+        .build(spark, SF)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+    assert "BroadcastHashJoin" in plan  # dfs + stats broadcast onto postings
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_unknown_idf_mode_raises(spark):
+    from dbt_datbricks_demo_spark.operators import search
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        search.bm25_scores(df, ["x"], idf_mode="bogus").collect()
+
+
+# ---------------------------------------------------------------------------
+# fixed-centroid IVF
+# ---------------------------------------------------------------------------
+def test_fixed_centroids_are_deterministic_and_bounded(spark):
+    from dbt_datbricks_demo_spark.operators import similarity
+
+    a = similarity.ivf_fixed_centroids(4, 8)
+    b = similarity.ivf_fixed_centroids(4, 8)
+    assert a == b
+    assert all(-1000 <= x <= 1000 for row in a for x in row)
+
+
+def test_probe_cells_by_score_matches_ivf_assign(spark):
+    """Driver routing and executor assignment must agree: a vector's own
+    cell (argmin) is the first probe cell for itself as a query."""
+    from dbt_datbricks_demo_spark.operators import similarity
+
+    cents = similarity.ivf_fixed_centroids(8, 16)
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13 - 6) for d in range(16)]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    assigned = {
+        r["vec_id"]: r["cell"]
+        for r in df.select(
+            "vec_id",
+            similarity.ivf_assign(F.col("embedding"), cents).alias("cell"),
+        ).collect()
+    }
+    for r in df.collect():
+        q = [float(x) for x in r["embedding"]]
+        assert similarity.probe_cells_by_score(cents, q, 1)[0] == assigned[r["vec_id"]]
