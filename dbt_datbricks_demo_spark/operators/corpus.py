@@ -88,6 +88,74 @@ def clean_corpus(
     return gated.join(losers, on=id_col, how="left_anti")
 
 
+def prepare_training_set(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_bigram_frac: float = 0.2,
+    max_dup_5gram_frac: float = 0.3,
+    splits: dict[str, float] | None = None,
+    decontam_n: int = 3,
+    decontam_threshold: float = 0.05,
+    **clean_kwargs,
+) -> DataFrame:
+    """The full raw-corpus → training-set composition:
+
+        1. clean_corpus       — exact dedup, quality/language gates,
+                                MinHash near-dup removal
+        2. repetition gate    — drop boilerplate (top-bigram coverage /
+                                duplicate-5-gram fraction thresholds)
+        3. deterministic split— md5-hash train/val/test assignment
+        4. decontamination    — drop train/val documents whose word
+                                n-grams overlap the TEST split (the
+                                held-out benchmark must not leak into
+                                the training mixture)
+
+    Returns the surviving documents with a `split` column. The cleaned
+    + gated corpus is materialized lazily once (localCheckpoint inside
+    clean_corpus, plus one here above the split) because the
+    decontamination stage reads it from several plan branches.
+
+    Shuffle budget on top of clean_corpus's: the benchmark n-gram
+    distinct (O(|test split|)) and the contamination hits aggregation
+    (O(overlapping grams)) — repetition/split/gates are narrow.
+    """
+    from dbt_datbricks_demo_spark.operators import decontam
+
+    splits = splits or {"train": 0.90, "val": 0.05, "test": 0.05}
+    test_name = list(splits)[-1]
+
+    cleaned = clean_corpus(docs, id_col=id_col, text_col=text_col, **clean_kwargs)
+    repgated = (
+        text.with_repetition_stats(cleaned, text_col=text_col)
+        .filter(
+            (F.col("top_bigram_frac") <= max_top_bigram_frac)
+            & (F.col("dup_5gram_frac") <= max_dup_5gram_frac)
+        )
+        .drop("n_tokens", "top_bigram_frac", "top_trigram_frac", "dup_5gram_frac")
+    )
+    assigned = repgated.withColumn(
+        "split", text.split_assignment(id_col, splits)
+    ).localCheckpoint(eager=False)
+
+    bench_docs = assigned.filter(F.col("split") == test_name)
+    bench = decontam.distinct_ngram_set(bench_docs, text_col=text_col, n=decontam_n)
+    trainval = assigned.filter(F.col("split") != test_name)
+    flagged = (
+        decontam.contamination_report(
+            trainval,
+            bench,
+            text_col=text_col,
+            id_col=id_col,
+            n=decontam_n,
+            flag_threshold=decontam_threshold,
+        )
+        .filter(F.col("contaminated"))
+        .select(id_col)
+    )
+    return trainval.join(flagged, id_col, "left_anti").unionByName(bench_docs)
+
+
 def corpus_stats(
     cleaned: DataFrame, lang_col_expr=None, text_col: str = "text"
 ) -> DataFrame:

@@ -70,10 +70,14 @@ def contamination_report(
     if bench.count() <= broadcast_gram_limit:
         bench = F.broadcast(bench)
 
+    # NOT checkpointed: the gram arrays are recomputed by the two
+    # consumers (hits, spine), but regexp+array expression work over a
+    # scan is cheaper than writing corpus-sized gram arrays to checkpoint
+    # storage — narrow recompute beats wide materialization here
     docs = corpus.select(
         F.col(id_col),
         F.array_distinct(word_ngrams_all(tokens(text_col), n)).alias("_grams"),
-    ).localCheckpoint(eager=True)
+    )
 
     hits = (
         docs.select(F.col(id_col), F.explode("_grams").alias("gram"))

@@ -97,12 +97,31 @@ def ivf_assign(
 ) -> Column:
     """Nearest-centroid cell id as a pure JVM expression: argmin over
     −2⟨v,c⟩+‖c‖² (the ‖v‖² term is constant per row). One narrow pass,
-    no shuffle — the IVF analog of hyperplane_bucket."""
-    scores = []
+    no shuffle — the IVF analog of hyperplane_bucket.
+
+    The centroid matrix is ONE 2-D array literal scored by a single
+    transform() lambda, not |cells| separate unrolled dot-product
+    expressions — the unrolled form made the expression tree (and its
+    codegen) grow with cell count, which dominated small-query wall
+    time. Identical arithmetic order per element, so assignments (and
+    the oracle hash) are unchanged."""
+    cmat = F.array(
+        *[F.array(*[F.lit(float(x)).cast("double") for x in c]) for c in centroids]
+    )
+    c2s = []
     for c in centroids:
-        c2 = sum(x * x for x in c)
-        scores.append(F.lit(-2.0) * _dot_with_literal(vec_col, c) + F.lit(c2))
-    arr = F.array(*scores)
+        c2 = 0.0
+        for x in c:
+            c2 = c2 + float(x) * float(x)
+        c2s.append(c2)
+    c2arr = F.array(*[F.lit(v) for v in c2s])
+
+    def score(c: Column, i: Column) -> Column:
+        prods = F.zip_with(vec_col, c, lambda x, y: x.cast("double") * y)
+        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        return F.lit(-2.0) * dot + F.element_at(c2arr, i + 1)
+
+    arr = F.transform(cmat, score)
     # array_position is 1-based; cell ids are 0-based
     return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 

@@ -156,14 +156,13 @@ def top_run_count(arr: Column) -> Column:
     return F.aggregate(F.array_sort(arr), acc0, step, lambda acc: acc["best"])
 
 
-def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style within-document repetition features (Rae et al. 2021
-    §A1.1, re-expressed for token n-grams): the fraction of the document
-    covered by its single most frequent 2-gram / 3-gram, and the fraction
-    of 5-grams that are repeats of an earlier 5-gram. High values mean
-    boilerplate / template spam — standard pre-training corpus filters.
+    §A1.1, re-expressed for token n-grams) APPENDED to the input:
+    n_tokens, the fraction of the document covered by its single most
+    frequent 2-gram / 3-gram, and the fraction of 5-grams that are
+    repeats of an earlier 5-gram. High values mean boilerplate /
+    template spam — standard pre-training corpus filters.
 
     Plan shape: token and n-gram arrays are STAGED as real columns
     (one projection each) so CollapseProject cannot inline the
@@ -176,20 +175,31 @@ def repetition_stats(
     for n, name in ((2, "_rep_g2"), (3, "_rep_g3"), (5, "_rep_g5")):
         staged = staged.withColumn(name, word_ngrams_all(t, n))
     g2, g3, g5 = F.col("_rep_g2"), F.col("_rep_g3"), F.col("_rep_g5")
-    return staged.select(
-        F.col(id_col),
-        F.size(t).alias("n_tokens"),
-        (
-            top_run_count(g2) * 1.0 / F.nullif(F.size(g2).cast("bigint"), F.lit(0))
-        ).alias("top_bigram_frac"),
-        (
-            top_run_count(g3) * 1.0 / F.nullif(F.size(g3).cast("bigint"), F.lit(0))
-        ).alias("top_trigram_frac"),
-        (
-            (F.size(g5) - F.size(F.array_distinct(g5)))
+    return staged.withColumns(
+        {
+            "n_tokens": F.size(t),
+            "top_bigram_frac": top_run_count(g2) * 1.0
+            / F.nullif(F.size(g2).cast("bigint"), F.lit(0)),
+            "top_trigram_frac": top_run_count(g3) * 1.0
+            / F.nullif(F.size(g3).cast("bigint"), F.lit(0)),
+            "dup_5gram_frac": (F.size(g5) - F.size(F.array_distinct(g5)))
             * 1.0
-            / F.nullif(F.size(g5).cast("bigint"), F.lit(0))
-        ).alias("dup_5gram_frac"),
+            / F.nullif(F.size(g5).cast("bigint"), F.lit(0)),
+        }
+    ).drop("_rep_tok", "_rep_g2", "_rep_g3", "_rep_g5")
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition report: id + the with_repetition_stats
+    feature columns only."""
+    return with_repetition_stats(df, text_col=text_col).select(
+        id_col,
+        "n_tokens",
+        "top_bigram_frac",
+        "top_trigram_frac",
+        "dup_5gram_frac",
     )
 
 

@@ -349,9 +349,22 @@ _SQL_MIX_WEIGHTS = ", ".join(
 )
 def mixture_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
-    thresholds = sampling.mixture_thresholds(docs, _MIX_WEIGHTS)
+    # one thresholds subtree shared by the report columns and the kept
+    # filter (mixture_sample would re-derive it — a second corpus scan)
+    thresholds = sampling.mixture_thresholds(docs, _MIX_WEIGHTS).localCheckpoint(
+        eager=True
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10_000
+    )
     kept = (
-        sampling.mixture_sample(docs, _MIX_WEIGHTS)
+        docs.join(F.broadcast(thresholds.select("source", "threshold")), "source")
+        .filter(bucket < F.col("threshold"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -498,4 +511,155 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full training-set preparation (capstone composition)
+# ---------------------------------------------------------------------------
+def _sql_training_set() -> str:
+    from dbt_datbricks_demo_spark.queries.llm_ops import (
+        _SQL_PUNCT_RATIO,
+        _SQL_SHINGLE_HASHES,
+        _sql_lang_predict,
+        _sql_minhash_cols,
+    )
+
+    return f"""
+    with dedup1 as (
+        select d.* from documents d
+        join (select md5(text) as ch, min(doc_id) as keeper
+              from documents group by md5(text)) k
+          on md5(d.text) = k.ch and d.doc_id = k.keeper
+    ),
+    gated as (
+        select * from dedup1
+        where len({_SQL_TOKENS}) >= 10
+          and {_SQL_PUNCT_RATIO} <= 0.2
+          and {_sql_lang_predict()} in ('en', 'de', 'es', 'fr')
+    ),
+    hashed as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from gated),
+    sigs as (select doc_id, {', '.join(_sql_minhash_cols(8))} from hashed),
+    bands as (
+        select doc_id, md5(concat_ws('-', '0', h0, h1, h2, h3)) as band_key from sigs
+        union all
+        select doc_id, md5(concat_ws('-', '1', h4, h5, h6, h7)) as band_key from sigs
+    ),
+    pairs as (
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from bands a join bands b
+          on a.band_key = b.band_key and a.doc_id < b.doc_id
+    ),
+    sh as (select doc_id, unnest(hs) as sh from hashed),
+    sizes as (select doc_id, len(hs) as set_size from hashed),
+    jac as (
+        select p.id_a, p.id_b,
+               count(*) * 1.0
+                 / (sa.set_size + sb.set_size - count(*)) as jaccard
+        from pairs p
+        join sh a on a.doc_id = p.id_a
+        join sh b on b.doc_id = p.id_b and b.sh = a.sh
+        join sizes sa on sa.doc_id = p.id_a
+        join sizes sb on sb.doc_id = p.id_b
+        group by p.id_a, p.id_b, sa.set_size, sb.set_size
+    ),
+    clean1 as (
+        select doc_id, text from gated
+        where doc_id not in (select id_b from jac where jaccard >= 0.9)
+    ),
+    tok1 as (select doc_id, {_SQL_TOKENS} as t from clean1),
+    gr as (
+        select doc_id, t,
+               {_sql_ngram_list('t', 2)} as g2,
+               {_sql_ngram_list('t', 5)} as g5
+        from tok1
+    ),
+    top2 as (
+        select doc_id, max(c) as m from (
+            select doc_id, gg, count(*) as c
+            from (select doc_id, unnest(g2) as gg from gr) group by 1, 2
+        ) group by 1
+    ),
+    repgated as (
+        select gr.doc_id, gr.t from gr join top2 using (doc_id)
+        where top2.m * 1.0 / nullif(len(g2), 0) <= 0.2
+          and (len(g5) - len(list_distinct(g5))) * 1.0
+              / nullif(len(g5), 0) <= 0.3
+    ),
+    asg as (
+        select doc_id, t,
+               case when {_sql_bucket('split', 10_000)} < 9000 then 'train'
+                    when {_sql_bucket('split', 10_000)} < 9500 then 'val'
+                    else 'test' end as split
+        from repgated
+    ),
+    cg as (
+        select doc_id, split, t,
+               list_distinct({_sql_ngram_list('t', 3)}) as gd
+        from asg
+    ),
+    bench as (
+        select distinct unnest(gd) as gram from cg where split = 'test'
+    ),
+    hits as (
+        select doc_id, count(*) as c
+        from (select doc_id, unnest(gd) as gram from cg where split <> 'test')
+        join bench using (gram)
+        group by 1
+    ),
+    flagged as (
+        select cg.doc_id from cg left join hits using (doc_id)
+        where split <> 'test'
+          and coalesce(hits.c, 0) * 1.0 / nullif(len(gd), 0) >= 0.05
+    ),
+    final2 as (
+        select doc_id, split, len(t) as nt from cg where split = 'test'
+        union all
+        select doc_id, split, len(t) from cg
+        where split <> 'test' and doc_id not in (select doc_id from flagged)
+    ),
+    perb as (
+        select split, {_sql_bucket('pack', 16)} as bucket,
+               count(*) as n, cast(sum(nt) as bigint) as s
+        from final2 group by 1, 2
+    )
+    select split,
+           cast(sum(n) as bigint) as n_docs,
+           cast(sum(s) as bigint) as total_tokens,
+           cast(sum((s + 255) // 256) as bigint) as n_chunks
+    from perb group by split
+    """
+
+
+@_register(
+    "training_set_report",
+    "capstone composition: clean_corpus (dedup+quality+lang+near-dup) → "
+    "repetition gate → deterministic split → decontaminate train/val "
+    "against the test split → per-split doc/token/256-token-chunk totals "
+    "(operators.corpus.prepare_training_set)",
+    _sql_training_set(),
+)
+def training_set_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators.corpus import prepare_training_set
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    final = prepare_training_set(docs, persist_gated=True)
+    per_bucket = (
+        final.select(
+            "split",
+            packing._md5_bucket("doc_id", _PACK_BUCKETS, "pack").alias("bucket"),
+            F.size(text.tokens("text")).cast("bigint").alias("nt"),
+        )
+        .groupBy("split", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nt").cast("bigint").alias("s"),
+        )
+    )
+    return per_bucket.groupBy("split").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum("s").cast("bigint").alias("total_tokens"),
+        F.sum(F.floor((F.col("s") + F.lit(255)) / F.lit(256)))
+        .cast("bigint")
+        .alias("n_chunks"),
     )
