@@ -54,15 +54,27 @@ def corpus_stream_cleaned(
     text_col: str = "text",
     min_tokens: int = 5,
     allowed_langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """Cross-batch exact dedup + quality/language gates. The dedup state
-    key is the md5 digest — document bodies never enter the state store."""
+    key is the md5 digest — document bodies never enter the state store.
+
+    scrub_pii=True redacts PII (operators.pii) AFTER dedup and gating:
+    the dedup state stays keyed on the raw-content hash (a re-sent raw
+    document still dedups against its scrubbed predecessor), and the
+    quality/language metrics describe the original text, not the
+    placeholder tokens. Pure regexp expressions — no extra state."""
     hashed = stream.withColumn("content_hash", dedup.content_hash(text_col))
     deduped = hashed.dropDuplicates(["content_hash"])
-    return deduped.filter(
+    gated = deduped.filter(
         (F.size(text.tokens(text_col)) >= min_tokens)
         & text.predict_lang(text_col).isin(*allowed_langs)
     )
+    if scrub_pii:
+        from dbt_datbricks_demo_spark.operators.pii import redact_pii
+
+        gated = gated.withColumn(text_col, redact_pii(text_col))
+    return gated
 
 
 def write_corpus_append(

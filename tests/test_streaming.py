@@ -271,3 +271,40 @@ def test_streaming_corpus_neardup_across_batches(spark, tmp_path):
     assert got2 == {1, 4}
     # the store accumulated exactly the admitted docs' signatures
     assert {r["doc_id"] for r in spark.read.parquet(store).collect()} == {1, 4}
+
+
+def test_streaming_corpus_pii_scrub(spark, tmp_path):
+    """scrub_pii=True redacts at ingest; the dedup state keys on the RAW
+    content hash, so a re-sent raw document still dedups against its
+    scrubbed predecessor in a later batch."""
+    from dbt_datbricks_demo_spark.streaming.corpus import (
+        corpus_stream_cleaned,
+        read_document_stream,
+        write_corpus_append,
+    )
+
+    input_dir = tmp_path / "pii_in"
+    input_dir.mkdir()
+    out, ckpt = str(tmp_path / "pii_out"), str(tmp_path / "pii_ckpt")
+    leaky = (
+        "the contact of the team is alice@corp.example.com and the office is open"
+    )
+
+    def run():
+        stream = corpus_stream_cleaned(
+            read_document_stream(spark, str(input_dir)), scrub_pii=True
+        )
+        q = write_corpus_append(stream, out, ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    (input_dir / "b1.jsonl").write_text(f'{{"doc_id": 1, "text": "{leaky}"}}\n')
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert "[EMAIL]" in rows[0]["text"]
+    assert "alice@corp.example.com" not in rows[0]["text"]
+
+    # the same raw text again -> deduped against the scrubbed admit
+    (input_dir / "b2.jsonl").write_text(f'{{"doc_id": 2, "text": "{leaky}"}}\n')
+    run()
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
