@@ -134,9 +134,16 @@ def prepare_training_set(
         )
         .drop("n_tokens", "top_bigram_frac", "top_trigram_frac", "dup_5gram_frac")
     )
+    # EAGER checkpoint: everything upstream (dedup → gates → near-dup →
+    # repetition → split) collapses to one materialized relation here.
+    # The three downstream consumers (benchmark grams, contamination
+    # hits, final union) then plan against the checkpoint instead of
+    # re-analyzing the full composition tree per action — at corpus
+    # scale this is also exactly where a real pipeline writes its
+    # intermediate table.
     assigned = repgated.withColumn(
         "split", text.split_assignment(id_col, splits)
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     bench_docs = assigned.filter(F.col("split") == test_name)
     bench = decontam.distinct_ngram_set(bench_docs, text_col=text_col, n=decontam_n)

@@ -64,6 +64,32 @@ def mixture_thresholds(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly k documents per group (fewer if the group is smaller):
+    the k smallest md5(salt‖id) draws win, ties broken by id. A
+    deterministic reservoir — every engine/run/partitioning selects the
+    same rows, and changing `salt` redraws.
+
+    Plan: one hash exchange on the group key with a rank window;
+    Spark's WindowGroupLimit pushes the k-row limit to the map side, so
+    the shuffle carries ~k rows per group per input partition, not the
+    corpus. Adds `sample_rank` (1..k within the group)."""
+    from pyspark.sql import Window
+
+    draw = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(draw.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, float],

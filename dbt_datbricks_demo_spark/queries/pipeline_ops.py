@@ -663,3 +663,34 @@ def training_set_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_chunks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified per-group sampling
+# ---------------------------------------------------------------------------
+_STRAT_K = 5
+
+
+@_register(
+    "stratified_sample",
+    "deterministic stratified sampling: the 5 smallest md5(salt||id) "
+    "draws per source win (ties by id) — WindowGroupLimit pushes the "
+    "per-group limit map-side (operators.sampling.stratified_sample)",
+    f"""
+    select source, doc_id, cast(sample_rank as bigint) as sample_rank
+    from (
+        select source, doc_id,
+               row_number() over (
+                   partition by source
+                   order by md5('strat' || cast(doc_id as varchar)), doc_id
+               ) as sample_rank
+        from documents
+    )
+    where sample_rank <= {_STRAT_K}
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return sampling.stratified_sample(docs, k=_STRAT_K).select(
+        "source", "doc_id", F.col("sample_rank").cast("bigint").alias("sample_rank")
+    )

@@ -391,3 +391,37 @@ def test_prepare_training_set_decontaminates_train_against_test(spark):
     kept = {r["doc_id"] for r in final.select("doc_id").collect()}
     assert test_id in kept  # benchmark side always kept
     assert train_id not in kept  # contaminated training doc dropped
+
+
+def test_stratified_sample_is_deterministic_and_exact_k(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % 7).cast("string")).alias("source"),
+    )
+    a = sampling.stratified_sample(df, k=3)
+    rows = a.collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["source"], []).append(r)
+    assert all(len(v) == 3 for v in per_group.values())
+    assert all(sorted(r["sample_rank"] for r in v) == [1, 2, 3] for v in per_group.values())
+    b = sampling.stratified_sample(df.repartition(11), k=3)
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in b.collect())
+    # tiny group: fewer than k survive, never padded
+    small = spark.createDataFrame([(1, "only")], ["doc_id", "source"])
+    assert sampling.stratified_sample(small, k=3).count() == 1
+
+
+def test_stratified_sample_plan_uses_window_group_limit(spark):
+    plan = (
+        QUERIES["stratified_sample"]
+        .build(spark, SF)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "WindowGroupLimit" in plan  # map-side k-per-group pre-filter
+    assert plan.count("hashpartitioning") <= 2  # _spread + the window key
