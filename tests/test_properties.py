@@ -122,3 +122,79 @@ def test_minhash_signature_invariances(spark, a, b):
     assert sigs[0] == sigs[1]
     if a.strip().lower() == b.strip().lower():
         assert sigs[0] == sigs[2]
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.lists(texts.filter(lambda s: s), min_size=0, max_size=30), min_size=1, max_size=8))
+def test_top_run_count_matches_counter(spark, arrays):
+    """top_run_count == the max multiplicity Counter reports, for any
+    string array (the sorted-run fold must equal a true histogram)."""
+    from collections import Counter
+
+    from dbt_datbricks_demo_spark.operators.text import top_run_count
+
+    df = spark.createDataFrame(
+        [(i, arr) for i, arr in enumerate(arrays)], "i long, arr array<string>"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", top_run_count(F.col("arr")).alias("m")).collect()
+    }
+    for i, arr in enumerate(arrays):
+        want = max(Counter(arr).values()) if arr else 0
+        assert got[i] == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=40),
+    st.integers(min_value=8, max_value=128),
+)
+def test_pack_chunks_is_a_partition_of_the_token_stream(spark, sizes, budget):
+    """Packing laws for any doc-size sequence and budget: tokens are
+    conserved, every non-tail chunk is exactly full, chunk ids are
+    contiguous from 0, and a doc's span is contiguous."""
+    from dbt_datbricks_demo_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], ["doc_id", "n_tokens"]
+    )
+    rows = pack_chunks(df, "n_tokens", budget=budget, n_buckets=1).collect()
+    total = sum(sizes)
+    assert sum(r["chunk_tokens"] for r in rows) == total
+    fills = {}
+    for r in rows:
+        assert 0 < r["chunk_tokens"] <= budget
+        fills[r["chunk_id"]] = fills.get(r["chunk_id"], 0) + r["chunk_tokens"]
+    n_chunks = -(-total // budget)
+    assert sorted(fills) == list(range(n_chunks))
+    for cid in range(n_chunks - 1):
+        assert fills[cid] == budget
+    assert fills[n_chunks - 1] == total - budget * (n_chunks - 1)
+
+
+@settings(**SETTINGS)
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_pii_redaction_is_idempotent_and_clean(spark, raw_texts):
+    """redact(redact(x)) == redact(x) and the redacted text never
+    matches any PII pattern — for arbitrary text plus injected PII."""
+    import re
+
+    from dbt_datbricks_demo_spark.operators import pii
+
+    decorated = [
+        t + f" x{i}@y{i}.org 10.0.0.{i % 256} 123-45-678{i % 10}"
+        for i, t in enumerate(raw_texts)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(decorated)], ["doc_id", "text"]
+    )
+    out = df.select(
+        "doc_id",
+        pii.redact_pii("text").alias("r1"),
+        pii.redact_pii(pii.redact_pii("text")).alias("r2"),
+    ).collect()
+    for r in out:
+        assert r["r1"] == r["r2"]
+        for _, pat, _ in pii.PII_PATTERNS:
+            assert not re.search(pat, r["r1"])
