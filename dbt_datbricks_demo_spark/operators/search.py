@@ -28,6 +28,8 @@ would materialize term_doc_freqs once and reuse it across queries.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -78,6 +80,42 @@ def _idf(n_docs: Column, doc_freq: Column, mode: str) -> Column:
     raise ValueError(f"unknown idf mode: {mode!r}")
 
 
+def _score_and_fold(
+    post: DataFrame,
+    dfs: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+    idf_mode: str,
+) -> DataFrame:
+    """Shared scoring tail: attach idf/stats, compute per-(doc, term)
+    contributions, fold them in sorted term order (bit-stable double
+    sum — see module docstring)."""
+    scored = (
+        post.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_contrib",
+            _idf(F.col("n_docs"), F.col("doc_freq"), idf_mode)
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "_contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_contrib"],
+        ).alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],
@@ -94,30 +132,104 @@ def bm25_scores(
         F.count(F.lit(1)).cast("bigint").alias("doc_freq")
     )
     stats = corpus_stats(df, text_col=text_col)
-    scored = (
-        post.join(F.broadcast(dfs), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "_contrib",
-            _idf(F.col("n_docs"), F.col("doc_freq"), idf_mode)
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-            ),
-        )
+    return _score_and_fold(post, dfs, stats, id_col, k1, b, idf_mode)
+
+
+TERM_BUCKET_COL = "term_bucket"
+TERM_BUCKETS = 256
+
+
+def term_bucket(term: Column | str, n_buckets: int = TERM_BUCKETS) -> Column:
+    """Stable term → directory bucket (md5 prefix mod n): the postings
+    index partition key. Content-derived, so every writer/reader/engine
+    agrees without coordination."""
+    c = F.col(term) if isinstance(term, str) else term
+    return (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint") % n_buckets
     )
-    # fold contributions in sorted term order: bit-stable double sum
-    folded = scored.groupBy(id_col).agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "_contrib"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["_contrib"],
-        ).alias("score"),
-        F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
+
+
+def write_search_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = TERM_BUCKETS,
+) -> None:
+    """Materialize the standing search index for a corpus version:
+
+    - `<path>/postings`: the FULL (doc, term, tf, dl) table, hive-
+      partitioned by term bucket — a query for any term set reads only
+      its buckets via PartitionFilters (directory pruning), never the
+      whole postings table;
+    - `<path>/dfs`: per-term document frequencies (same bucket layout);
+    - `<path>/stats`: the 1-row (n_docs, avgdl).
+
+    This is the search analog of write_ivf_index: pay the corpus explode
+    + one shuffle once at write time; every subsequent query is bucket-
+    pruned reads + broadcast joins. At 100 TB the postings table is
+    ~|tokens| rows of short fixed-width data, and per-term access cost
+    is |postings(term's bucket)| — independent of corpus width."""
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("bigint").alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
     )
-    return folded
+    post = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn(TERM_BUCKET_COL, term_bucket("term", n_buckets))
+    )
+    from dbt_datbricks_demo_spark.plans.bucketing import write_partitioned
+
+    write_partitioned(post, f"{path}/postings", TERM_BUCKET_COL)
+    dfs = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .withColumn(TERM_BUCKET_COL, term_bucket("term", n_buckets))
+    )
+    write_partitioned(dfs, f"{path}/dfs", TERM_BUCKET_COL)
+    corpus_stats(df, text_col=text_col).write.mode("overwrite").parquet(
+        f"{path}/stats"
+    )
+
+
+def bm25_indexed_topk(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    idf_mode: str = "log",
+    n_buckets: int = TERM_BUCKETS,
+) -> DataFrame:
+    """BM25 top-k against a write_search_index layout. The term-bucket
+    predicate is a PartitionFilter (directory pruning, plan-pinned in
+    tests) and the residual term filter prunes within the bucket files
+    via parquet min-max stats; scoring and the sorted fold match
+    bm25_topk exactly."""
+    buckets = sorted(
+        {
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+            for t in query_terms
+        }
+    )
+    post = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col(TERM_BUCKET_COL).isin(buckets))
+        .filter(F.col("term").isin(list(query_terms)))
+    )
+    dfs = (
+        spark.read.parquet(f"{index_path}/dfs")
+        .filter(F.col(TERM_BUCKET_COL).isin(buckets))
+        .filter(F.col("term").isin(list(query_terms)))
+        .select("term", "doc_freq")
+    )
+    stats = spark.read.parquet(f"{index_path}/stats")
+    folded = _score_and_fold(post, dfs, stats, id_col, k1, b, idf_mode)
+    return folded.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
 def bm25_topk(

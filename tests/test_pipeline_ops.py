@@ -425,3 +425,32 @@ def test_stratified_sample_plan_uses_window_group_limit(spark):
     )
     assert "WindowGroupLimit" in plan  # map-side k-per-group pre-filter
     assert plan.count("hashpartitioning") <= 2  # _spread + the window key
+
+
+def test_bm25_indexed_matches_direct_and_prunes_partitions(spark, tmp_path):
+    """The standing search index returns bit-identical scores to the
+    direct corpus computation, and query plans prune postings
+    directories by term bucket (PartitionFilters, like the IVF index)."""
+    from dbt_datbricks_demo_spark.operators import search
+    from dbt_datbricks_demo_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "search_idx")
+    search.write_search_index(docs, idx)
+
+    terms = ["spark", "merge", "window"]
+    direct = {
+        r["doc_id"]: (r["score"], r["n_matched_terms"])
+        for r in search.bm25_topk(docs, terms, k=500, idf_mode="rational").collect()
+    }
+    indexed_df = search.bm25_indexed_topk(
+        spark, idx, terms, k=500, idf_mode="rational"
+    )
+    indexed = {
+        r["doc_id"]: (r["score"], r["n_matched_terms"]) for r in indexed_df.collect()
+    }
+    assert indexed == direct  # bit-identical scores, same doc set
+
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert search.TERM_BUCKET_COL in plan.split("PartitionFilters")[1].split("]")[0]
