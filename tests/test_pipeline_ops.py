@@ -454,3 +454,18 @@ def test_bm25_indexed_matches_direct_and_prunes_partitions(spark, tmp_path):
     plan = indexed_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert search.TERM_BUCKET_COL in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_contamination_shuffled_fallback_matches(spark):
+    """broadcast_gram_limit=0 forces the shuffled-join path; the report
+    must be identical to the broadcast path (the 100 TB fallback)."""
+    from dbt_datbricks_demo_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    bench = decontam.distinct_ngram_set(docs.limit(20), n=3)
+    a = decontam.contamination_report(docs, bench, n=3).collect()
+    b = decontam.contamination_report(
+        docs, bench, n=3, broadcast_gram_limit=0
+    ).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
