@@ -694,3 +694,75 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample(docs, k=_STRAT_K).select(
         "source", "doc_id", F.col("sample_rank").cast("bigint").alias("sample_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface widening: GROUPING SETS, extended window functions
+# ---------------------------------------------------------------------------
+@_register(
+    "grouping_sets_report",
+    "multi-granularity aggregation in ONE pass: GROUPING SETS over "
+    "(returnflag, linestatus) / (returnflag) / () with grouping_id "
+    "disambiguation and decimal-exact sums (DataFrame.groupingSets)",
+    """
+    select l_returnflag, l_linestatus,
+           cast(grouping(l_returnflag, l_linestatus) as bigint) as gid,
+           count(*) as row_cnt,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty
+    from lineitem
+    group by grouping sets ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _spread(_t(spark, sf_dir, "lineitem"))
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("row_cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "row_cnt", "sum_qty")
+    )
+
+
+@_register(
+    "window_functions_extended",
+    "rank-family completeness over (custkey, orderdate): dense_rank, "
+    "percent_rank, cume_dist, first/last order value per customer frame "
+    "— all exact integer-ratio doubles, deterministic tie-breaks",
+    """
+    select o_orderkey, o_custkey,
+           dense_rank() over w as dr,
+           percent_rank() over w as pr,
+           cume_dist() over w as cd,
+           first_value(o_totalprice) over w as first_price,
+           last_value(o_totalprice) over
+               (partition by o_custkey order by o_orderdate, o_orderkey
+                rows between unbounded preceding and unbounded following)
+               as last_price
+    from orders
+    window w as (partition by o_custkey order by o_orderdate, o_orderkey)
+    """,
+)
+def window_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _spread(_t(spark, sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("dr"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+    )
