@@ -766,3 +766,69 @@ def window_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(w_full).alias("last_price"),
     )
+
+
+@_register(
+    "date_functions_extended",
+    "calendar scalar surface beyond date_functions: month arithmetic with "
+    "end-of-month clamping, last_day, quarter boundaries, day-of-year, "
+    "ISO week — engine-identical integer/date outputs",
+    """
+    select o_orderkey as order_key,
+           cast(o_orderdate as date) + interval 3 month as plus_3_months,
+           last_day(cast(o_orderdate as date)) as month_end,
+           quarter(o_orderdate) as order_quarter,
+           cast(date_trunc('quarter', o_orderdate) as date) as quarter_start,
+           dayofyear(o_orderdate) as order_doy,
+           weekofyear(o_orderdate) as order_week,
+           cast(o_orderdate as date) + 45 as plus_45_days
+    from orders
+    """,
+)
+def date_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _spread(_t(spark, sf_dir, "orders"))
+    d = F.col("o_orderdate")
+    return orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.add_months(d, 3).alias("plus_3_months"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("order_quarter"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.dayofyear(d).alias("order_doy"),
+        F.weekofyear(d).alias("order_week"),
+        F.date_add(d.cast("date"), 45).alias("plus_45_days"),
+    )
+
+
+@_register(
+    "string_functions_extended",
+    "string scalar surface beyond the staging projections: translate, "
+    "repeat, reverse, strpos, left/right slices, split_part, ascii — "
+    "engine-identical outputs on customer names",
+    """
+    select c_custkey,
+           translate(c_name, '#0', '_O')      as translated,
+           reverse(c_name)                    as reversed,
+           strpos(c_name, '0')                as zero_pos,
+           left(c_name, 8)                    as l8,
+           right(c_name, 5)                   as r5,
+           split_part(c_name, '#', 2)         as after_hash,
+           ascii(c_name)                      as first_byte,
+           repeat(substr(c_name, 1, 2), 3)    as rep2x3
+    from customer
+    """,
+)
+def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _spread(_t(spark, sf_dir, "customer"))
+    n = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.translate(n, "#0", "_O").alias("translated"),
+        F.reverse(n).alias("reversed"),
+        F.instr(n, "0").alias("zero_pos"),
+        F.left(n, F.lit(8)).alias("l8"),
+        F.right(n, F.lit(5)).alias("r5"),
+        F.split_part(n, F.lit("#"), F.lit(2)).alias("after_hash"),
+        F.ascii(n).alias("first_byte"),
+        F.repeat(F.substring(n, 1, 2), 3).alias("rep2x3"),
+    )
