@@ -832,3 +832,45 @@ def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii(n).alias("first_byte"),
         F.repeat(F.substring(n, 1, 2), 3).alias("rep2x3"),
     )
+
+
+@_register(
+    "array_functions_report",
+    "array algebra surface: per-customer sorted order-priority arrays, "
+    "union/intersect/except against a probe set, slicing, containment, "
+    "flatten — deterministic via array_sort before every comparison",
+    """
+    select c.c_custkey,
+           arr,
+           len(arr)                                        as n_orders,
+           list_sort(list_distinct(arr || ['1-URGENT']))    as with_probe,
+           list_sort(list_intersect(arr, ['1-URGENT', '5-LOW'])) as hot_cold,
+           list_sort(list_filter(arr, x -> x not in ('1-URGENT', '5-LOW')))
+                                                           as mids,
+           list_contains(arr, '3-MEDIUM')                  as has_medium,
+           arr[1:2]                                        as first_two
+    from (
+        select o_custkey as c_custkey,
+               list_sort(list(distinct o_orderpriority)) as arr
+        from orders group by o_custkey
+    ) c
+    """,
+)
+def array_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _spread(_t(spark, sf_dir, "orders"))
+    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("arr")
+    )
+    probe = F.array(F.lit("1-URGENT"), F.lit("5-LOW"))
+    return base.select(
+        "c_custkey",
+        "arr",
+        F.size("arr").alias("n_orders"),
+        F.array_sort(
+            F.array_distinct(F.concat("arr", F.array(F.lit("1-URGENT"))))
+        ).alias("with_probe"),
+        F.array_sort(F.array_intersect("arr", probe)).alias("hot_cold"),
+        F.array_sort(F.array_except("arr", probe)).alias("mids"),
+        F.array_contains("arr", "3-MEDIUM").alias("has_medium"),
+        F.slice("arr", 1, 2).alias("first_two"),
+    )

@@ -3,6 +3,7 @@
 from dbt_datbricks_demo_spark.streaming.pipeline import (  # noqa: F401
     expect_or_drop,
     hourly_health_stream,
+    session_activity_stream,
     read_readings_stream,
     sensor_stream_cleaned,
     write_silver_merge,

@@ -123,6 +123,39 @@ def hourly_health_stream(cleaned: DataFrame) -> DataFrame:
     )
 
 
+def session_activity_stream(
+    cleaned: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "reading_ts",
+    key_col: str = "device_id",
+) -> DataFrame:
+    """Streaming sessionization: variable-length event-time session
+    windows (F.session_window) per device — a session closes after `gap`
+    of silence, finalized once the watermark passes its end. The
+    streaming analog of the batch gaps-and-islands sessionize_events
+    query, but with the session assembly done by the state store instead
+    of a lag()/cumsum window.
+
+    State is one open session per active key (merged on overlap), GC'd
+    by the same watermark that gates output — bounded by the live-key
+    count, not history.
+    """
+    return (
+        cleaned.groupBy(F.session_window(ts_col, gap).alias("session"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("metric_value"), 2).alias("avg_value"),
+        )
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
 def write_silver_merge(
     cleaned: DataFrame,
     target_path: str,

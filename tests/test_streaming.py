@@ -308,3 +308,38 @@ def test_streaming_corpus_pii_scrub(spark, tmp_path):
     (input_dir / "b2.jsonl").write_text(f'{{"doc_id": 2, "text": "{leaky}"}}\n')
     run()
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+
+
+def test_stream_session_windows(spark, stream_setup, cfg, tmp_path):
+    """Session windows close after 30 min of per-device silence and
+    finalize once the watermark passes: DEV001's two 08:00/08:15 events
+    form ONE session; DEV002's 08:20/08:40 chain into one session while
+    its 09:59 event opens a separate (still-open, unemitted) one."""
+    from dbt_datbricks_demo_spark.streaming.pipeline import session_activity_stream
+
+    input_dir, devices, tmp = stream_setup
+    stream = read_readings_stream(spark, str(input_dir))
+    cleaned = sensor_stream_cleaned(
+        stream, devices, cfg, late_threshold="10 minutes", watermark_on="reading_ts"
+    )
+    q = (
+        session_activity_stream(cleaned, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["device_id"], str(r["session_start"])): r
+        for r in spark.sql("select * from session_out").collect()
+    }
+    dev1 = got[("DEV001", "2025-01-15 08:00:00")]
+    assert dev1["n_events"] == 2  # 08:00 + 08:15 merge (gap 15 min)
+    assert str(dev1["session_end"]) == "2025-01-15 08:45:00"  # last event + gap
+    dev2 = got[("DEV002", "2025-01-15 08:20:00")]
+    assert dev2["n_events"] == 2  # 08:20 + 08:40 chain
+    # the 09:59 session is still open (watermark 09:49 < its end) → unemitted
+    assert ("DEV002", "2025-01-15 09:59:00") not in got
