@@ -874,3 +874,30 @@ def array_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("arr", "3-MEDIUM").alias("has_medium"),
         F.slice("arr", 1, 2).alias("first_two"),
     )
+
+
+@_register(
+    "posexplode_tokens",
+    "generator surface: positional explode of the token stream for the "
+    "20 longest documents (pos is 0-based, deterministic doc subset via "
+    "length/id ordering)",
+    f"""
+    with top_docs as (
+        select doc_id, {_SQL_TOKENS} as t from documents
+        order by n_chars desc, doc_id limit 20
+    )
+    select doc_id, i - 1 as pos, token
+    from (
+        select doc_id, unnest(t) as token, generate_subscripts(t, 1) as i
+        from top_docs
+    )
+    """,
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    top = (
+        docs.orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", text.tokens("text").alias("t"))
+    )
+    return top.select("doc_id", F.posexplode("t").alias("pos", "token"))
