@@ -7,9 +7,12 @@ value-hash → CORRECTNESS_r{N}.json).
 
 The actual inventory lives in dbt_datbricks_demo_spark/queries/
 (inventory.py: SURVEY.md §2 operator families + relational extensions;
-llm_ops.py: the LLM-data-pipeline operators); this module just adapts
-it to the driver's interface. COVERAGE.md maps every query to its
-operator and tests.
+llm_ops.py: the LLM-data-pipeline operators; pipeline_ops.py: the
+round-2 training-pipeline + surface-completeness queries); this module
+just adapts it to the driver's interface. COVERAGE.md maps every query
+to its operator and tests. Registration order is part of the contract:
+oracle-backed queries register before rows-only ones (see
+queries/__init__.py).
 """
 
 from __future__ import annotations

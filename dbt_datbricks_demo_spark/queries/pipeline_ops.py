@@ -1,11 +1,17 @@
-"""Training-data-pipeline queries (round 2 extension surface):
+"""Training-data-pipeline and relational-surface queries (round 2):
 within-document repetition filters, benchmark decontamination, PII
-redaction, sequence packing, and domain-mixture sampling — each with a
-DuckDB oracle computing literally the same integers/doubles.
+redaction, sequence packing, domain-mixture + stratified sampling, BM25
+search, fixed-quantizer IVF, the full corpus→training-set composition,
+and the GROUPING SETS / rank-family-window / calendar / string / array /
+generator completeness queries — each with a DuckDB oracle computing
+literally the same integers/doubles.
 
 Shared conventions with llm_ops.py: tokens are
 string_split_regex(trim(lower(text)), '\\s+') in both engines; id
 hashing is the first 8 md5 hex digits as an unsigned 32-bit int.
+Dialect gotcha pinned here once: DuckDB parses bare non-integer literals
+as exact DECIMALs, so any INEXACT literal entering double math must be
+cast ::double (2.2, 1.2) or results drift 1 ulp from Spark's doubles.
 """
 
 from __future__ import annotations
