@@ -907,3 +907,84 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", text.tokens("text").alias("t"))
     )
     return top.select("doc_id", F.posexplode("t").alias("pos", "token"))
+
+
+@_register(
+    "salted_hot_key_agg",
+    "skew-safe two-phase aggregation (operators.skew.salted_aggregate): "
+    "per-user event counts + decimal-exact value sums computed over a "
+    "16-way salt split, folded back — results identical to the plain "
+    "groupBy the oracle runs",
+    """
+    select user_id,
+           count(*) as n_events,
+           cast(sum(cast(value as decimal(18,2))) as double) as total_value
+    from events
+    group by user_id
+    """,
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators import skew
+
+    ev = _spread(_t(spark, sf_dir, "events"))
+    return skew.salted_aggregate(
+        ev,
+        keys=["user_id"],
+        salt_from="event_id",
+        buckets=16,
+        exprs={
+            "n_events": (F.count(F.lit(1)), F.sum),
+            "total_value": (
+                F.sum(F.col("value").cast("decimal(18,2)")),
+                F.sum,
+            ),
+        },
+    ).select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+@_register(
+    "map_functions_report",
+    "map surface: per-customer priority→count maps built from sorted "
+    "entries (map_from_entries), scalar lookups via element_at, "
+    "cardinality, sorted key set — lookups compared as scalars since "
+    "raw map columns are not hash-comparable across engines",
+    """
+    select c_custkey,
+           m['1-URGENT'][1]        as urgent_cnt,
+           m['5-LOW'][1]           as low_cnt,
+           cardinality(m)          as n_priorities,
+           list_sort(map_keys(m))  as prio_keys
+    from (
+        select c_custkey,
+               map_from_entries(list_sort(list({'k': prio, 'v': cnt}))) as m
+        from (
+            select o_custkey as c_custkey, o_orderpriority as prio,
+                   count(*) as cnt
+            from orders group by 1, 2
+        )
+        group by c_custkey
+    )
+    """,
+)
+def map_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _spread(_t(spark, sf_dir, "orders"))
+    counts = orders.groupBy(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    mapped = counts.groupBy("c_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("prio", "cnt")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "c_custkey",
+        F.element_at("m", "1-URGENT").alias("urgent_cnt"),
+        F.element_at("m", "5-LOW").alias("low_cnt"),
+        F.size("m").alias("n_priorities"),
+        F.array_sort(F.map_keys("m")).alias("prio_keys"),
+    )
