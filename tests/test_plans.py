@@ -124,3 +124,31 @@ def test_quality_deciles_no_corpus_window(spark):
     first_agg = plan.index("HashAggregate")
     assert "SinglePartition" not in plan[:first_agg]
     assert "partial_count" in plan  # histogram combines map-side
+
+
+# Queries whose semantics genuinely need Python workers (Arrow-batched):
+# multimodal decode plumbing and the grouped-map eigensolver.
+# (frame_sampling is NOT here: its plan is pure JVM explode-over-sequence.)
+_PYTHON_ALLOWED = {
+    "multimodal_features",
+    "resize_plan",
+    "audio_features",
+    "label_principal_directions",
+}
+
+
+def test_no_python_eval_in_any_query_plan(spark):
+    """Blanket scale contract over the WHOLE registry: no query compiles
+    to BatchEvalPython/ArrowEvalPython except the documented Arrow
+    allowlist — a new operator that silently routes a hot path through
+    Python workers fails here, not in a benchmark regression."""
+    offenders = []
+    for name, spec in QUERIES.items():
+        plan = _plan(spark, name)
+        has_python = "BatchEvalPython" in plan or "ArrowEvalPython" in plan
+        if has_python and name not in _PYTHON_ALLOWED:
+            offenders.append(name)
+        if not has_python and name in _PYTHON_ALLOWED and "InPandas" not in plan:
+            # allowlisted queries should actually BE the Arrow path
+            offenders.append(f"{name} (expected Arrow plan)")
+    assert offenders == []
