@@ -16,9 +16,11 @@ cast ::double (2.2, 1.2) or results drift 1 ulp from Spark's doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dbt_datbricks_demo_spark.functions import surrogate_key_sql
+from dbt_datbricks_demo_spark.plans import snapshots
 from dbt_datbricks_demo_spark.operators import (
     decontam,
     packing,
@@ -987,4 +989,101 @@ def map_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m", "5-LOW").alias("low_cnt"),
         F.size("m").alias("n_priorities"),
         F.array_sort(F.map_keys("m")).alias("prio_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dbt snapshots: SCD2 two-batch replay (plans/snapshots.py)
+# ---------------------------------------------------------------------------
+_SNAP_CUTOFF = "2001-03-31"
+
+_SNAP_SCD1 = surrogate_key_sql("custkey", "u1")
+_SNAP_SCD2 = surrogate_key_sql("custkey", "u2")
+
+
+@_register(
+    "scd2_snapshot",
+    "dbt snapshot (SCD2, timestamp strategy; reference declares the "
+    "feature at dbt_project.yml:12): replay two order batches into a "
+    "customer-latest-order dimension — changed keys close the old row "
+    "at the new row's valid_from, new keys insert, unchanged keep; "
+    "dbt_scd_id is dbt_utils-byte-compatible (plans/snapshots.py)",
+    f"""
+    with b1 as (
+        select custkey, status, totalprice, updated_at from (
+            select o_custkey as custkey, o_orderstatus as status,
+                   o_totalprice as totalprice, o_orderdate as updated_at,
+                   row_number() over (
+                       partition by o_custkey
+                       order by o_orderdate desc, o_orderkey desc
+                   ) as rn
+            from orders
+            where o_orderdate <= timestamp '{_SNAP_CUTOFF}'
+        ) where rn = 1
+    ),
+    b2 as (
+        select custkey, status, totalprice, updated_at from (
+            select o_custkey as custkey, o_orderstatus as status,
+                   o_totalprice as totalprice, o_orderdate as updated_at,
+                   row_number() over (
+                       partition by o_custkey
+                       order by o_orderdate desc, o_orderkey desc
+                   ) as rn
+            from orders
+        ) where rn = 1
+    ),
+    j as (
+        select b2.custkey,
+               b1.status as s1, b1.totalprice as t1, b1.updated_at as u1,
+               b2.status as s2, b2.totalprice as t2, b2.updated_at as u2
+        from b2 left join b1 on b1.custkey = b2.custkey
+    )
+    -- batch-1 rows: still open if batch 2 did not advance updated_at,
+    -- else closed at the successor's valid_from
+    select custkey, s1 as status, t1 as totalprice,
+           {_SNAP_SCD1} as dbt_scd_id,
+           u1 as dbt_updated_at, u1 as dbt_valid_from,
+           case when u2 > u1 then u2 end as dbt_valid_to
+    from j where u1 is not null
+    union all
+    -- batch-2 inserts: brand-new keys and changed keys
+    select custkey, s2 as status, t2 as totalprice,
+           {_SNAP_SCD2} as dbt_scd_id,
+           u2 as dbt_updated_at, u2 as dbt_valid_from,
+           cast(null as timestamp) as dbt_valid_to
+    from j where u1 is null or u2 > u1
+    """,
+)
+def scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _spread(_t(spark, sf_dir, "orders"))
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("o_custkey").alias("custkey"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("totalprice"),
+                F.col("o_orderdate").alias("updated_at"),
+            )
+        )
+
+    cfg = snapshots.SnapshotConfig(
+        unique_key="custkey", strategy="timestamp", updated_at="updated_at"
+    )
+    b1 = latest(orders.filter(F.col("o_orderdate") <= F.lit(_SNAP_CUTOFF).cast("timestamp")))
+    b2 = latest(orders)
+    snap = snapshots.snapshot_apply(snapshots.snapshot_apply(None, b1, cfg), b2, cfg)
+    return snap.select(
+        "custkey",
+        "status",
+        "totalprice",
+        "dbt_scd_id",
+        "dbt_updated_at",
+        "dbt_valid_from",
+        "dbt_valid_to",
     )
