@@ -51,45 +51,63 @@ def main() -> None:
     selected = os.environ.get("BENCH_QUERIES")
     names = selected.split(",") if selected else list(QUERIES)
 
-    # warmup: JVM + parquet footer caches, tiny action
-    QUERIES["union_report"].build(spark, sf_dir).collect()
-    # warmup: Python worker daemons + Arrow codepath (first mapInPandas in
-    # a fresh JVM costs ~20 s of one-time fork/import across the workers)
-    warm = spark.range(64).repartition(32)
-    warm.mapInPandas(lambda it: it, warm.schema).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warmups are best-effort: a failure here must not kill the bench
+    try:
+        # JVM + parquet footer caches, tiny action
+        QUERIES["union_report"].build(spark, sf_dir).collect()
+        # Python worker daemons + Arrow codepath (first mapInPandas in a
+        # fresh JVM costs ~20 s of one-time fork/import across workers)
+        warm = spark.range(64).repartition(32)
+        warm.mapInPandas(lambda it: it, warm.schema).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001
+        print(f"warmup failed (continuing): {e}", file=sys.stderr)
 
     # best-of-2 per query: one JVM sees every query once before any
     # second run, so codegen/JIT warmup and stray GC pauses don't land in
-    # the reported steady-state number
+    # the reported steady-state number. Each query is fault-isolated: one
+    # failing query records an error string and the bench still emits the
+    # JSON line for everything that ran (round 2 shipped blind on perf
+    # because a single AnalysisException crashed the whole run).
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(runs):
         for name in names:
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            QUERIES[name].build(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            elapsed = round(time.perf_counter() - t0, 3)
+            try:
+                QUERIES[name].build(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                timings.pop(name, None)
+                continue
+            finally:
+                elapsed = round(time.perf_counter() - t0, 3)
+                try:
+                    _unpersist_all(spark)
+                except Exception:  # noqa: BLE001
+                    pass
             timings[name] = min(timings.get(name, elapsed), elapsed)
-            _unpersist_all(spark)
 
     # orderly shutdown BEFORE the result line: an exiting JVM with
     # in-flight task-completion events logs spurious DAGScheduler
     # errors into stderr (seen in round 1's recorded tail)
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "operator-inventory wall time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "operator-inventory wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -79,17 +79,39 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     return problems
 
 
+def make_duckdb(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    """A DuckDB connection with the driver's tables registered as views."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def check_query(spark, con, name: str, sf_dir: str) -> list[str]:
+    """Run one registered query against its DuckDB oracle; return the
+    list of discrepancies (empty = hash-equivalent under the driver's
+    sorted-columns/sorted-rows comparison). Rows-only queries (no
+    oracle) are checked for successful execution only."""
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sdf = entry.queries()[name](spark, sf_dir).toPandas()
+    sql = entry.oracle_sql().get(name)
+    if sql is None:
+        return []
+    odf = con.sql(sql).df()
+    return compare(name, sdf, odf)
+
+
 def run(sf_dir: str, only: list[str] | None = None) -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
     from dbt_datbricks_demo_spark.session import get_spark
 
     spark = get_spark(app_name="oracle-harness")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = make_duckdb(sf_dir)
 
     queries = entry.queries()
     oracles = entry.oracle_sql()

@@ -86,6 +86,34 @@ def test_bench_contract(tmp_path):
     assert payload["value"] > 0
 
 
+def test_bench_survives_failing_query(tmp_path):
+    """One broken query must not kill the bench (round 2 shipped with no
+    perf numbers at all because a single AnalysisException crashed the
+    run): the failure is recorded under "errors" and the JSON line still
+    carries timings for the queries that ran."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        BENCH_QUERIES="union_report,no_such_query",
+        BENCH_RUNS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        env=env, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert set(payload["queries"]) == {"union_report"}
+    assert payload["value"] > 0
+    assert "no_such_query" in payload["errors"]
+
+
 def test_cli_docs_lineage(tmp_path, capsys):
     assert main(_argv(tmp_path, "docs")) == 0
     out = capsys.readouterr().out
