@@ -105,6 +105,84 @@ class Materializer:
         file skipping (SURVEY.md §4)."""
         return self.read(name, schema_suffix).agg(F.max(col).alias("m")).first()["m"]
 
+    def as_partitioned_table(
+        self,
+        name: str,
+        schema_suffix: str,
+        df: DataFrame,
+        partition_by: list[str],
+    ) -> DataFrame:
+        """Table materialization with hive-style partition layout
+        (dbt-databricks ``partition_by`` config). At 100 TB this is what
+        makes downstream predicate-on-partition-key queries prune files
+        instead of scanning the world: the read path gets
+        PartitionFilters, asserted in tests/test_materialize_strategies.
+        """
+        path = self.path(name, schema_suffix)
+        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        out = self.read(name, schema_suffix)
+        out.createOrReplaceTempView(name)
+        return out
+
+    def insert_overwrite(
+        self,
+        name: str,
+        schema_suffix: str,
+        new_rows: DataFrame,
+        partition_by: str,
+    ) -> DataFrame:
+        """Incremental strategy ``insert_overwrite`` (dbt-databricks):
+        atomically replace exactly the partitions present in
+        ``new_rows``; untouched partitions are never read or rewritten.
+        This is the canonical 100-TB incremental pattern for
+        append-mostly, late-arriving data keyed by a date/hour column —
+        no row-level MERGE shuffle, and reprocessing a day is
+        idempotent. Equivalent to Spark's dynamic partitionOverwriteMode
+        on a partitioned table; implemented here as a per-partition
+        directory swap so it works on plain parquet."""
+        path = self.path(name, schema_suffix)
+        if not self.exists(name, schema_suffix):
+            return self.as_partitioned_table(
+                name, schema_suffix, new_rows, [partition_by]
+            )
+        # distinct partition values in the increment: small by contract
+        # (a handful of dates/hours per run), so driver-side is correct
+        touched = [
+            r[0] for r in new_rows.select(partition_by).distinct().collect()
+        ]
+        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+        new_rows.write.mode("overwrite").partitionBy(partition_by).parquet(tmp)
+        for val in touched:
+            part_dir = f"{partition_by}={val}"
+            src, dst = os.path.join(tmp, part_dir), os.path.join(path, part_dir)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                os.replace(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        out = self.read(name, schema_suffix)
+        out.createOrReplaceTempView(name)
+        return out
+
+    def append(
+        self, name: str, schema_suffix: str, new_rows: DataFrame
+    ) -> DataFrame:
+        """Incremental strategy ``append`` (dbt-databricks): write new
+        files into the existing table directory without reading or
+        rewriting any existing data — the cheapest possible increment
+        for insert-only event streams (no keys, no partitions)."""
+        path = self.path(name, schema_suffix)
+        if not self.exists(name, schema_suffix):
+            return self.as_table(name, schema_suffix, new_rows)
+        new_rows.write.mode("append").parquet(path)
+        out = self.read(name, schema_suffix)
+        out.createOrReplaceTempView(name)
+        return out
+
     def merge_upsert(
         self, name: str, schema_suffix: str, new_rows: DataFrame, unique_key: str
     ) -> DataFrame:

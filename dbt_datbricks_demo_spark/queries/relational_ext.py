@@ -1,0 +1,277 @@
+"""Round-3 relational/curation surface extensions.
+
+CUBE multi-granularity aggregation, FILTER-style conditional aggregates
+(count_if / bool_and / bool_or / struct-max argmax), a generated date
+spine (dbt_utils.date_spine parity — the gaps-in-a-calendar primitive),
+multiset set operations (EXCEPT ALL / INTERSECT ALL), Shannon-entropy
+distribution profiling, and corpus vocabulary construction — each with
+a DuckDB oracle computing literally the same values.
+
+Determinism conventions follow queries/inventory.py: exact decimal sums
+cast to double at the edge, unique tie-breaks on every top-k, floating
+reductions with engine-order-dependent low bits rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
+
+
+# ---------------------------------------------------------------------------
+# CUBE: every granularity of (status, priority) in one pass
+# ---------------------------------------------------------------------------
+@_register(
+    "cube_report",
+    "GROUP BY CUBE over (o_orderstatus, o_orderpriority): all four "
+    "grouping granularities in one shuffle, disambiguated by "
+    "grouping_id — partial/final hash agg, no union of scans",
+    """
+    select
+        o_orderstatus,
+        o_orderpriority,
+        cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+             as bigint)                                         as gid,
+        count(*)                                                as n_orders,
+        cast(sum(cast(o_totalprice as decimal(18,2))) as double) as sum_total
+    from orders
+    group by cube (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _spread(_t(spark, sf_dir, "orders"))
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregates: FILTER-clause family + deterministic argmax
+# ---------------------------------------------------------------------------
+@_register(
+    "conditional_agg_report",
+    "count_if / bool_and / bool_or conditional aggregates plus a "
+    "deterministic argmax via max(struct(price, orderkey)) — one "
+    "partial+final hash agg, no self-join for the argmax",
+    """
+    select
+        l_returnflag,
+        count(*)                                            as n_rows,
+        count(*) filter (where l_quantity > 30)             as n_high_qty,
+        bool_and(l_extendedprice > 0)                       as all_price_pos,
+        bool_or(l_discount > 0.07)                          as any_deep_disc,
+        max(l_extendedprice)                                as max_price,
+        (max(struct_pack(p := l_extendedprice, k := l_orderkey))).k
+                                                            as max_price_orderkey
+    from lineitem
+    group by l_returnflag
+    """,
+)
+def conditional_agg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _spread(_t(spark, sf_dir, "lineitem"))
+    # argmax with a unique tie-break: max over (price, orderkey) pairs is
+    # order-independent even when the max price is shared by many rows
+    pair = F.struct(F.col("l_extendedprice"), F.col("l_orderkey"))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_quantity") > 30).alias("n_high_qty"),
+        F.bool_and(F.col("l_extendedprice") > 0).alias("all_price_pos"),
+        F.bool_or(F.col("l_discount") > 0.07).alias("any_deep_disc"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.max(pair).getField("l_orderkey").alias("max_price_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date spine (dbt_utils.date_spine parity)
+# ---------------------------------------------------------------------------
+@_register(
+    "date_spine",
+    "Generated calendar spine (sequence+explode, no driver loop) left-"
+    "joined to daily order counts — surfaces zero-activity days that a "
+    "plain GROUP BY can never emit; the generator is in-plan so the "
+    "spine scales to any range without collect()",
+    """
+    with bounds as (
+        select min(cast(o_orderdate as date)) as lo,
+               max(cast(o_orderdate as date)) as hi
+        from orders
+    ),
+    spine as (
+        select cast(unnest(generate_series(cast(lo as timestamp),
+                                           cast(hi as timestamp),
+                                           interval 1 day)) as date) as day
+        from bounds
+    ),
+    daily as (
+        select cast(o_orderdate as date) as day,
+               count(*)                  as n,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total
+        from orders
+        group by 1
+    )
+    select spine.day                as day,
+           coalesce(daily.n, 0)     as n_orders,
+           coalesce(daily.total, cast(0.0 as double)) as total_price
+    from spine left join daily using (day)
+    """,
+)
+def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _spread(_t(spark, sf_dir, "orders"))
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("total"), F.lit(0.0)).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set operations (EXCEPT ALL / INTERSECT ALL)
+# ---------------------------------------------------------------------------
+@_register(
+    "set_ops_all_report",
+    "EXCEPT ALL and INTERSECT ALL multiset semantics (duplicates "
+    "preserved by count arithmetic, not row explosion) over customer "
+    "keys of two order-status populations",
+    """
+    select 'except_all' as op,
+           count(*)            as n_rows,
+           count(distinct c)   as n_keys
+    from (
+        select o_custkey as c from orders where o_orderstatus = 'F'
+        except all
+        select o_custkey as c from orders where o_orderstatus = 'O'
+    )
+    union all
+    select 'intersect_all' as op,
+           count(*)            as n_rows,
+           count(distinct c)   as n_keys
+    from (
+        select o_custkey as c from orders where o_orderstatus = 'F'
+        intersect all
+        select o_custkey as c from orders where o_orderstatus = 'O'
+    )
+    """,
+)
+def set_ops_all_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _spread(_t(spark, sf_dir, "orders"))
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c")
+    )
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c")
+    )
+
+    def summarize(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c").alias("n_keys"),
+        ).select("op", "n_rows", "n_keys")
+
+    return summarize(f_keys.exceptAll(o_keys), "except_all").unionByName(
+        summarize(f_keys.intersectAll(o_keys), "intersect_all")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of a categorical distribution (data diagnostics)
+# ---------------------------------------------------------------------------
+@_register(
+    "entropy_report",
+    "Per-day Shannon entropy (log2) of the event-type distribution — "
+    "two chained hash aggs (day,type)->counts->entropy; a skew/drift "
+    "monitor for training-data composition. Rounded to 6 dp: the "
+    "per-type term is IEEE-identical on both engines, only the final "
+    "few-term summation order differs",
+    """
+    select cast(date_trunc('day', ts) as date) as day,
+           count(*)                            as n_events,
+           round(entropy(event_type), 6)       as type_entropy
+    from events
+    group by 1
+    """,
+)
+def entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _spread(_t(spark, sf_dir, "events"))
+    counts = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # the (day, type) count table is tiny (days x ~6 types) — the heavy
+    # lifting happened in the first partial/final hash agg over events
+    totals = counts.groupBy("day").agg(F.sum("c").alias("tot"))
+    p = F.col("c") / F.col("tot")
+    return (
+        counts.join(F.broadcast(totals), "day")
+        .groupBy("day")
+        .agg(
+            F.max("tot").alias("n_events"),
+            # -sum(p*log2(p)): p is a ratio of exact ints so each term is
+            # bit-identical cross-engine; only the few-term sum order
+            # differs, absorbed by the 6 dp rounding
+            F.round(-F.sum(p * F.log2(p)), 6).alias("type_entropy"),
+        )
+        .select("day", "n_events", "type_entropy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary construction (tokenizer-training precursor)
+# ---------------------------------------------------------------------------
+@_register(
+    "vocabulary_report",
+    "Corpus-level vocabulary: explode tokens -> hash agg counts -> "
+    "top-100 by (count desc, token asc) via TakeOrderedAndProject — the "
+    "term-frequency pass every tokenizer/vocab build starts with; "
+    "map-side partial aggregation absorbs the token explosion before "
+    "the shuffle",
+    """
+    select t as token, count(*) as cnt
+    from (
+        select unnest(string_split_regex(trim(lower(text)), '\\s+')) as t
+        from documents
+    )
+    where t <> ''
+    group by t
+    order by cnt desc, token asc
+    limit 100
+    """,
+)
+def vocabulary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(100)
+    )
