@@ -502,3 +502,47 @@ def with_simhash(
         th_col, F.transform(tokens(text_col), lambda t: md5_int32(t))
     )
     return staged.withColumn(out, _simhash_from_hashes(F.col(th_col))).drop(th_col)
+
+
+def with_winnowed_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    out: str = "winnow_fps",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every k-gram of tokens, slide a window of
+    w consecutive hashes, keep the minimum of each window, distinct the
+    result. Guarantees every shared substring of length >= w + k - 1
+    tokens contributes at least one shared fingerprint, with an expected
+    density of 2/(w+1) — a principled, position-robust alternative to
+    MinHash for substring-level near-dup detection.
+
+    Pure array expressions over one tokenize pass: zero shuffles, zero
+    Python — the fingerprint column costs a narrow map at any scale.
+    Documents shorter than k tokens get an empty fingerprint set.
+    """
+    toks = tokens(text_col)
+    kgrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    staged = df.withColumn(
+        "_kg_hashes", F.transform(kgrams, lambda g: md5_int32(g))
+    )
+    n = F.size(F.col("_kg_hashes"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(0))),
+        lambda j: F.array_min(F.slice(F.col("_kg_hashes"), j, w)),
+    )
+    # if 0 < n < w there is a single (short) window covering everything
+    short = F.when(n > 0, F.array(F.array_min(F.col("_kg_hashes")))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return staged.withColumn(
+        out,
+        F.array_sort(
+            F.array_distinct(F.when(n >= w, mins).otherwise(short))
+        ),
+    ).drop("_kg_hashes")

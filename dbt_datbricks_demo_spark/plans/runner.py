@@ -42,13 +42,22 @@ class PipelineRunner:
         select_tags: set[str] | None = None,
         full_refresh: bool | None = None,
         max_retries: int = 0,
+        select_names: set[str] | None = None,
     ) -> dict[str, DataFrame]:
-        """Build + materialize the DAG; returns name → materialized relation."""
+        """Build + materialize the DAG; returns name → materialized relation.
+
+        ``select_names`` selects models by name (the `state:modified+`
+        slim-CI path, plans/state.py); ``select_tags`` by layer tag. With
+        either selection, unselected table/incremental models are reused
+        from their existing materialization instead of rebuilt."""
         full_refresh = self.cfg.full_refresh if full_refresh is None else full_refresh
         relations: dict[str, DataFrame] = dict(raw_sources)
         for name in topo_order(MODELS):
             model = MODELS[name]
-            if select_tags and not (set(model.tags) & select_tags):
+            deselected = (
+                select_tags and not (set(model.tags) & select_tags)
+            ) or (select_names is not None and name not in select_names)
+            if deselected:
                 # not selected: reuse an existing materialization (so
                 # downstream selected models resolve their refs), else if
                 # it's a free view rebuild it lazily, else skip entirely
