@@ -10,6 +10,7 @@ from dbt_datbricks_demo_spark.streaming.pipeline import (  # noqa: F401
 )
 from dbt_datbricks_demo_spark.streaming.stateful import (  # noqa: F401
     anomaly_streaks,
+    novel_documents,
 )
 from dbt_datbricks_demo_spark.streaming.corpus import (  # noqa: F401
     corpus_stream_cleaned,

@@ -97,3 +97,91 @@ def anomaly_streaks(cleaned: DataFrame, threshold: int = 3) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-state API): streaming novelty gate
+# ---------------------------------------------------------------------------
+# streaming/corpus.py dedups across batches with a foreachBatch join
+# against a persistent parquet signature store — correct, but the store
+# is a second system the pipeline must manage. Spark 4's
+# transformWithStateInPandas keeps the seen-set INSIDE the streaming
+# state store (RocksDB-backed, checkpointed, TTL-able), so cross-batch
+# content dedup becomes a first-class operator: state is one tiny record
+# per distinct digest, expired automatically after `ttl_ms` — bounded
+# memory under unbounded streams, no side table.
+#
+# Requires spark.sql.streaming.stateStore.providerClass =
+# ...RocksDBStateStoreProvider (transformWithState contract in OSS
+# Spark 4), plus the `protobuf` package (the state-server protocol of
+# the Python API). protobuf is not installed in this sandbox, so the
+# test skips when transform_with_state_available() is False — the same
+# env-gating pattern as the delta-spark merge path.
+
+
+def transform_with_state_available() -> bool:
+    """True when the Python transformWithState client can run here
+    (needs google.protobuf for its state-server protocol)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+NOVELTY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("digest", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("n_occurrences", LongType()),
+    ]
+)
+
+
+def novel_documents(docs_with_digest: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Emit each content digest the FIRST time it is ever seen (smallest
+    doc_id within the arriving batch wins, deterministically); later
+    occurrences — same batch or any later batch within the TTL — are
+    suppressed. Input must carry (digest, doc_id)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class NoveltyGate(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "first_doc_id long", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = 0
+            smallest = None
+            for pdf in rows:
+                n += len(pdf)
+                batch_min = int(pdf["doc_id"].min())
+                smallest = batch_min if smallest is None else min(smallest, batch_min)
+            if self._seen.exists():
+                return iter(())  # duplicate of an earlier batch: suppress
+            self._seen.update((smallest,))
+            return iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "digest": [key[0]],
+                            "doc_id": [smallest],
+                            "n_occurrences": [n],
+                        }
+                    )
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return docs_with_digest.groupBy("digest").transformWithStateInPandas(
+        statefulProcessor=NoveltyGate(),
+        outputStructType=NOVELTY_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

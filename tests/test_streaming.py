@@ -343,3 +343,80 @@ def test_stream_session_windows(spark, stream_setup, cfg, tmp_path):
     assert dev2["n_events"] == 2  # 08:20 + 08:40 chain
     # the 09:59 session is still open (watermark 09:49 < its end) → unemitted
     assert ("DEV002", "2025-01-15 09:59:00") not in got
+
+
+DOCS_A = """doc_id,text
+101,alpha beta gamma
+102,delta epsilon zeta
+103,alpha beta gamma
+"""
+DOCS_B = """doc_id,text
+104,alpha beta gamma
+105,brand new content
+"""
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "dbt_datbricks_demo_spark.streaming.stateful", fromlist=["x"]
+    ).transform_with_state_available(),
+    reason="transformWithState Python client needs protobuf (absent in sandbox)",
+)
+def test_transform_with_state_novelty_gate(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas: cross-batch content dedup
+    with the seen-set INSIDE the RocksDB state store (no side table).
+    Batch A: in-batch dup suppressed, smallest doc_id wins. Batch B:
+    digest seen in batch A suppressed via checkpointed state; only
+    genuinely novel content emits."""
+    from pyspark.sql import functions as F
+
+    from dbt_datbricks_demo_spark.streaming import novel_documents
+
+    input_dir = tmp_path / "docs_in"
+    input_dir.mkdir()
+    (input_dir / "a.csv").write_text(DOCS_A)
+    out_dir, ckpt = tmp_path / "novel_out", tmp_path / "novel_ckpt"
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+
+        def run_batch():
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("header", "true")
+                .csv(str(input_dir))
+                .withColumn("digest", F.md5("text"))
+            )
+            q = (
+                novel_documents(stream)
+                .writeStream.format("parquet")
+                .option("path", str(out_dir))
+                .outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_batch()
+        first = {r["doc_id"]: r for r in spark.read.parquet(str(out_dir)).collect()}
+        # 101 and 103 share a digest -> one row, smallest id, 2 occurrences
+        assert set(first) == {101, 102}
+        assert first[101]["n_occurrences"] == 2
+        assert first[102]["n_occurrences"] == 1
+
+        (input_dir / "b.csv").write_text(DOCS_B)
+        run_batch()
+        rows = {r["doc_id"] for r in spark.read.parquet(str(out_dir)).collect()}
+        # 104 duplicates batch A's digest (suppressed by stored state);
+        # 105 is novel
+        assert rows == {101, 102, 105}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
