@@ -275,3 +275,62 @@ def vocabulary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: selective 3-way join -> agg -> top-k
+# ---------------------------------------------------------------------------
+@_register(
+    "shipping_priority",
+    "TPC-H Q3 shape: filtered customer segment ⋈ orders ⋈ lineitem -> "
+    "revenue agg -> top-10. The customer side prunes to (c_custkey) and "
+    "broadcasts; lineitem joins shuffle on orderkey with the date "
+    "filters pushed to the scans; decimal-exact revenue; "
+    "TakeOrderedAndProject for the top-k (no global sort)",
+    """
+    select
+        l.l_orderkey                          as orderkey,
+        cast(o.o_orderdate as date)           as orderdate,
+        o.o_orderpriority                     as orderpriority,
+        cast(sum(cast(l.l_extendedprice as decimal(18,2))
+                 * (1 - cast(l.l_discount as decimal(18,2)))) as double)
+                                              as revenue
+    from customer c
+    join orders o on c.c_custkey = o.o_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    where c.c_mktsegment = 'BUILDING'
+      and cast(o.o_orderdate as date) < date '1997-01-01'
+      and cast(l.l_shipdate as date) > date '1996-06-30'
+    group by l.l_orderkey, cast(o.o_orderdate as date), o.o_orderpriority
+    order by revenue desc, orderkey asc
+    limit 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date")
+    )
+    li = _spread(_t(spark, sf_dir, "lineitem")).filter(
+        F.to_date("l_shipdate") > F.lit("1996-06-30").cast("date")
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )

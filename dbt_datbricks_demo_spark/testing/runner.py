@@ -24,12 +24,23 @@ class TestResult:
     failures: int  # number of violating rows (0 when passed)
 
 
-def run_test(spec: TestSpec, relations: Mapping[str, DataFrame]) -> TestResult:
+def run_test(
+    spec: TestSpec,
+    relations: Mapping[str, DataFrame],
+    store_failures_dir: str | None = None,
+) -> TestResult:
     violations = spec.build(relations)
     # isEmpty() avoids counting all violations just to learn pass/fail…
     if violations.isEmpty():
         return TestResult(spec.name, True, 0)
-    # …and only a failing test pays for the full count.
+    # …and only a failing test pays for the full count. With
+    # store_failures (dbt `--store-failures`), the violating rows are
+    # also persisted under an audit path named after the test so a
+    # failure can be debugged without re-running the query.
+    if store_failures_dir is not None:
+        violations.write.mode("overwrite").parquet(
+            f"{store_failures_dir}/{spec.name}"
+        )
     return TestResult(spec.name, False, violations.count())
 
 
@@ -38,13 +49,18 @@ def run_suite(
     relations: Mapping[str, DataFrame],
     models: set[str] | None = None,
     threads: int = 4,
+    store_failures_dir: str | None = None,
 ) -> list[TestResult]:
     """Run (a selection of) the suite. threads=4 mirrors the reference's
     dbt profile concurrency (profiles.yml.template:24); Spark jobs from
     separate driver threads run concurrently on the cluster."""
     selected = [s for s in specs if models is None or s.model in models]
     with ThreadPoolExecutor(max_workers=threads) as pool:
-        return list(pool.map(lambda s: run_test(s, relations), selected))
+        return list(
+            pool.map(
+                lambda s: run_test(s, relations, store_failures_dir), selected
+            )
+        )
 
 
 def summarize(results: list[TestResult]) -> str:

@@ -152,3 +152,25 @@ def test_no_python_eval_in_any_query_plan(spark):
             # allowlisted queries should actually BE the Arrow path
             offenders.append(f"{name} (expected Arrow plan)")
     assert offenders == []
+
+
+def test_shipping_priority_multiway_join_shape(spark):
+    """TPC-H Q3 shape: broadcast (never SMJ at this dim size), filters
+    pushed into every scan, customer pruned to its two used columns,
+    top-10 via TakeOrderedAndProject instead of a global sort."""
+    plan = _plan(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>" in plan
+
+
+def test_vocabulary_and_bpe_partial_agg_absorbs_explosion(spark):
+    """The token/pair explosion must be reduced by map-side partial
+    aggregation before the exchange — the shuffle carries |vocab|, not
+    |corpus tokens|."""
+    for name in ("vocabulary_report", "bpe_pair_stats"):
+        plan = _plan(spark, name)
+        assert "partial_count" in plan, name
+        assert "TakeOrderedAndProject" in plan, name

@@ -66,3 +66,29 @@ def test_testdata_suite_all_pass(spark):
     assert len(results) >= 26
     failed = [r.name for r in results if not r.passed]
     assert not failed, summarize(results)
+
+
+def test_store_failures_persists_violations(spark, tmp_path):
+    """dbt --store-failures parity: a failing test writes its violating
+    rows to an audit path named after the test; passing tests write
+    nothing."""
+    from pyspark.sql import Row
+
+    from dbt_datbricks_demo_spark.testing import not_null, unique
+    from dbt_datbricks_demo_spark.testing.runner import TestSpec, run_suite
+
+    df = spark.createDataFrame(
+        [Row(id=1), Row(id=1), Row(id=None)]
+    )
+    relations = {"t": df}
+    specs = [
+        TestSpec("unique_t_id", "t", lambda r: unique(r["t"], "id")),
+        TestSpec("not_null_t_id", "t", lambda r: not_null(r["t"], "id")),
+    ]
+    audit = str(tmp_path / "audit")
+    results = run_suite(specs, relations, store_failures_dir=audit)
+    assert all(not r.passed for r in results)
+    stored = spark.read.parquet(f"{audit}/unique_t_id").collect()
+    assert len(stored) == 1  # one duplicated key group
+    stored_nn = spark.read.parquet(f"{audit}/not_null_t_id").collect()
+    assert len(stored_nn) == 1

@@ -1,0 +1,100 @@
+"""dbt-1.8-style model unit tests: run one model against mock inputs,
+compare to expected rows on the expectation's columns only."""
+
+from __future__ import annotations
+
+from dbt_datbricks_demo_spark.testing.unit import (
+    UnitTest,
+    run_unit_suite,
+    run_unit_test,
+)
+
+# mocks are the model's DIRECT inputs (the staged relations), matching
+# dbt unit-test semantics where `given` rows stand in for ref() outputs
+_DEVICE = {
+    "device_id": "D1", "device_name": "press", "device_type": "sensor",
+    "plant_location": "berlin", "factory_zone": "A", "manufacturer": "acme",
+}
+
+
+def _reading(rid, value, metric="temperature", ingested="2025-01-15 08:00:05"):
+    return {
+        "reading_id": rid, "device_id": "D1", "metric_name": metric,
+        "metric_value": value, "reading_ts": "2025-01-15 08:00:00",
+        "ingested_at": ingested,
+    }
+
+
+def test_anomaly_flag_logic_in_isolation(spark, cfg):
+    """Temperature above the configured upper threshold (85.0) flags
+    is_anomaly; a normal reading does not; NULL flags is_missing_value —
+    the reference CASE ladder tested without any warehouse data."""
+    spec = UnitTest(
+        name="anomaly_flags",
+        model="int_sensor_readings_cleaned",
+        given={
+            "stg_sensor_readings": [
+                _reading("R1", 95.5),
+                _reading("R2", 21.0),
+                _reading("R3", None),
+            ],
+            "stg_devices": [_DEVICE],
+        },
+        expect=[
+            {"reading_id": "R1", "is_anomaly": True, "is_missing_value": False},
+            {"reading_id": "R2", "is_anomaly": False, "is_missing_value": False},
+            {"reading_id": "R3", "is_anomaly": False, "is_missing_value": True},
+        ],
+    )
+    res = run_unit_test(spark, spec, cfg)
+    assert res.passed, res.message
+
+
+def test_dedup_keeps_latest_ingest(spark, cfg):
+    spec = UnitTest(
+        name="dedup_keep_latest",
+        model="int_sensor_readings_cleaned",
+        given={
+            "stg_sensor_readings": [
+                _reading("R1", 10.0, ingested="2025-01-15 08:00:05"),
+                _reading("R1", 99.0, ingested="2025-01-15 09:00:05"),
+            ],
+            "stg_devices": [_DEVICE],
+        },
+        expect=[{"reading_id": "R1", "metric_value": 99.0}],
+    )
+    res = run_unit_test(spark, spec, cfg)
+    assert res.passed, res.message
+
+
+def test_failure_reports_actionable_diff(spark, cfg):
+    spec = UnitTest(
+        name="wrong_expectation",
+        model="int_sensor_readings_cleaned",
+        given={
+            "stg_sensor_readings": [_reading("R1", 95.5)],
+            "stg_devices": [_DEVICE],
+        },
+        expect=[{"reading_id": "R1", "is_anomaly": False}],
+    )
+    res = run_unit_test(spark, spec, cfg)
+    assert not res.passed
+    assert "rows differ" in res.message
+
+
+def test_suite_surfaces_missing_mocks_and_unknown_models(spark, cfg):
+    results = run_unit_suite(
+        spark,
+        [
+            UnitTest("no_such", "no_such_model", given={}, expect=[]),
+            UnitTest(
+                "missing_dep", "int_sensor_readings_cleaned",
+                given={"stg_sensor_readings": [_reading("R1", 1.0)]},
+                expect=[],
+            ),
+        ],
+        cfg,
+    )
+    assert [r.passed for r in results] == [False, False]
+    assert "unknown model" in results[0].message
+    assert "stg_devices" in results[1].message
