@@ -141,3 +141,206 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("shuffle_key"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-funnel analysis (sequential pattern matching, one shuffle)
+# ---------------------------------------------------------------------------
+@_register(
+    "funnel_report",
+    "view→click→purchase ordered funnel in ONE shuffle: per-user sorted "
+    "event sequence folded to a funnel level by an in-plan aggregate() "
+    "state machine (level advances only on the next required step) — no "
+    "N-way self-join per funnel stage, no driver loop. Identical "
+    "int-code fold runs on both engines",
+    """
+    with seq as (
+        select user_id,
+               list_sort(list(struct_pack(ts := ts, t := event_type))) as s
+        from events
+        group by user_id
+    ),
+    lv as (
+        select user_id,
+               list_reduce(
+                   list_prepend(0, list_transform(
+                       s, e -> case e.t when 'view' then 1
+                                        when 'click' then 2
+                                        when 'purchase' then 3
+                                        else 0 end)),
+                   (acc, x) -> case when x = acc + 1 then acc + 1 else acc end
+               ) as level
+        from seq
+    )
+    select
+        count(*)                          as n_users,
+        count(*) filter (where level >= 1) as reached_view,
+        count(*) filter (where level >= 2) as reached_click,
+        count(*) filter (where level >= 3) as reached_purchase
+    from lv
+    """,
+)
+def funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _spread(_t(spark, sf_dir, "events"))
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_type").alias("t")))
+        ).alias("s")
+    )
+    codes = F.transform(
+        F.col("s"),
+        lambda e: F.when(e.t == "view", 1)
+        .when(e.t == "click", 2)
+        .when(e.t == "purchase", 3)
+        .otherwise(0),
+    )
+    level = F.aggregate(
+        codes,
+        F.lit(0),
+        lambda acc, x: F.when(x == acc + 1, acc + 1).otherwise(acc),
+    )
+    return seq.select(level.alias("level")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(F.col("level") >= 1).alias("reached_view"),
+        F.count_if(F.col("level") >= 2).alias("reached_click"),
+        F.count_if(F.col("level") >= 3).alias("reached_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style overlapping chunking
+# ---------------------------------------------------------------------------
+_CHUNK_N, _CHUNK_STRIDE = 64, 48
+
+
+@_register(
+    "chunk_overlap_report",
+    "overlapping token chunking (RAG/window preprocessing): chunk "
+    "starts generated in-plan (sequence with stride), slices hashed for "
+    "content identity — narrow map + explode, the chunk explosion never "
+    "carries document bodies across a shuffle",
+    f"""
+    select doc_id,
+           cast(i as bigint)                         as chunk_idx,
+           cast(len(t[i:i + {_CHUNK_N - 1}]) as bigint) as n_tokens,
+           md5(array_to_string(t[i:i + {_CHUNK_N - 1}], ' ')) as chunk_md5
+    from (
+        select doc_id, t, unnest(range(1, len(t) + 1, {_CHUNK_STRIDE})) as i
+        from (select doc_id, {_SQL_TOKENS} as t from documents)
+    )
+    """,
+)
+def chunk_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    staged = docs.select("doc_id", toks.alias("t"))
+    starts = F.sequence(F.lit(1), F.size("t"), F.lit(_CHUNK_STRIDE))
+    exploded = staged.select(
+        "doc_id", "t", F.explode(starts).alias("i")
+    )
+    chunk = F.slice(F.col("t"), F.col("i"), _CHUNK_N)
+    return exploded.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing candidate pairs (substring-level near-dup detection)
+# ---------------------------------------------------------------------------
+_WINNOW_MIN_SHARED = 3
+_WINNOW_MAX_DF = 50  # stop-fingerprint cap: drop fps present in > this many docs
+
+
+@_register(
+    "winnow_candidate_pairs",
+    "substring near-dup candidates from shared winnowing fingerprints: "
+    "explode (doc, fp) carrying the doc's fp-count inline (no extra "
+    "size join), drop stop-fingerprints (df cap — the hot-bucket "
+    "defense, same as LSH), self-join on fp, pairs with >= 3 shared "
+    "fps scored by containment. Only ids+hashes shuffle, never text",
+    f"""
+    with fps as (
+        select doc_id, len(w) as nfp, unnest(w) as fp
+        from (
+            select doc_id,
+                   list_sort(list_distinct(
+                       case
+                         when len(kh) >= {_W} then
+                           list_transform(range(1, len(kh) - {_W - 1} + 1),
+                                          j -> list_min(kh[j:j + {_W - 1}]))
+                         when len(kh) > 0 then [list_min(kh)]
+                         else []
+                       end
+                   )) as w
+            from (
+                select doc_id,
+                       list_transform(
+                           list_transform(range(1, len(t) - {_K - 1} + 1),
+                                          i -> array_to_string(t[i:i + {_K - 1}], ' ')),
+                           g -> {_SQL_H32.format(x='g')}
+                       ) as kh
+                from (select doc_id, {_SQL_TOKENS} as t from documents)
+            )
+        )
+    ),
+    live as (
+        select * from fps
+        where fp in (
+            select fp from fps group by fp having count(*) <= {_WINNOW_MAX_DF}
+        )
+    ),
+    pairs as (
+        select a.doc_id as id_a, b.doc_id as id_b,
+               count(*) as n_shared,
+               min(a.nfp) as nfp_a, min(b.nfp) as nfp_b
+        from live a join live b on a.fp = b.fp and a.doc_id < b.doc_id
+        group by a.doc_id, b.doc_id
+    )
+    select id_a, id_b, n_shared,
+           round(n_shared * 1.0 / least(nfp_a, nfp_b), 6) as containment
+    from pairs
+    where n_shared >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    staged = dedup.with_winnowed_fingerprints(docs, "text", k=_K, w=_W)
+    fps = staged.select(
+        "doc_id",
+        F.size("winnow_fps").alias("nfp"),
+        F.explode("winnow_fps").alias("fp"),
+    )
+    # stop-fingerprint cap: a fingerprint shared by half the corpus is a
+    # boilerplate phrase, and its bucket would be a quadratic hot spot
+    df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    live = fps.join(
+        df_counts.filter(F.col("df") <= _WINNOW_MAX_DF).select("fp"), "fp"
+    )
+    a = live.select(
+        F.col("doc_id").alias("id_a"), F.col("nfp").alias("nfp_a"), "fp"
+    )
+    b = live.select(
+        F.col("doc_id").alias("id_b"), F.col("nfp").alias("nfp_b"), "fp"
+    )
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("nfp_a").alias("nfp_a"),
+            F.min("nfp_b").alias("nfp_b"),
+        )
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        F.round(
+            F.col("n_shared") * 1.0 / F.least("nfp_a", "nfp_b"), 6
+        ).alias("containment"),
+    )
