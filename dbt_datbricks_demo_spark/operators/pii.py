@@ -78,3 +78,46 @@ def pii_report(
         redacted.alias("redacted_text"),
         residual_pii_count(redacted).alias("n_residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column-tag-driven masking (governance layer)
+# ---------------------------------------------------------------------------
+# Databricks/Unity-style column masking re-expressed engine-side: a
+# model declares per-column sensitivity tags; masked_view applies the
+# matching mask expression and returns a DataFrame safe to expose as a
+# view. Masking is a narrow projection — zero shuffles, free at scale.
+
+MASKS = {
+    # scrub PII classes inside free text
+    "pii_text": lambda c: redact_pii(c),
+    # irreversible pseudonymous join key (md5 keeps equality semantics)
+    "pseudonymize": lambda c: F.md5(c.cast("string")),
+    # drop the value entirely, keep the column shape
+    "redact_full": lambda c: F.lit("[REDACTED]"),
+    # keep only the last 4 characters (card/phone-tail style)
+    "mask_prefix": lambda c: F.concat(
+        F.lit("****"), F.substring(c.cast("string"), -4, 4)
+    ),
+}
+
+
+def masked_view(df: DataFrame, tags: dict[str, str]) -> DataFrame:
+    """Apply per-column masks by tag: ``tags`` maps column name → mask
+    name from MASKS. Untagged columns pass through; unknown tags or
+    columns raise immediately (a silent no-op mask is a data leak)."""
+    unknown_cols = [c for c in tags if c not in df.columns]
+    if unknown_cols:
+        raise ValueError(f"masked_view: no such columns {unknown_cols}")
+    unknown_tags = [t for t in tags.values() if t not in MASKS]
+    if unknown_tags:
+        raise ValueError(
+            f"masked_view: unknown mask tags {unknown_tags}; "
+            f"available: {sorted(MASKS)}"
+        )
+    return df.select(
+        *[
+            MASKS[tags[c]](F.col(c)).alias(c) if c in tags else F.col(c)
+            for c in df.columns
+        ]
+    )

@@ -469,3 +469,41 @@ def test_contamination_shuffled_fallback_matches(spark):
     ).collect()
     key = lambda r: r["doc_id"]  # noqa: E731
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_masked_view_applies_tag_masks(spark):
+    """Governance masking: tagged columns are transformed, untagged pass
+    through, unknown tags/columns fail loudly (a silent no-op mask is a
+    leak)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dbt_datbricks_demo_spark.operators.pii import masked_view
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                id=7,
+                email_note="reach me at a.b@example.com",
+                card="4111222233334444",
+                city="berlin",
+            )
+        ]
+    )
+    out = masked_view(
+        df,
+        {
+            "email_note": "pii_text",
+            "card": "mask_prefix",
+            "id": "pseudonymize",
+        },
+    ).collect()[0]
+    assert out["email_note"] == "reach me at [EMAIL]"
+    assert out["card"] == "****4444"
+    assert out["city"] == "berlin"
+    assert len(out["id"]) == 32 and out["id"] != "7"
+
+    with pytest.raises(ValueError, match="no such columns"):
+        masked_view(df, {"nope": "pii_text"})
+    with pytest.raises(ValueError, match="unknown mask tags"):
+        masked_view(df, {"city": "not_a_mask"})
