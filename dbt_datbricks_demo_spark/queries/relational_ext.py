@@ -334,3 +334,110 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-decimal Pearson correlation (order-independent bivariate stats)
+# ---------------------------------------------------------------------------
+@_register(
+    "corr_report",
+    "Pearson correlation from exact decimal sums — corr(x,y) = "
+    "(n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)(n·Σy² − Σy²)) with every sum "
+    "accumulated as decimal (order-free across any partitioning; the "
+    "engines' native corr() merges Welford states in partition order, "
+    "whose low bits are nondeterministic). One partial+final hash agg",
+    """
+    with s as (
+        select
+            l_returnflag,
+            count(*)                                            as n,
+            sum(cast(l_quantity as decimal(12,2)))              as sx,
+            sum(cast(l_discount as decimal(12,2)))              as sy,
+            sum(cast(l_quantity as decimal(12,2))
+                * cast(l_quantity as decimal(12,2)))            as sxx,
+            sum(cast(l_discount as decimal(12,2))
+                * cast(l_discount as decimal(12,2)))            as syy,
+            sum(cast(l_quantity as decimal(12,2))
+                * cast(l_discount as decimal(12,2)))            as sxy
+        from lineitem
+        group by l_returnflag
+    )
+    select
+        l_returnflag,
+        n,
+        round(
+            cast(cast(n as decimal(10,0)) * sxy - sx * sy as double)
+            / sqrt(cast(cast(n as decimal(10,0)) * sxx - sx * sx as double)
+                   * cast(cast(n as decimal(10,0)) * syy - sy * sy as double)),
+            6
+        ) as qty_disc_corr
+    from s
+    """,
+)
+def corr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _spread(_t(spark, sf_dir, "lineitem"))
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_discount").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(10,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(num / den, 6).alias("qty_disc_corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Numeric histogram (width_bucket binning)
+# ---------------------------------------------------------------------------
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 20
+
+
+@_register(
+    "value_histogram",
+    "equi-width value histogram via width_bucket — the binning is a "
+    "narrow expression, the histogram one partial+final hash agg over "
+    "at most bins+2 groups; distribution diagnostics at any scale "
+    "without a sort or a window",
+    f"""
+    -- DuckDB 1.0 has no width_bucket; this is its exact definition
+    -- (left-closed equi-width bins, under/overflow buckets 0 and n+1)
+    select cast(case when o_totalprice < {_HIST_LO} then 0
+                     when o_totalprice >= {_HIST_HI} then {_HIST_BINS + 1}
+                     else floor((o_totalprice - {_HIST_LO})
+                                * {_HIST_BINS}
+                                / ({_HIST_HI} - {_HIST_LO})) + 1
+                end as bigint)                            as bucket,
+           count(*)                                       as n,
+           cast(min(cast(o_totalprice as decimal(18,2))) as double) as lo_val,
+           cast(max(cast(o_totalprice as decimal(18,2))) as double) as hi_val
+    from orders
+    group by 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _spread(_t(spark, sf_dir, "orders"))
+    bucket = F.width_bucket(
+        F.col("o_totalprice"), F.lit(_HIST_LO), F.lit(_HIST_HI), F.lit(_HIST_BINS)
+    ).cast("bigint")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("lo_val"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("hi_val"),
+    )

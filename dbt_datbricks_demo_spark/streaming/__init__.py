@@ -7,6 +7,7 @@ from dbt_datbricks_demo_spark.streaming.pipeline import (  # noqa: F401
     read_readings_stream,
     sensor_stream_cleaned,
     write_silver_merge,
+    readings_alerts_interval_join,
 )
 from dbt_datbricks_demo_spark.streaming.stateful import (  # noqa: F401
     anomaly_streaks,

@@ -193,3 +193,53 @@ def write_silver_merge(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def readings_alerts_interval_join(
+    readings: DataFrame,
+    alerts: DataFrame,
+    max_lag: str = "10 minutes",
+    late_threshold: str = "30 seconds",
+) -> DataFrame:
+    """Stream-STREAM inner join: attach to each alert the sensor
+    readings of the same device that arrived within ``max_lag`` BEFORE
+    the alert fired — the "what did the sensor show leading up to this
+    page?" query, computed online.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends (alert_ts - max_lag <= reading_ts <= alert_ts), which
+    is what lets Spark evict join state: each side's buffered rows are
+    dropped once the other side's watermark passes the window. State is
+    O(rows within max_lag + late_threshold per device), independent of
+    stream history — the required shape for an unbounded 100-TB/day
+    stream pair. Equi-key on device_id keeps the state store partitioned
+    by the same key every other stage uses.
+    """
+    r = (
+        readings.withWatermark("reading_ts", late_threshold)
+        .select(
+            F.col("device_id").alias("r_device_id"),
+            "reading_id",
+            "metric_name",
+            "metric_value",
+            "reading_ts",
+        )
+    )
+    a = alerts.withWatermark("alert_ts", late_threshold).select(
+        "alert_id", F.col("device_id").alias("a_device_id"), "alert_type", "alert_ts"
+    )
+    cond = (
+        (F.col("r_device_id") == F.col("a_device_id"))
+        & (F.col("reading_ts") <= F.col("alert_ts"))
+        & (F.col("reading_ts") >= F.col("alert_ts") - F.expr(f"interval {max_lag}"))
+    )
+    return a.join(r, cond, "inner").select(
+        "alert_id",
+        F.col("a_device_id").alias("device_id"),
+        "alert_type",
+        "alert_ts",
+        "reading_id",
+        "metric_name",
+        "metric_value",
+        "reading_ts",
+    )

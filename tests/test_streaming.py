@@ -420,3 +420,55 @@ def test_transform_with_state_novelty_gate(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+READINGS_SS = """reading_id,device_id,metric_name,metric_value,reading_ts,ingested_at
+T001,DEV001,temperature,90.0,2025-01-15 08:02:00,2025-01-15 08:02:05
+T002,DEV001,temperature,93.0,2025-01-15 08:09:00,2025-01-15 08:09:05
+T003,DEV001,temperature,70.0,2025-01-15 07:55:00,2025-01-15 07:55:05
+T004,DEV002,vibration,1.0,2025-01-15 08:05:00,2025-01-15 08:05:05
+"""
+ALERTS_SS = """alert_id,device_id,alert_type,alert_ts
+A100,DEV001,threshold_breach,2025-01-15 08:10:00
+"""
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with two watermarks and a bounded
+    event-time condition: the alert picks up the same device's readings
+    from the 10 minutes before it fired; out-of-window and other-device
+    readings are excluded. The time bound on BOTH sides is what lets
+    Spark evict join state."""
+    from dbt_datbricks_demo_spark.streaming import (
+        read_readings_stream,
+        readings_alerts_interval_join,
+    )
+
+    r_dir, a_dir = tmp_path / "r_in", tmp_path / "a_in"
+    r_dir.mkdir(), a_dir.mkdir()
+    (r_dir / "r.csv").write_text(READINGS_SS)
+    (a_dir / "a.csv").write_text(ALERTS_SS)
+
+    readings = read_readings_stream(spark, str(r_dir))
+    alerts = (
+        spark.readStream.schema(
+            "alert_id string, device_id string, alert_type string, alert_ts timestamp"
+        )
+        .option("header", "true")
+        .csv(str(a_dir))
+    )
+    out_dir = tmp_path / "ss_out"
+    q = (
+        readings_alerts_interval_join(readings, alerts)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out_dir)).collect()
+    got = {(r["alert_id"], r["reading_id"]) for r in rows}
+    assert got == {("A100", "T001"), ("A100", "T002")}
+    assert all(r["device_id"] == "DEV001" for r in rows)
