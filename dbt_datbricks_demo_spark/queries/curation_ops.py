@@ -344,3 +344,117 @@ def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared") * 1.0 / F.least("nfp_a", "nfp_b"), 6
         ).alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (classic event analytics)
+# ---------------------------------------------------------------------------
+@_register(
+    "retention_cohorts",
+    "weekly cohort retention triangle: cohort = each user's first "
+    "activity week (one hash agg), then distinct users per (cohort, "
+    "weeks-since) — two shuffles total, the user->cohort map rejoins "
+    "the events co-partitioned on user_id; no per-cohort self-joins",
+    """
+    with firstw as (
+        select user_id,
+               min(cast(date_trunc('week', ts) as date)) as cohort_week
+        from events
+        group by user_id
+    ),
+    act as (
+        select e.user_id,
+               f.cohort_week,
+               cast(floor(date_diff('day', f.cohort_week,
+                                    cast(date_trunc('week', e.ts) as date)) / 7)
+                    as bigint) as weeks_since
+        from events e join firstw f using (user_id)
+    )
+    select cohort_week, weeks_since,
+           count(distinct user_id) as active_users
+    from act
+    group by cohort_week, weeks_since
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _spread(_t(spark, sf_dir, "events"))
+    week = F.to_date(F.date_trunc("week", "ts"))
+    firstw = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    act = ev.join(firstw, "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.floor(F.datediff(week, F.col("cohort_week")) / 7)
+        .cast("bigint")
+        .alias("weeks_since"),
+    )
+    return act.groupBy("cohort_week", "weeks_since").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (ANN memory-footprint path)
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_quantization_report",
+    "symmetric int8 quantization of embeddings (4x memory cut for ANN "
+    "serving): per-vector max-abs scale, round-half-up to int8, "
+    "reconstruction error via one aggregate() fold — pure array math, "
+    "zero shuffle, zero Python",
+    """
+    select vec_id,
+           round(scale, 6) as scale6,
+           list_transform(q, x -> cast(x as bigint))[1:8] as q_head,
+           round(list_sum(list_transform(
+               list_zip(embedding, q),
+               p -> abs(cast(p[1] as double) - cast(p[2] as double) * scale)
+           )) / len(embedding), 6) as mean_abs_err
+    from (
+        select vec_id, embedding,
+               list_max(list_transform(embedding,
+                                       x -> abs(cast(x as double)))) / 127.0
+                   as scale,
+               list_transform(
+                   embedding,
+                   x -> cast(floor(cast(x as double)
+                             / (list_max(list_transform(embedding,
+                                    y -> abs(cast(y as double)))) / 127.0)
+                             + 0.5) as bigint)
+               ) as q
+        from embeddings
+    )
+    """,
+)
+def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    absd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    staged = emb.select(
+        "vec_id",
+        "embedding",
+        (F.array_max(absd) / F.lit(127.0)).alias("scale"),
+    )
+    # round-half-up spelled as floor(x/scale + 0.5): identical in both
+    # engines (DuckDB round() is half-up but Spark's is half-even for
+    # doubles — the explicit floor form sidesteps the difference)
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    staged2 = staged.withColumn("q", q)
+    err = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q"),
+            lambda e, qq: F.abs(e.cast("double") - qq.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("embedding")
+    return staged2.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale6"),
+        F.slice("q", 1, 8).alias("q_head"),
+        F.round(err, 6).alias("mean_abs_err"),
+    )
