@@ -458,3 +458,72 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
         F.slice("q", 1, 8).alias("q_head"),
         F.round(err, 6).alias("mean_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + interpolation (hypertable-style)
+# ---------------------------------------------------------------------------
+@_register(
+    "gap_fill_interpolate",
+    "TimescaleDB-style time_bucket_gapfill + locf + interpolate: per-"
+    "user hourly spine generated in-plan, observed hourly event counts "
+    "joined co-partitioned, forward fill and linear interpolation via "
+    "IGNORE NULLS window frames with exact epoch-second fractions "
+    "(operators.timeseries.gap_fill)",
+    """
+    with hourly as (
+        select user_id,
+               date_trunc('hour', ts) as hour,
+               cast(count(*) as double) as v
+        from events
+        group by 1, 2
+    ),
+    bounds as (
+        select user_id, min(hour) as lo, max(hour) as hi from hourly group by 1
+    ),
+    spine as (
+        select user_id,
+               unnest(generate_series(lo, hi, interval 1 hour)) as hour
+        from bounds
+    ),
+    j as (
+        select s.user_id, s.hour, h.v
+        from spine s left join hourly h using (user_id, hour)
+    ),
+    w as (
+        select user_id, hour, v,
+            last_value(v ignore nulls) over
+                (partition by user_id order by hour
+                 rows between unbounded preceding and current row) as v_prev,
+            last_value(case when v is not null then epoch(hour) end ignore nulls)
+                over (partition by user_id order by hour
+                      rows between unbounded preceding and current row) as t_prev,
+            first_value(v ignore nulls) over
+                (partition by user_id order by hour
+                 rows between 1 following and unbounded following) as v_next,
+            first_value(case when v is not null then epoch(hour) end ignore nulls)
+                over (partition by user_id order by hour
+                      rows between 1 following and unbounded following) as t_next
+        from j
+    )
+    select user_id,
+           cast(hour as timestamp) as hour,
+           v is not null           as known,
+           v_prev                  as ffill,
+           round(case when v is not null then v
+                      when v_prev is not null and v_next is not null then
+                          v_prev + (v_next - v_prev)
+                                 * (epoch(hour) - t_prev) / (t_next - t_prev)
+                      when v_prev is not null then v_prev
+                      else v_next end, 6) as interp
+    from w
+    """,
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators import timeseries
+
+    ev = _spread(_t(spark, sf_dir, "events"))
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return timeseries.gap_fill(hourly, "user_id", "hour", "v")

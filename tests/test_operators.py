@@ -512,3 +512,36 @@ def test_multiprobe_expands_candidates_and_keeps_base_bucket(spark):
     multi = {r["vec_id"] for r in similarity.bucketed_ann_topk(emb, query, planes=4, k=60, probes=3).collect()}
     assert single <= multi  # multi-probe only ever adds candidates
     assert 7 in multi
+
+
+def test_gap_fill_interpolation_edges(spark):
+    """Gap fill: interior gaps interpolate linearly, leading gaps take
+    the next known value, trailing gaps carry the last known forward,
+    observed rows pass through."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from dbt_datbricks_demo_spark.operators.timeseries import gap_fill
+
+    h = lambda i: dt.datetime(2025, 1, 1, i, 0, 0)
+    observed = spark.createDataFrame(
+        [
+            Row(k="a", hour=h(1), v=10.0),
+            Row(k="a", hour=h(4), v=40.0),  # 2,3 missing -> 20, 30
+            Row(k="a", hour=h(6), v=60.0),  # 5 missing -> 50
+            Row(k="b", hour=h(0), v=5.0),  # single point: no gaps
+        ]
+    )
+    out = {
+        (r["k"], r["hour"].hour): (r["known"], r["ffill"], r["interp"])
+        for r in gap_fill(observed, "k", "hour", "v").collect()
+    }
+    assert out[("a", 1)] == (True, 10.0, 10.0)
+    assert out[("a", 2)] == (False, 10.0, 20.0)
+    assert out[("a", 3)] == (False, 10.0, 30.0)
+    assert out[("a", 4)] == (True, 40.0, 40.0)
+    assert out[("a", 5)] == (False, 40.0, 50.0)
+    assert out[("a", 6)] == (True, 60.0, 60.0)
+    assert out[("b", 0)] == (True, 5.0, 5.0)
+    assert len(out) == 7
