@@ -200,6 +200,7 @@ def readings_alerts_interval_join(
     alerts: DataFrame,
     max_lag: str = "10 minutes",
     late_threshold: str = "30 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-STREAM inner join: attach to each alert the sensor
     readings of the same device that arrived within ``max_lag`` BEFORE
@@ -233,7 +234,11 @@ def readings_alerts_interval_join(
         & (F.col("reading_ts") <= F.col("alert_ts"))
         & (F.col("reading_ts") >= F.col("alert_ts") - F.expr(f"interval {max_lag}"))
     )
-    return a.join(r, cond, "inner").select(
+    # left_outer additionally emits alerts with no readings in their
+    # window — Spark holds the alert row until the readings watermark
+    # passes the window end, then emits it null-padded (same point where
+    # inner-join state is evicted, so outer costs no extra state).
+    return a.join(r, cond, how).select(
         "alert_id",
         F.col("a_device_id").alias("device_id"),
         "alert_type",

@@ -472,3 +472,72 @@ def test_stream_stream_interval_join(spark, tmp_path):
     got = {(r["alert_id"], r["reading_id"]) for r in rows}
     assert got == {("A100", "T001"), ("A100", "T002")}
     assert all(r["device_id"] == "DEV001" for r in rows)
+
+
+ALERTS_SS_B = """alert_id,device_id,alert_type,alert_ts
+A200,DEV009,threshold_breach,2025-01-15 08:20:00
+"""
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: an alert with no readings in its
+    window still emits (with null reading columns) once the readings-
+    side watermark passes the join window — the state-eviction point.
+    Uses the same bounded interval condition as the inner variant."""
+    from dbt_datbricks_demo_spark.streaming import (
+        read_readings_stream,
+        readings_alerts_interval_join,
+    )
+
+    r_dir, a_dir = tmp_path / "r_in", tmp_path / "a_in"
+    r_dir.mkdir(), a_dir.mkdir()
+    (r_dir / "r.csv").write_text(READINGS_SS)
+    (a_dir / "a.csv").write_text(ALERTS_SS + ALERTS_SS_B.splitlines()[1] + "\n")
+
+    out_dir = tmp_path / "sslo_out"
+
+    def run_batch():
+        q = (
+            readings_alerts_interval_join(
+                read_readings_stream(spark, str(r_dir)),
+                spark.readStream.schema(
+                    "alert_id string, device_id string, alert_type string, alert_ts timestamp"
+                )
+                .option("header", "true")
+                .csv(str(a_dir)),
+                how="left_outer",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sslo_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    # outer-join nulls emit only after the OTHER side's watermark passes
+    # the join window: feed a much later reading in a second batch to
+    # advance the readings watermark beyond A200's window end
+    (r_dir / "late.csv").write_text(
+        "reading_id,device_id,metric_name,metric_value,reading_ts,ingested_at\n"
+        "T999,DEV001,temperature,50.0,2025-01-15 10:00:00,2025-01-15 10:00:05\n"
+    )
+    # ...and the alerts watermark gates eviction too (outer emission
+    # waits on the min of both sides), so push it forward as well
+    (a_dir / "late.csv").write_text(
+        "alert_id,device_id,alert_type,alert_ts\n"
+        "A999,DEV001,noop,2025-01-15 10:00:00\n"
+    )
+    run_batch()
+    run_batch()  # one more no-op batch lets the advanced watermark evict
+    rows = spark.read.parquet(str(out_dir)).collect()
+    matched = {(r["alert_id"], r["reading_id"]) for r in rows if r["reading_id"]}
+    # A999/T999 are the batch-2 watermark pushers; they match each other
+    assert matched == {
+        ("A100", "T001"), ("A100", "T002"), ("A999", "T999")
+    }
+    unmatched = {r["alert_id"] for r in rows if r["reading_id"] is None}
+    # DEV009 has no readings at all -> left-outer emits it with nulls
+    assert "A200" in unmatched
