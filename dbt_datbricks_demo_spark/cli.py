@@ -45,6 +45,22 @@ def _parser() -> argparse.ArgumentParser:
         "--gated", action="store_true",
         help="test silver before building gold (workflow gate)",
     )
+    run.add_argument(
+        "--state", default=None, metavar="DIR",
+        help="slim CI: rebuild only models whose definition changed vs the "
+        "saved state (+ downstream), like dbt --select state:modified+",
+    )
+    snap = sub.add_parser(
+        "snapshot", help="apply the SCD2 device snapshot (dbt snapshot)"
+    )
+    snap.add_argument(
+        "--at", default=None,
+        help="batch timestamp (YYYY-MM-DD HH:MM:SS); defaults to now",
+    )
+    state = sub.add_parser(
+        "state-save", help="save model-definition fingerprints for --state"
+    )
+    state.add_argument("dir", help="directory for manifest_fingerprints.json")
     sub.add_parser("test", help="run the data-quality suite")
     sub.add_parser("freshness", help="source freshness vs warn/error SLAs")
     eda = sub.add_parser("eda", help="run analytical queries")
@@ -122,10 +138,64 @@ def main(argv: list[str] | None = None) -> int:
             ok = all(r.passed for r in results)
             print(f"built {len(relations) - len(seeds)} relations (gated)")
             return 0 if ok else 1
+        select_names = None
+        if args.state:
+            from dbt_datbricks_demo_spark.plans import state as state_mod
+
+            select_names = state_mod.modified_plus_downstream(args.state)
+            print(
+                f"state:modified+ selected {len(select_names)} models: "
+                f"{', '.join(sorted(select_names)) or '(none)'}"
+            )
         tags = set(args.select.split(",")) if args.select else None
-        relations = runner.run(seeds, select_tags=tags, full_refresh=args.full_refresh)
+        relations = runner.run(
+            seeds,
+            select_tags=tags,
+            full_refresh=args.full_refresh,
+            select_names=select_names,
+        )
         built = [n for n in relations if n not in seeds]
         print(f"built {len(built)} relations: {', '.join(built)}")
+        return 0
+
+    if args.verb == "state-save":
+        from dbt_datbricks_demo_spark.plans import state as state_mod
+
+        print(f"wrote {state_mod.save_state(args.dir)}")
+        return 0
+
+    if args.verb == "snapshot":
+        import datetime as dt
+
+        from dbt_datbricks_demo_spark.models.staging import stg_devices
+        from dbt_datbricks_demo_spark.plans.snapshots import (
+            SnapshotConfig,
+            snapshot_apply,
+        )
+
+        snap_cfg = SnapshotConfig(
+            unique_key="device_id",
+            strategy="check",
+            check_cols=(
+                "plant_location", "factory_zone", "firmware_version", "is_active"
+            ),
+        )
+        batch_ts = args.at or dt.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        source = stg_devices(seeds["raw_devices"], cfg).select(
+            "device_id", "device_name", "device_type", "plant_location",
+            "factory_zone", "firmware_version", "is_active",
+        )
+        existing = (
+            runner.mat.read("devices_snapshot", "snapshots")
+            if runner.mat.exists("devices_snapshot", "snapshots")
+            else None
+        )
+        result = snapshot_apply(existing, source, snap_cfg, batch_ts=batch_ts)
+        out = runner.mat.as_table("devices_snapshot", "snapshots", result)
+        n_open = out.filter(out.dbt_valid_to.isNull()).count()
+        print(
+            f"devices_snapshot: {out.count()} rows ({n_open} open) as of {batch_ts}"
+        )
         return 0
 
     if args.verb == "test":

@@ -145,3 +145,25 @@ def test_docs_artifacts_manifest_and_catalog(tmp_path, capsys):
     cols = {c["name"]: c["type"] for c in catalog["model.fct_device_summary"]["columns"]}
     assert cols["health_score"] == "double"
     assert cols["device_id"] == "string"
+
+
+def test_cli_snapshot_verb_is_idempotent_and_tracks_changes(spark, tmp_path, capsys):
+    assert main(_argv(tmp_path, "snapshot", "--at", "2025-01-16 00:00:00")) == 0
+    out = capsys.readouterr().out
+    assert "devices_snapshot: 10 rows (10 open)" in out
+    # same source, later batch: check strategy sees no changes -> no new rows
+    assert main(_argv(tmp_path, "snapshot", "--at", "2025-01-17 00:00:00")) == 0
+    out = capsys.readouterr().out
+    assert "devices_snapshot: 10 rows (10 open)" in out
+
+
+def test_cli_state_save_and_noop_selection(spark, tmp_path, capsys):
+    state_dir = str(tmp_path / "state")
+    assert main(_argv(tmp_path, "state-save", state_dir)) == 0
+    assert "manifest_fingerprints.json" in capsys.readouterr().out
+    # unchanged definitions: state:modified+ selects nothing, run reuses
+    assert main(_argv(tmp_path, "run")) == 0  # materialize once
+    capsys.readouterr()
+    assert main(_argv(tmp_path, "run", "--state", state_dir)) == 0
+    out = capsys.readouterr().out
+    assert "state:modified+ selected 0 models" in out
