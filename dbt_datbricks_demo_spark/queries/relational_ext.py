@@ -441,3 +441,71 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("hi_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) clustering keys — the math behind OPTIMIZE ZORDER
+# ---------------------------------------------------------------------------
+_Z_BITS = 8  # bits per dimension -> 16-bit interleaved key
+
+
+def _spark_morton(a, b, bits: int = _Z_BITS):
+    # Column.__or__ is LOGICAL or in PySpark; bitwise is .bitwiseOR
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            a.bitwiseAND(F.lit(1 << i)) * F.lit(1 << (i + 1))
+        ).bitwiseOR(b.bitwiseAND(F.lit(1 << i)) * F.lit(1 << i))
+    return out
+
+
+def _sql_morton(a: str, b: str, bits: int = _Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} & {1 << i}) * {1 << (i + 1)})")
+        terms.append(f"(({b} & {1 << i}) * {1 << i})")
+    return " | ".join(terms)
+
+
+@_register(
+    "zorder_keys",
+    "Morton (Z-order) key computation — bit-interleaving two bucketed "
+    "dimensions into one clustering key so a range-partitioned write "
+    "groups rows that are close in BOTH dimensions (the math behind "
+    "OPTIMIZE ZORDER / multi-dimensional file skipping). Pure integer "
+    "expressions; summarized per key-range so the output stays small",
+    f"""
+    with keyed as (
+        select cast({_sql_morton(
+            f"cast(o_custkey % {1 << _Z_BITS} as bigint)",
+            f"cast(date_diff('day', date '1995-01-01', cast(o_orderdate as date)) % {1 << _Z_BITS} as bigint)"
+        )} as bigint) as zkey
+        from orders
+    )
+    -- // : DuckDB integer division ( / on ints is FLOAT division, and
+    -- cast(double as bigint) rounds-to-nearest, not floor)
+    select cast(zkey // 4096 as bigint) as zrange,
+           count(*)                    as n,
+           cast(min(zkey) as bigint)   as min_z,
+           cast(max(zkey) as bigint)   as max_z
+    from keyed
+    group by 1
+    """,
+)
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _spread(_t(spark, sf_dir, "orders"))
+    a = (F.col("o_custkey") % (1 << _Z_BITS)).cast("bigint")
+    b = (
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        % (1 << _Z_BITS)
+    ).cast("bigint")
+    z = _spark_morton(a, b)
+    return (
+        orders.select(z.alias("zkey"))
+        .groupBy(F.floor(F.col("zkey") / 4096).cast("bigint").alias("zrange"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zkey").cast("bigint").alias("min_z"),
+            F.max("zkey").cast("bigint").alias("max_z"),
+        )
+    )
