@@ -527,3 +527,180 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.count(F.lit(1)).cast("double").alias("v"))
     return timeseries.gap_fill(hourly, "user_id", "hour", "v")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary OOV rate (tokenizer coverage metric)
+# ---------------------------------------------------------------------------
+_VOCAB_K = 50
+
+
+@_register(
+    "oov_rate_report",
+    "out-of-vocabulary rate per source against the corpus top-50 "
+    "vocabulary: vocab built in-plan (one agg + top-k), token stream "
+    "left-anti-checked against it via a broadcast join — the coverage "
+    "metric a tokenizer/vocab decision is made on. Per-source exact "
+    "int counts, one ratio at the edge",
+    f"""
+    with toks as (
+        select source, unnest({_SQL_TOKENS}) as t from documents
+    ),
+    vocab as (
+        select t from toks where t <> ''
+        group by t
+        order by count(*) desc, t asc
+        limit {_VOCAB_K}
+    )
+    select source,
+           count(*)                                        as n_tokens,
+           count(*) filter (where t not in (select t from vocab))
+                                                           as n_oov,
+           round(count(*) filter (where t not in (select t from vocab))
+                 * 1.0 / count(*), 6)                      as oov_rate
+    from toks
+    where t <> ''
+    group by source
+    """,
+)
+def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(tokens("text")).alias("t")
+    ).filter(F.col("t") != "")
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("t"))
+        .limit(_VOCAB_K)
+        .select("t", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("_in_vocab").isNull()).alias("n_oov"),
+            F.round(
+                F.count_if(F.col("_in_vocab").isNull()) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (distribution drift between splits)
+# ---------------------------------------------------------------------------
+_PSI_BINS = 10
+_PSI_LO, _PSI_HI = 0, 2000  # n_chars range
+
+
+@_register(
+    "psi_drift_report",
+    "population stability index between the train and test splits over "
+    "the n_chars distribution: equal-width bins, per-bin (p-q)*ln(p/q) "
+    "from exact integer counts, zero-count bins Laplace-smoothed — the "
+    "standard drift gate run before shipping a data refresh. Two tiny "
+    "apply-side aggs; no row data leaves the bin histogram",
+    f"""
+    with assigned as (
+        select n_chars,
+               case when ('0x' || substr(md5('split:' || cast(doc_id as varchar)), 1, 8))::ubigint % 10 < 8
+                    then 'train' else 'test' end as split
+        from documents
+    ),
+    binned as (
+        select split,
+               least(greatest(cast(floor((n_chars - {_PSI_LO}) * {_PSI_BINS}
+                                          / ({_PSI_HI} - {_PSI_LO})) as bigint),
+                              0), {_PSI_BINS - 1}) as bin,
+               count(*) as c
+        from assigned
+        group by 1, 2
+    ),
+    tot as (select split, sum(c) as n from binned group by 1),
+    p as (
+        select b.bin,
+               (coalesce(max(case when b.split = 'train' then b.c end), 0) + 1.0)
+                 / (max(case when t.split = 'train' then t.n end) + {_PSI_BINS})
+                   as p_train,
+               (coalesce(max(case when b.split = 'test' then b.c end), 0) + 1.0)
+                 / (max(case when t.split = 'test' then t.n end) + {_PSI_BINS})
+                   as p_test
+        from binned b cross join tot t
+        group by b.bin
+    )
+    select cast(count(*) as bigint) as n_bins,
+           round(sum((p_train - p_test) * ln(p_train / p_test)), 6) as psi
+    from p
+    """,
+)
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    split = F.when(
+        dedup.md5_int32(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 10
+        < 8,
+        "train",
+    ).otherwise("test")
+    width = _PSI_HI - _PSI_LO
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("n_chars") - _PSI_LO) * _PSI_BINS / width).cast(
+                "bigint"
+            ),
+            F.lit(0),
+        ),
+        F.lit(_PSI_BINS - 1),
+    )
+    binned = (
+        docs.select(split.alias("split"), bin_col.alias("bin"))
+        .groupBy("split", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # totals as a 1-row broadcast (NOT a per-split join: a bin present in
+    # only one split would otherwise see a NULL denominator for the other)
+    tot = binned.groupBy().agg(
+        F.sum(F.when(F.col("split") == "train", F.col("c"))).alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", F.col("c"))).alias("n_test"),
+    )
+    p = (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("bin")
+        .agg(
+            (
+                (
+                    F.coalesce(
+                        F.max(F.when(F.col("split") == "train", F.col("c"))),
+                        F.lit(0),
+                    )
+                    + 1.0
+                )
+                / (F.max("n_train") + F.lit(_PSI_BINS))
+            ).alias("p_train"),
+            (
+                (
+                    F.coalesce(
+                        F.max(F.when(F.col("split") == "test", F.col("c"))),
+                        F.lit(0),
+                    )
+                    + 1.0
+                )
+                / (F.max("n_test") + F.lit(_PSI_BINS))
+            ).alias("p_test"),
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(
+            F.sum(
+                (F.col("p_train") - F.col("p_test"))
+                * F.log(F.col("p_train") / F.col("p_test"))
+            ),
+            6,
+        ).alias("psi"),
+    )
