@@ -55,9 +55,21 @@ def corpus_stream_cleaned(
     min_tokens: int = 5,
     allowed_langs: tuple[str, ...] = ("en", "de", "es", "fr"),
     scrub_pii: bool = False,
+    dedup_within: str | None = None,
+    event_time_col: str = "ts",
 ) -> DataFrame:
     """Cross-batch exact dedup + quality/language gates. The dedup state
     key is the md5 digest — document bodies never enter the state store.
+
+    dedup_within (e.g. "7 days") switches to
+    ``dropDuplicatesWithinWatermark``: the stream is watermarked on
+    ``event_time_col`` and dedup state is EVICTED once the watermark
+    passes a digest's last occurrence + the delay — bounded state under
+    an unbounded stream, at the cost of re-admitting content that
+    reappears after the horizon. The default (None) keeps classic
+    ``dropDuplicates``: exact forever-dedup whose state is O(distinct
+    digests) — fine for bounded backfills, unbounded for infinite
+    streams; pick per pipeline.
 
     scrub_pii=True redacts PII (operators.pii) AFTER dedup and gating:
     the dedup state stays keyed on the raw-content hash (a re-sent raw
@@ -65,7 +77,12 @@ def corpus_stream_cleaned(
     quality/language metrics describe the original text, not the
     placeholder tokens. Pure regexp expressions — no extra state."""
     hashed = stream.withColumn("content_hash", dedup.content_hash(text_col))
-    deduped = hashed.dropDuplicates(["content_hash"])
+    if dedup_within is not None:
+        deduped = hashed.withWatermark(
+            event_time_col, dedup_within
+        ).dropDuplicatesWithinWatermark(["content_hash"])
+    else:
+        deduped = hashed.dropDuplicates(["content_hash"])
     gated = deduped.filter(
         (F.size(text.tokens(text_col)) >= min_tokens)
         & text.predict_lang(text_col).isin(*allowed_langs)

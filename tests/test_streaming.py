@@ -541,3 +541,60 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
     unmatched = {r["alert_id"] for r in rows if r["reading_id"] is None}
     # DEV009 has no readings at all -> left-outer emits it with nulls
     assert "A200" in unmatched
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the horizon are
+    suppressed; content re-sent after the watermark passed its eviction
+    point is admitted again — bounded state under an unbounded stream,
+    with the documented re-admission trade-off."""
+    import json
+
+    from dbt_datbricks_demo_spark.streaming import corpus_stream_cleaned
+
+    in_dir = tmp_path / "wmdd_in"
+    in_dir.mkdir()
+    out_dir, ckpt = tmp_path / "wmdd_out", tmp_path / "wmdd_ckpt"
+
+    def doc(i, ts, txt):
+        return json.dumps(
+            {"doc_id": i, "ts": ts, "text": txt, "lang": "en", "source": "s"}
+        )
+
+    text_a = "the quick brown fox jumps over the dog"
+    (in_dir / "b1.jsonl").write_text(
+        doc(1, "2025-01-01 00:00:00", text_a) + "\n"
+        + doc(2, "2025-01-01 00:00:05", text_a) + "\n"  # in-horizon dup
+    )
+
+    def run_batch():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, ts timestamp, text string, lang string, source string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = (
+            corpus_stream_cleaned(stream, dedup_within="10 seconds")
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    assert {r["doc_id"] for r in spark.read.parquet(str(out_dir)).collect()} == {1}
+
+    # push the watermark far past doc 1's eviction point, then re-send
+    # the same content: state was evicted -> re-admitted
+    (in_dir / "b2.jsonl").write_text(doc(3, "2025-01-01 01:00:00", "x " * 6) + "\n")
+    run_batch()
+    (in_dir / "b3.jsonl").write_text(doc(4, "2025-01-01 01:00:30", text_a) + "\n")
+    run_batch()
+    ids = {r["doc_id"] for r in spark.read.parquet(str(out_dir)).collect()}
+    assert 4 in ids, f"re-sent content after horizon must re-admit; got {ids}"
+    assert 2 not in ids

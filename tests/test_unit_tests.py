@@ -98,3 +98,43 @@ def test_suite_surfaces_missing_mocks_and_unknown_models(spark, cfg):
     assert [r.passed for r in results] == [False, False]
     assert "unknown model" in results[0].message
     assert "stg_devices" in results[1].message
+
+
+def test_health_score_formula_in_isolation(spark, cfg):
+    """SURVEY hard-part #8: health_score = round(greatest(0, 100
+    - crit*20 - warn*5 - anomaly_pct*0.5 - (100-completeness)*0.3), 0)
+    with exact operand order — verified against hand-computed values on
+    mock silver inputs (one critical alert + one half-anomalous day)."""
+    readings = [
+        {
+            "reading_id": f"R{i}", "device_id": "D1",
+            "metric_name": "temperature",
+            # two readings, one anomalous -> anomaly_rate 50%
+            "metric_value": 95.5 if i == 0 else 20.0,
+            "is_anomaly": i == 0, "is_missing_value": False,
+            "reading_ts": "2025-01-15 08:00:00",
+            "device_name": "press", "device_type": "sensor",
+            "plant_location": "berlin", "factory_zone": "A",
+        }
+        for i in range(2)
+    ]
+    alerts = [
+        {
+            "alert_id": "A1", "device_id": "D1", "severity": "critical",
+            "alert_ts": "2025-01-15 09:00:00", "is_resolved": True,
+            "minutes_to_resolve": 30.0,
+        }
+    ]
+    # 100 - 1*20 - 0*5 - 50*0.5 - 0*0.3 = 55.0
+    spec = UnitTest(
+        name="health_score",
+        model="fct_device_summary",
+        given={
+            "int_sensor_readings_cleaned": readings,
+            "int_alerts_enriched": alerts,
+        },
+        expect=[{"device_id": "D1", "health_score": 55.0,
+                 "health_category": "at_risk"}],
+    )
+    res = run_unit_test(spark, spec, cfg)
+    assert res.passed, res.message
