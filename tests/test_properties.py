@@ -198,3 +198,90 @@ def test_pii_redaction_is_idempotent_and_clean(spark, raw_texts):
         assert r["r1"] == r["r2"]
         for _, pat, _ in pii.PII_PATTERNS:
             assert not re.search(pat, r["r1"])
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=8, max_size=20),
+        min_size=1,
+        max_size=4,
+    ),
+    st.data(),
+)
+def test_winnowing_shared_substring_guarantee(spark, token_docs, data):
+    """Schleimer et al. theorem: two documents sharing a run of at least
+    w + k - 1 tokens share at least one winnowed fingerprint. Construct
+    doc B by embedding a (w+k-1)-token substring of doc A in fresh
+    context and assert a non-empty fingerprint intersection."""
+    k, w = 3, 4
+    need = w + k - 1  # 6 tokens
+    rows = []
+    for i, toks in enumerate(token_docs):
+        a_text = " ".join(toks)
+        start = data.draw(
+            st.integers(min_value=0, max_value=len(toks) - need)
+        )
+        shared = toks[start : start + need]
+        b_text = " ".join(["zz"] * 3 + shared + ["qq"] * 3)
+        rows.append((2 * i, a_text))
+        rows.append((2 * i + 1, b_text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.with_winnowed_fingerprints(df, "text", k=k, w=w, out="fps")
+    fps = {r["doc_id"]: set(r["fps"]) for r in out.collect()}
+    for i in range(len(token_docs)):
+        assert fps[2 * i] & fps[2 * i + 1], (
+            f"docs {2*i},{2*i+1} share a {need}-token run but no fingerprint"
+        )
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # hour offset
+            st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_gap_fill_laws(spark, points):
+    """Gap-fill invariants on arbitrary sparse series: the spine is the
+    full contiguous hour range; observed rows pass through; every
+    interpolated value lies within [min(prev, next), max(prev, next)];
+    ffill equals the most recent observation."""
+    import datetime as dt
+
+    from dbt_datbricks_demo_spark.operators.timeseries import gap_fill
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        ("k", base + dt.timedelta(hours=h), float(v)) for h, v in points
+    ]
+    df = spark.createDataFrame(rows, "k string, hour timestamp, v double")
+    out = sorted(
+        gap_fill(df, "k", "hour", "v").collect(), key=lambda r: r["hour"]
+    )
+    hours = [r["hour"] for r in out]
+    lo = min(h for h, _ in points)
+    hi = max(h for h, _ in points)
+    assert len(out) == hi - lo + 1  # contiguous spine
+    observed = {base + dt.timedelta(hours=h): v for h, v in points}
+    last_seen = None
+    for r in out:
+        if r["hour"] in observed:
+            assert r["known"] and r["interp"] == round(observed[r["hour"]], 6)
+            last_seen = observed[r["hour"]]
+        else:
+            assert not r["known"]
+            assert r["ffill"] == last_seen
+            nxts = [v for h, v in observed.items() if h > r["hour"]]
+            prevs = [v for h, v in observed.items() if h < r["hour"]]
+            if prevs and nxts:
+                nearest_prev = observed[max(h for h in observed if h < r["hour"])]
+                nearest_next = observed[min(h for h in observed if h > r["hour"])]
+                lo_b = min(nearest_prev, nearest_next) - 1e-6
+                hi_b = max(nearest_prev, nearest_next) + 1e-6
+                assert lo_b <= r["interp"] <= hi_b
