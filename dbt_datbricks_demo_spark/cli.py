@@ -61,6 +61,9 @@ def _parser() -> argparse.ArgumentParser:
         "state-save", help="save model-definition fingerprints for --state"
     )
     state.add_argument("dir", help="directory for manifest_fingerprints.json")
+    sub.add_parser(
+        "unit-test", help="run the registered model unit tests (mock inputs)"
+    )
     sub.add_parser("test", help="run the data-quality suite")
     sub.add_parser("freshness", help="source freshness vs warn/error SLAs")
     eda = sub.add_parser("eda", help="run analytical queries")
@@ -157,6 +160,19 @@ def main(argv: list[str] | None = None) -> int:
         built = [n for n in relations if n not in seeds]
         print(f"built {len(built)} relations: {', '.join(built)}")
         return 0
+
+    if args.verb == "unit-test":
+        from dbt_datbricks_demo_spark.testing.unit import run_unit_suite
+        from dbt_datbricks_demo_spark.testing.unit_suite import UNIT_SUITE
+
+        results = run_unit_suite(spark, UNIT_SUITE, cfg)
+        for r in results:
+            print(f"{'PASS' if r.passed else 'FAIL'} {r.name}"
+                  + ("" if r.passed else f": {r.message}"))
+        n_pass = sum(r.passed for r in results)
+        print(f"Done. PASS={n_pass} FAIL={len(results) - n_pass} "
+              f"TOTAL={len(results)}")
+        return 0 if n_pass == len(results) else 1
 
     if args.verb == "state-save":
         from dbt_datbricks_demo_spark.plans import state as state_mod

@@ -167,3 +167,10 @@ def test_cli_state_save_and_noop_selection(spark, tmp_path, capsys):
     assert main(_argv(tmp_path, "run", "--state", state_dir)) == 0
     out = capsys.readouterr().out
     assert "state:modified+ selected 0 models" in out
+
+
+def test_cli_unit_test_verb(spark, tmp_path, capsys):
+    assert main(_argv(tmp_path, "unit-test")) == 0
+    out = capsys.readouterr().out
+    assert "PASS anomaly_case_ladder" in out
+    assert "Done. PASS=3 FAIL=0 TOTAL=3" in out
