@@ -509,3 +509,93 @@ def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zkey").cast("bigint").alias("max_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching (record linkage with blocking)
+# ---------------------------------------------------------------------------
+@_register(
+    "fuzzy_match_report",
+    "record-linkage shape: block candidate pairs by p_brand (the "
+    "standard blocking-key trick that turns an O(n²) all-pairs edit-"
+    "distance into per-block n_b² with bounded blocks), filter by "
+    "levenshtein <= 8 — JVM-side distance, only ids+names shuffle; "
+    "top-50 closest with unique tie-break",
+    """
+    select a.p_partkey as key_a, b.p_partkey as key_b,
+           levenshtein(a.p_name, b.p_name) as edit_dist
+    from part a join part b
+      on a.p_brand = b.p_brand and a.p_partkey < b.p_partkey
+    where levenshtein(a.p_name, b.p_name) <= 8
+    order by edit_dist asc, key_a asc, key_b asc
+    limit 50
+    """,
+)
+def fuzzy_match_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _spread(_t(spark, sf_dir, "part"))
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 8)
+        .select("key_a", "key_b", dist.alias("edit_dist"))
+        .orderBy(F.asc("edit_dist"), F.asc("key_a"), F.asc("key_b"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix (first-order Markov estimation)
+# ---------------------------------------------------------------------------
+@_register(
+    "event_transition_matrix",
+    "first-order Markov transition counts between consecutive events "
+    "per user: lead() over (user, ts, event_id) with a unique tie-break "
+    "-> hash agg on (from, to) -> exact transition probabilities as "
+    "count ratios. One window shuffle + one tiny agg",
+    """
+    with seq as (
+        select user_id, event_type as from_type,
+               lead(event_type) over (
+                   partition by user_id order by ts, event_id
+               ) as to_type
+        from events
+    )
+    select from_type, to_type,
+           count(*) as n,
+           round(count(*) * 1.0 / sum(count(*)) over (partition by from_type), 6)
+               as p
+    from seq
+    where to_type is not null
+    group by from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _spread(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w_tot), 6).alias("p"),
+    )
