@@ -10,6 +10,7 @@ as dbt's text substitution did.
 
 from __future__ import annotations
 
+import dataclasses
 import datetime as _dt
 import uuid
 from dataclasses import dataclass, field
@@ -55,6 +56,25 @@ class RunConfig:
     # Medallion namespace prefix, e.g. "iot_dev" → iot_dev_bronze/_silver/_gold
     # (reference: macros/generate_schema_name.sql:9-23).
     target: str = "iot_dev"
+
+    def with_overrides(self, **overrides: object) -> "RunConfig":
+        """Return a copy with the given vars replaced (dbt ``--vars``
+        semantics). Keys may name RunConfig fields or individual
+        Thresholds fields (``temperature_upper=90.0``); unknown keys
+        raise instead of being silently ignored."""
+        cfg_fields = {f.name for f in dataclasses.fields(RunConfig)}
+        thr_fields = {f.name for f in dataclasses.fields(Thresholds)}
+        top = {k: v for k, v in overrides.items() if k in cfg_fields}
+        thr = {k: v for k, v in overrides.items() if k in thr_fields}
+        unknown = sorted(set(overrides) - cfg_fields - thr_fields)
+        if unknown:
+            raise ValueError(f"unknown config overrides: {unknown}")
+        out = dataclasses.replace(self, **top)
+        if thr:
+            out = dataclasses.replace(
+                out, thresholds=dataclasses.replace(out.thresholds, **thr)
+            )
+        return out
 
 
 DEFAULT_THRESHOLDS = Thresholds()

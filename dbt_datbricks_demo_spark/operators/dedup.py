@@ -524,10 +524,16 @@ def with_winnowed_fingerprints(
     Documents shorter than k tokens get an empty fingerprint set.
     """
     toks = tokens(text_col)
-    kgrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    # Guard the k-gram index sequence: sequence(1, 0) infers step -1 and
+    # yields the DESCENDING [1, 0], whose 0 index crashes slice() — so a
+    # doc with < k tokens must short-circuit to an empty gram array.
+    kgrams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     staged = df.withColumn(
         "_kg_hashes", F.transform(kgrams, lambda g: md5_int32(g))
     )

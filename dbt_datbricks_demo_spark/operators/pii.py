@@ -90,22 +90,34 @@ def pii_report(
 
 MASKS = {
     # scrub PII classes inside free text
-    "pii_text": lambda c: redact_pii(c),
-    # irreversible pseudonymous join key (md5 keeps equality semantics)
-    "pseudonymize": lambda c: F.md5(c.cast("string")),
+    "pii_text": lambda c, salt: redact_pii(c),
+    # keyed pseudonymous join key: sha2(salt || value) keeps equality
+    # semantics within one salt while a brute-force dictionary over a
+    # guessable domain (phones, emails, sequential ids) is useless
+    # without the salt. NOT irreversible for the salt holder — this is
+    # linkable pseudonymization, not anonymization.
+    "pseudonymize": lambda c, salt: F.sha2(
+        F.concat(F.lit(salt), c.cast("string")), 256
+    ),
     # drop the value entirely, keep the column shape
-    "redact_full": lambda c: F.lit("[REDACTED]"),
+    "redact_full": lambda c, salt: F.lit("[REDACTED]"),
     # keep only the last 4 characters (card/phone-tail style)
-    "mask_prefix": lambda c: F.concat(
+    "mask_prefix": lambda c, salt: F.concat(
         F.lit("****"), F.substring(c.cast("string"), -4, 4)
     ),
 }
 
 
-def masked_view(df: DataFrame, tags: dict[str, str]) -> DataFrame:
+def masked_view(
+    df: DataFrame, tags: dict[str, str], salt: str = ""
+) -> DataFrame:
     """Apply per-column masks by tag: ``tags`` maps column name → mask
     name from MASKS. Untagged columns pass through; unknown tags or
-    columns raise immediately (a silent no-op mask is a data leak)."""
+    columns raise immediately (a silent no-op mask is a data leak).
+
+    ``salt`` keys the ``pseudonymize`` mask (inject a per-deployment
+    secret from config); the default empty salt degrades to unsalted
+    hashing and should only be used where linkability is acceptable."""
     unknown_cols = [c for c in tags if c not in df.columns]
     if unknown_cols:
         raise ValueError(f"masked_view: no such columns {unknown_cols}")
@@ -117,7 +129,7 @@ def masked_view(df: DataFrame, tags: dict[str, str]) -> DataFrame:
         )
     return df.select(
         *[
-            MASKS[tags[c]](F.col(c)).alias(c) if c in tags else F.col(c)
+            MASKS[tags[c]](F.col(c), salt).alias(c) if c in tags else F.col(c)
             for c in df.columns
         ]
     )

@@ -149,21 +149,30 @@ class Materializer:
             return self.as_partitioned_table(
                 name, schema_suffix, new_rows, [partition_by]
             )
-        # distinct partition values in the increment: small by contract
-        # (a handful of dates/hours per run), so driver-side is correct
-        touched = [
-            r[0] for r in new_rows.select(partition_by).distinct().collect()
-        ]
         tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
         new_rows.write.mode("overwrite").partitionBy(partition_by).parquet(tmp)
-        for val in touched:
-            part_dir = f"{partition_by}={val}"
+        # Swap the partition directories Spark ACTUALLY wrote. Formatting
+        # collected values as f"{col}={val}" does not survive hive
+        # escaping (':' → %3A, NULL → __HIVE_DEFAULT_PARTITION__) and a
+        # mismatch would silently drop the new partition while stale
+        # target data lives on.
+        swapped = 0
+        for part_dir in os.listdir(tmp):
+            if not part_dir.startswith(f"{partition_by}="):
+                continue
             src, dst = os.path.join(tmp, part_dir), os.path.join(path, part_dir)
+            if not os.path.isdir(src):
+                continue
             if os.path.isdir(dst):
                 shutil.rmtree(dst)
-            if os.path.isdir(src):
-                os.replace(src, dst)
+            os.replace(src, dst)
+            swapped += 1
         shutil.rmtree(tmp, ignore_errors=True)
+        if swapped == 0 and new_rows.limit(1).count() > 0:
+            raise RuntimeError(
+                f"insert_overwrite: no '{partition_by}=' partition dirs "
+                f"found in staged write for non-empty increment ({name})"
+            )
         out = self.read(name, schema_suffix)
         out.createOrReplaceTempView(name)
         return out

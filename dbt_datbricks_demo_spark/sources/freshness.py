@@ -38,7 +38,14 @@ def check_freshness(
     max_ts = df.agg(F.max(loaded_at_field).alias("m")).first()["m"]
     if max_ts is None:
         return FreshnessResult(source_name, None, None, "error")
-    now = now or _dt.datetime.now()
+    # Pin the clock to UTC: Spark hands back naive datetimes in the
+    # session timezone (UTC here), so a naive datetime.now() would
+    # silently shift the age if the container TZ ever differed.
+    now = now or _dt.datetime.now(_dt.timezone.utc)
+    if now.tzinfo is not None:
+        now = now.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    if max_ts.tzinfo is not None:
+        max_ts = max_ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     age = (now - max_ts).total_seconds()
     if age > error_after_hours * 3600:
         status = "error"

@@ -179,9 +179,12 @@ def novel_documents(docs_with_digest: DataFrame, ttl_ms: int | None = None) -> D
         def close(self) -> None:
             pass
 
+    # State TTL is only honored in processing-time timeMode — with
+    # timeMode="None" Spark rejects ttlDurationMs at runtime, so the
+    # mode must follow the ttl_ms argument.
     return docs_with_digest.groupBy("digest").transformWithStateInPandas(
         statefulProcessor=NoveltyGate(),
         outputStructType=NOVELTY_OUTPUT_SCHEMA,
         outputMode="Append",
-        timeMode="None",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )

@@ -70,9 +70,7 @@ def run_unit_test(
     model = MODELS[spec.model]
     cfg = cfg or RunConfig()
     if spec.overrides:
-        cfg = cfg.with_overrides(**spec.overrides) if hasattr(
-            cfg, "with_overrides"
-        ) else cfg
+        cfg = cfg.with_overrides(**spec.overrides)
 
     relations = {
         dep: _mock_df(spark, rows, None) for dep, rows in spec.given.items()
@@ -99,11 +97,19 @@ def run_unit_test(
             spec.name, False, f"model output lacks expected columns {absent}"
         )
 
+    # Typed, order-insensitive comparison: values are matched as-is so
+    # type drift (1 vs '1', True vs 'True', None vs 'None') fails the
+    # test instead of stringifying into a false pass. repr-keyed sort is
+    # for deterministic ordering/diff display only.
     got = sorted(
-        (tuple(str(row[c]) for c in expect_cols) for row in actual.select(*expect_cols).collect()),
+        (
+            tuple(row[c] for c in expect_cols)
+            for row in actual.select(*expect_cols).collect()
+        ),
+        key=repr,
     )
     want = sorted(
-        tuple(str(r.get(c)) for c in expect_cols) for r in spec.expect
+        (tuple(r.get(c) for c in expect_cols) for r in spec.expect), key=repr
     )
     if got == want:
         return UnitTestResult(spec.name, True, "ok")

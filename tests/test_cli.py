@@ -44,6 +44,24 @@ def test_cli_freshness_flags_stale_seeds(spark, tmp_path, capsys):
     assert "raw_sensor_readings: error" in out
 
 
+def test_freshness_clock_is_utc_pinned(spark):
+    """A tz-aware `now` in any zone gives the same age as its UTC
+    equivalent — the check must not shift with the container TZ."""
+    import datetime as dt
+
+    from dbt_datbricks_demo_spark.sources.freshness import check_freshness
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2025, 1, 15, 12, 0, 0),)], "ingested_at timestamp"
+    )
+    utc_now = dt.datetime(2025, 1, 16, 13, 0, 0, tzinfo=dt.timezone.utc)
+    tokyo_now = utc_now.astimezone(dt.timezone(dt.timedelta(hours=9)))
+    r_utc = check_freshness(df, "s", "ingested_at", now=utc_now)
+    r_tokyo = check_freshness(df, "s", "ingested_at", now=tokyo_now)
+    assert r_utc.age_seconds == r_tokyo.age_seconds == 25 * 3600
+    assert r_utc.status == r_tokyo.status == "warn"
+
+
 def test_cli_sql_verb(spark, tmp_path, capsys):
     assert (
         main(

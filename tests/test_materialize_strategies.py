@@ -47,6 +47,28 @@ def test_insert_overwrite_is_idempotent(spark, mat):
     assert out.count() == 2  # rerunning a day never duplicates rows
 
 
+def test_insert_overwrite_survives_hive_escaped_partition_values(spark, mat):
+    """Partition values that hive-escape in directory names (timestamp
+    ':' → %3A) and NULLs (__HIVE_DEFAULT_PARTITION__) must still be
+    swapped in — a formatted f"{col}={val}" lookup would miss the
+    escaped dir and silently keep stale data."""
+    rows = spark.createDataFrame(
+        [Row(id=1, hr="2024-01-01 00:00:00", v=1.0),
+         Row(id=2, hr=None, v=2.0)],
+        "id long, hr string, v double",
+    )
+    mat.insert_overwrite("esc", "silver", rows, partition_by="hr")
+    # reprocess both partitions with corrected values
+    fixed = spark.createDataFrame(
+        [Row(id=10, hr="2024-01-01 00:00:00", v=10.0),
+         Row(id=20, hr=None, v=20.0)],
+        "id long, hr string, v double",
+    )
+    out = mat.insert_overwrite("esc", "silver", fixed, partition_by="hr")
+    got = {(r["id"], r["v"]) for r in out.collect()}
+    assert got == {(10, 10.0), (20, 20.0)}, got
+
+
 def test_append_strategy_accumulates_without_rewrite(spark, mat):
     mat.append("ev", "silver", _days(spark, [(1, "d1", 1.0)]))
     out = mat.append("ev", "silver", _days(spark, [(2, "d1", 9.0)]))

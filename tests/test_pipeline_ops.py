@@ -490,18 +490,21 @@ def test_masked_view_applies_tag_masks(spark):
             )
         ]
     )
-    out = masked_view(
-        df,
-        {
-            "email_note": "pii_text",
-            "card": "mask_prefix",
-            "id": "pseudonymize",
-        },
-    ).collect()[0]
+    tags = {
+        "email_note": "pii_text",
+        "card": "mask_prefix",
+        "id": "pseudonymize",
+    }
+    out = masked_view(df, tags, salt="s3cret").collect()[0]
     assert out["email_note"] == "reach me at [EMAIL]"
     assert out["card"] == "****4444"
     assert out["city"] == "berlin"
-    assert len(out["id"]) == 32 and out["id"] != "7"
+    assert len(out["id"]) == 64 and out["id"] != "7"
+    # the pseudonym is keyed: a different salt yields a different token,
+    # same salt is stable (equality-join semantics preserved)
+    other = masked_view(df, tags, salt="different").collect()[0]
+    again = masked_view(df, tags, salt="s3cret").collect()[0]
+    assert other["id"] != out["id"] and again["id"] == out["id"]
 
     with pytest.raises(ValueError, match="no such columns"):
         masked_view(df, {"nope": "pii_text"})

@@ -235,6 +235,26 @@ def test_winnowing_shared_substring_guarantee(spark, token_docs, data):
         )
 
 
+def test_winnowing_short_documents(spark):
+    """Documents shorter than k tokens must produce an EMPTY fingerprint
+    set, not crash: sequence(1, clamp-to-0) yields the descending [1, 0]
+    whose 0 index kills slice() unless the k-gram array is guarded."""
+    k, w = 4, 5
+    rows = [
+        (0, ""),  # no tokens at all
+        (1, "one"),  # 1 token < k
+        (2, "one two three"),  # k-1 tokens
+        (3, "one two three four"),  # exactly k → 1 gram, short window
+        (4, " ".join(f"t{i}" for i in range(k + w + 3))),  # full path
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.with_winnowed_fingerprints(df, "text", k=k, w=w, out="fps")
+    fps = {r["doc_id"]: r["fps"] for r in out.collect()}
+    assert fps[0] == [] and fps[1] == [] and fps[2] == []
+    assert len(fps[3]) == 1
+    assert len(fps[4]) >= 1
+
+
 @settings(**SETTINGS)
 @given(
     st.lists(

@@ -100,6 +100,58 @@ def test_suite_surfaces_missing_mocks_and_unknown_models(spark, cfg):
     assert "stg_devices" in results[1].message
 
 
+def test_overrides_actually_change_model_config(spark, cfg):
+    """A spec's cfg overrides must reach the model: raising the
+    temperature_upper threshold above the reading flips is_anomaly.
+    (Previously with_overrides didn't exist and overrides were a silent
+    no-op behind a hasattr guard.)"""
+    given = {
+        "stg_sensor_readings": [_reading("R1", 95.5)],
+        "stg_devices": [_DEVICE],
+    }
+    base = run_unit_test(
+        spark,
+        UnitTest("o1", "int_sensor_readings_cleaned", given=given,
+                 expect=[{"reading_id": "R1", "is_anomaly": True}]),
+        cfg,
+    )
+    assert base.passed, base.message
+    overridden = run_unit_test(
+        spark,
+        UnitTest("o2", "int_sensor_readings_cleaned", given=given,
+                 expect=[{"reading_id": "R1", "is_anomaly": False}],
+                 overrides={"temperature_upper": 200.0}),
+        cfg,
+    )
+    assert overridden.passed, overridden.message
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown config overrides"):
+        run_unit_test(
+            spark,
+            UnitTest("o3", "int_sensor_readings_cleaned", given=given,
+                     expect=[], overrides={"not_a_var": 1}),
+            cfg,
+        )
+
+
+def test_comparison_is_typed_not_stringified(spark, cfg):
+    """Type drift must fail: expecting the string 'True' where the model
+    produces boolean True is a bug the old str() compare hid."""
+    spec = UnitTest(
+        name="typed",
+        model="int_sensor_readings_cleaned",
+        given={
+            "stg_sensor_readings": [_reading("R1", 95.5)],
+            "stg_devices": [_DEVICE],
+        },
+        expect=[{"reading_id": "R1", "is_anomaly": "True"}],
+    )
+    res = run_unit_test(spark, spec, cfg)
+    assert not res.passed
+
+
 def test_health_score_formula_in_isolation(spark, cfg):
     """SURVEY hard-part #8: health_score = round(greatest(0, 100
     - crit*20 - warn*5 - anomaly_pct*0.5 - (100-completeness)*0.3), 0)
