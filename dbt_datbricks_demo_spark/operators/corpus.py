@@ -112,9 +112,9 @@ def prepare_training_set(
                                 the training mixture)
 
     Returns the surviving documents with a `split` column. The cleaned
-    + gated corpus is materialized lazily once (localCheckpoint inside
-    clean_corpus, plus one here above the split) because the
-    decontamination stage reads it from several plan branches.
+    corpus with repetition stats + split is eagerly materialized ONCE
+    (localCheckpoint below) because the repetition gate and the
+    decontamination stage read it from several plan branches.
 
     Shuffle budget on top of clean_corpus's: the benchmark n-gram
     distinct (O(|test split|)) and the contamination hits aggregation
@@ -126,24 +126,26 @@ def prepare_training_set(
     test_name = list(splits)[-1]
 
     cleaned = clean_corpus(docs, id_col=id_col, text_col=text_col, **clean_kwargs)
-    repgated = (
+    # EAGER checkpoint BEFORE the repetition-gate filter: everything
+    # upstream (dedup → gates → near-dup → repetition stats → split)
+    # collapses to one materialized relation here, and — critically —
+    # the gate then filters on MATERIALIZED stat columns. Filtering on
+    # the computed columns pre-checkpoint lets predicate pushdown
+    # substitute the full tokenize+n-gram alias trees into the filter
+    # condition (each staged-column reference re-derives the arrays),
+    # measured at 20× the single-evaluation cost at sf0.1. The three
+    # downstream consumers (benchmark grams, contamination hits, final
+    # union) all plan against the checkpoint — at corpus scale this is
+    # also exactly where a real pipeline writes its intermediate table.
+    stats = (
         text.with_repetition_stats(cleaned, text_col=text_col)
-        .filter(
-            (F.col("top_bigram_frac") <= max_top_bigram_frac)
-            & (F.col("dup_5gram_frac") <= max_dup_5gram_frac)
-        )
-        .drop("n_tokens", "top_bigram_frac", "top_trigram_frac", "dup_5gram_frac")
+        .withColumn("split", text.split_assignment(id_col, splits))
+        .localCheckpoint(eager=True)
     )
-    # EAGER checkpoint: everything upstream (dedup → gates → near-dup →
-    # repetition → split) collapses to one materialized relation here.
-    # The three downstream consumers (benchmark grams, contamination
-    # hits, final union) then plan against the checkpoint instead of
-    # re-analyzing the full composition tree per action — at corpus
-    # scale this is also exactly where a real pipeline writes its
-    # intermediate table.
-    assigned = repgated.withColumn(
-        "split", text.split_assignment(id_col, splits)
-    ).localCheckpoint(eager=True)
+    assigned = stats.filter(
+        (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("dup_5gram_frac") <= max_dup_5gram_frac)
+    ).drop("n_tokens", "top_bigram_frac", "top_trigram_frac", "dup_5gram_frac")
 
     bench_docs = assigned.filter(F.col("split") == test_name)
     bench = decontam.distinct_ngram_set(bench_docs, text_col=text_col, n=decontam_n)

@@ -318,39 +318,44 @@ def jaccard_pairs_from_hashes(
     id_col: str,
     broadcast_pair_limit: int = BROADCAST_PAIR_LIMIT,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs, fully relational:
-    explode distinct shingle hashes, join on equality, count intersections,
-    |A∪B| = |A| + |B| − |A∩B|. Integer-only until the final division.
+    """Exact shingle-set Jaccard for candidate pairs: attach each side's
+    staged hash array with a join, intersect JVM-side
+    (``array_intersect``), |A∪B| = |A| + |B| − |A∩B|. Integer-only
+    until the final division.
 
     The candidate set is materialized (localCheckpoint) and COUNTED
     before planning — the standard watermark-scalar pattern. Under
-    `broadcast_pair_limit` it is broadcast, so the corpus-sized exploded
-    side joins without shuffling at all (the clean-corpus fast path);
-    above the limit — a dirty 100-TB corpus where survivors are
-    O(duplicate pairs) and would blow the broadcast ceiling — the joins
-    fall back to shuffles. The per-doc sizes tables are corpus-sized and
-    are never hint-broadcast; AQE picks their strategy from actual
-    post-shuffle sizes."""
+    `broadcast_pair_limit` the pairs (and the pairs-with-one-side
+    intermediate, which is at most pairs-sized) broadcast, so the
+    signature table streams through two broadcast hash joins and
+    NOTHING corpus-sized ever shuffles or explodes — the previous
+    explode-equijoin formulation shuffled |docs|×|shingles| rows to
+    verify a handful of candidates. Above the limit — a dirty 100-TB
+    corpus where candidates are O(duplicate pairs) and would blow the
+    broadcast ceiling — both joins fall back to hash-partitioned
+    shuffles on doc id, moving each side's array exactly once."""
     pairs = pairs.localCheckpoint(eager=True)
     use_broadcast = pairs.count() <= broadcast_pair_limit
     pairs_hinted = F.broadcast(pairs) if use_broadcast else pairs
 
-    sh = hashed.select(F.col(id_col), F.explode("_hs").alias("sh"))
-    sizes = hashed.select(F.col(id_col), F.size("_hs").alias("set_size"))
-
-    a = sh.withColumnRenamed(id_col, "id_a")
-    b = sh.withColumnRenamed(id_col, "id_b")
-    inter = (
-        pairs_hinted.join(a, "id_a")
-        .join(b, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    ha = hashed.select(
+        F.col(id_col).alias("id_a"), F.col("_hs").alias("_hs_a")
     )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b")
+    hb = hashed.select(
+        F.col(id_col).alias("id_b"), F.col("_hs").alias("_hs_b")
+    )
+    with_a = pairs_hinted.join(ha, "id_a")
+    if use_broadcast:
+        with_a = F.broadcast(with_a)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        with_a.join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_hs_a", "_hs_b")).alias("n_common"),
+            F.size("_hs_a").alias("size_a"),
+            F.size("_hs_b").alias("size_b"),
+        )
         .select(
             "id_a", "id_b", "n_common", "size_a", "size_b",
             (
@@ -390,6 +395,7 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    broadcast_component_limit: int = BROADCAST_PAIR_LIMIT,
 ) -> DataFrame:
     """Undirected connected components by iterative min-label propagation
     — the transitive closure pairwise near-dup detection needs (A~B, B~C
@@ -398,13 +404,22 @@ def connected_components(
     vertices: one row per id; edges: (id_a, id_b) candidate pairs.
     Returns (id, component) where component = the smallest id reachable.
 
-    Each iteration: every vertex takes the min of its own label and its
-    neighbors' labels — two shuffles (edge join + min agg) per round;
-    rounds needed = graph diameter in the worst case, but near-dup
-    graphs are unions of small cliques, so 2-3 rounds converge.
-    Convergence is checked with a count of changed labels (a cheap agg);
-    labels are localCheckpointed per round so the plan doesn't grow
-    exponentially with iterations.
+    Only vertices that appear in an edge can ever change label, so the
+    propagation loop runs over the edge-touched subgraph — O(duplicate
+    docs), not O(corpus). On a clean 100-TB corpus that is the
+    difference between per-round shuffles over a few thousand ids and
+    per-round shuffles over billions; singletons never enter the loop
+    and are attached once at the end (component = own id) via a
+    size-guarded broadcast left join.
+
+    Each iteration: every connected vertex takes the min of its own
+    label and its neighbors' labels — two tiny shuffles (edge join +
+    min agg) per round; rounds needed = graph diameter in the worst
+    case, but near-dup graphs are unions of small cliques, so 2-3
+    rounds converge. Per round the labels are eagerly localCheckpointed
+    exactly once (on a cluster: a small intermediate table) and BOTH
+    the convergence aggregate and the next round read that checkpoint —
+    nothing upstream is ever re-derived.
     """
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -412,11 +427,15 @@ def connected_components(
             edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=False)
+    # edge-touched vertices only: the loop's working set
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -434,13 +453,31 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("_changed"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        changed = updated.filter(F.col("_changed")).count()
+        # reads the checkpoint blocks — a row-count-cheap aggregate, not
+        # a re-derivation of the round's join
+        changed = updated.agg(
+            F.sum(F.col("_changed").cast("int")).alias("n")
+        ).first()["n"]
         labels = updated.drop("_changed")
-        if changed == 0:
+        if not changed:
             break
-    return labels
+
+    # attach singletons: component = own id for every vertex the loop
+    # never saw. The mapping is O(edge-touched vertices) — broadcast
+    # under the limit, shuffled join on a pathologically dirty corpus.
+    mapping = labels.withColumnRenamed("id", id_col)
+    if mapping.count() <= broadcast_component_limit:
+        mapping = F.broadcast(mapping)
+    return (
+        vertices.select(F.col(id_col))
+        .join(mapping, on=id_col, how="left")
+        .select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
 
 
 def neardup_clusters(

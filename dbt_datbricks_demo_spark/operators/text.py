@@ -169,6 +169,13 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     tokenization into every consumer; the whole computation is a single
     narrow scan — zero shuffles, zero Python. Fractions are NULL when the
     document is too short to have grams of that order.
+
+    Pitfall: do NOT put a plain ``.filter`` on the output fraction
+    columns directly on top of this — predicate pushdown substitutes the
+    staged-alias trees into the condition and every reference re-derives
+    the token/n-gram arrays (measured ~20× at sf0.1). Materialize first
+    (localCheckpoint / table write), then filter — see
+    corpus.prepare_training_set.
     """
     t = F.col("_rep_tok")
     staged = df.withColumn("_rep_tok", tokens(text_col))
