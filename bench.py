@@ -4,9 +4,17 @@ factor and prints ONE JSON line for the driver.
   SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default *)
   BENCH_QUERIES        comma-separated subset (default: all)
+  BENCH_RUNS           runs per query, best-of (default 2)
 
 Each query is forced end-to-end with a noop-format write (full compute,
 no driver-side result materialization cost).
+
+The JSON line is TRUNCATION-PROOF for tail capture: the per-query maps
+("queries", "spread", "errors") come first and the headline fields
+(metric/value/unit/n/sf) are printed LAST, so a capture that keeps only
+the tail of the line still carries the wall time, query/error counts,
+and scale factor (the round-3 BENCH artifact lost exactly those by
+truncating from the front). test_bench_contract pins the field order.
 """
 
 from __future__ import annotations
@@ -21,11 +29,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dbt_datbricks_demo_spark.queries import QUERIES  # noqa: E402
 from dbt_datbricks_demo_spark.session import get_spark  # noqa: E402
 
+# best-of-N spread above this max/min ratio marks a query unstable —
+# the same regression gate the round-3 verdict asked for
+SPREAD_FLAG_RATIO = 1.3
+
 
 def _unpersist_all(spark) -> None:
     """Drop cached/localCheckpointed blocks left behind by a finished
     query. The size-guarded operators eagerly localCheckpoint small
-    relations (candidate pairs, signature tables); across 52 queries × 2
+    relations (candidate pairs, signature tables); across 95 queries × N
     runs those blocks pile up in the block manager and the later
     queries' timings degrade from memory pressure. Each query's blocks
     are dead once its noop write returns — freeing them keeps runs
@@ -61,17 +73,30 @@ def main() -> None:
         warm.mapInPandas(lambda it: it, warm.schema).write.format(
             "noop"
         ).mode("overwrite").save()
+        # minhash/shingle codegen + md5 JIT: the near-dup family's first
+        # execution pays ~10 s of Janino/C2 compile in a fresh JVM;
+        # paying it here on 64 tiny docs keeps it out of the timings
+        from dbt_datbricks_demo_spark.operators import dedup as _dedup
+
+        tiny = spark.createDataFrame(
+            [(i, f"warm up doc {i} shared shingle text {i % 8}") for i in range(64)],
+            "doc_id long, text string",
+        )
+        _dedup.neardup_clusters(tiny, jaccard_threshold=0.9).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        _unpersist_all(spark)
     except Exception as e:  # noqa: BLE001
         print(f"warmup failed (continuing): {e}", file=sys.stderr)
 
-    # best-of-2 per query: one JVM sees every query once before any
+    # best-of-N per query: one JVM sees every query once before any
     # second run, so codegen/JIT warmup and stray GC pauses don't land in
     # the reported steady-state number. Each query is fault-isolated: one
     # failing query records an error string and the bench still emits the
     # JSON line for everything that ran (round 2 shipped blind on perf
     # because a single AnalysisException crashed the whole run).
     runs = int(os.environ.get("BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for _ in range(runs):
         for name in names:
@@ -84,7 +109,7 @@ def main() -> None:
                 ).save()
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
-                timings.pop(name, None)
+                all_runs.pop(name, None)
                 continue
             finally:
                 elapsed = round(time.perf_counter() - t0, 3)
@@ -92,21 +117,36 @@ def main() -> None:
                     _unpersist_all(spark)
                 except Exception:  # noqa: BLE001
                     pass
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            all_runs.setdefault(name, []).append(elapsed)
+
+    timings = {n: min(ts) for n, ts in all_runs.items()}
+    # per-query max/min over runs: >SPREAD_FLAG_RATIO means the number
+    # is a lottery, not a measurement — surfaced, not hidden in the min
+    spread = {
+        n: round(max(ts) / max(min(ts), 1e-9), 3) for n, ts in all_runs.items()
+    }
+    high_spread = sorted(
+        n for n, s in spread.items() if s > SPREAD_FLAG_RATIO
+    )
 
     # orderly shutdown BEFORE the result line: an exiting JVM with
     # in-flight task-completion events logs spurious DAGScheduler
     # errors into stderr (seen in round 1's recorded tail)
     spark.stop()
-    payload = {
-        "metric": "operator-inventory wall time",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
+
+    # FIELD ORDER MATTERS: per-query maps first, headline scalars LAST —
+    # tail-truncation must never eat wall time / counts / sf.
+    payload: dict = {"queries": timings, "spread": spread}
+    if high_spread:
+        payload["high_spread"] = high_spread
     if errors:
         payload["errors"] = errors
+    payload["metric"] = "operator-inventory wall time"
+    payload["value"] = round(sum(timings.values()), 3)
+    payload["unit"] = "sec"
+    payload["n"] = len(timings)
+    payload["n_errors"] = len(errors)
+    payload["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
     print(json.dumps(payload))
 
 

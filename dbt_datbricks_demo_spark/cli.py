@@ -73,6 +73,16 @@ def _parser() -> argparse.ArgumentParser:
     )
     sql.add_argument("statement")
     sql.add_argument("--limit", type=int, default=50)
+    verify = sub.add_parser(
+        "verify",
+        help="run every registered query against its DuckDB oracle "
+        "(the driver-scale parity sweep; exit 1 on any mismatch)",
+    )
+    verify.add_argument(
+        "--sf", default="/root/testdata/sf0.01",
+        help="testdata dir (default sf0.01 — the driver's grading scale)",
+    )
+    verify.add_argument("queries", nargs="*", default=[])
     docs = sub.add_parser(
         "docs", help="print the model DAG; --artifacts writes manifest/catalog"
     )
@@ -122,6 +132,18 @@ def main(argv: list[str] | None = None) -> int:
             for path in write_artifacts(args.artifacts, build_manifest(), catalog):
                 print(f"wrote {path}")
         return 0
+
+    if args.verb == "verify":
+        # round-end driver-scale parity gate: one command, 95/95 or exit 1
+        import os
+        import sys as _sys
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if repo_root not in _sys.path:
+            _sys.path.insert(0, repo_root)
+        from tests.oracle_harness import run as oracle_run
+
+        return oracle_run(args.sf, args.queries or None)
 
     spark = get_spark(app_name=f"engine-{args.verb}")
     spark.sparkContext.setLogLevel("ERROR")

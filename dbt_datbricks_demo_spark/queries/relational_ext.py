@@ -599,3 +599,212 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(w_tot), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: 6-table snowflake join (region→nation→customer→orders→
+# lineitem→supplier) with the "local supplier" nationkey equality —
+# the planner stress the round-3 verdict asked for: mixed broadcast/SMJ,
+# a non-key equality rider on the supplier join, agg over the join
+# ---------------------------------------------------------------------------
+@_register(
+    "local_supplier_volume",
+    "TPC-H Q5 shape: revenue by nation for orders where customer and "
+    "supplier share the nation, within one region and order-date year. "
+    "Tiny dims (region/nation/supplier) broadcast; orders⋈lineitem "
+    "shuffles on orderkey under AQE; decimal-exact revenue",
+    """
+    select
+        n.n_name,
+        cast(count(*) as bigint)                  as n_lineitems,
+        cast(sum(cast(l.l_extendedprice as decimal(18,2))
+                 * (1 - cast(l.l_discount as decimal(18,2)))) as double)
+                                                  as revenue
+    from lineitem l
+    join orders o   on l.l_orderkey = o.o_orderkey
+    join customer c on o.o_custkey = c.c_custkey
+    join supplier s on l.l_suppkey = s.s_suppkey
+                   and c.c_nationkey = s.s_nationkey
+    join nation n   on c.c_nationkey = n.n_nationkey
+    join region r   on n.n_regionkey = r.r_regionkey
+    where r.r_name = 'ASIA'
+      and cast(o.o_orderdate as date) >= date '1996-01-01'
+      and cast(o.o_orderdate as date) <  date '1997-01-01'
+    group by n.n_name
+    order by revenue desc, n.n_name asc
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    # region⋈nation collapses to a handful of rows — broadcast it so the
+    # customer scan prunes to in-region rows without a shuffle
+    asia_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey", "n_name")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(asia_nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _spread(_t(spark, sf_dir, "lineitem"))
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    revenue = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"), revenue
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue by customer over one quarter —
+# fact⋈fact join with a selective flag filter, 4-way join, top-20
+# ---------------------------------------------------------------------------
+@_register(
+    "returned_item_revenue",
+    "TPC-H Q10 shape: revenue lost to returns (l_returnflag='R') per "
+    "customer for one order quarter; customer⋈nation broadcast, "
+    "orders⋈lineitem shuffle join, decimal-exact revenue, "
+    "TakeOrderedAndProject top-20 with unique custkey tie-break",
+    """
+    select
+        c.c_custkey,
+        c.c_name,
+        n.n_name,
+        round(cast(c.c_acctbal as double), 2)     as acctbal,
+        cast(sum(cast(l.l_extendedprice as decimal(18,2))
+                 * (1 - cast(l.l_discount as decimal(18,2)))) as double)
+                                                  as revenue
+    from lineitem l
+    join orders o   on l.l_orderkey = o.o_orderkey
+    join customer c on o.o_custkey = c.c_custkey
+    join nation n   on c.c_nationkey = n.n_nationkey
+    where l.l_returnflag = 'R'
+      and cast(o.o_orderdate as date) >= date '1996-07-01'
+      and cast(o.o_orderdate as date) <  date '1996-10-01'
+    group by c.c_custkey, c.c_name, n.n_name, round(cast(c.c_acctbal as double), 2)
+    order by revenue desc, c.c_custkey asc
+    limit 20
+    """,
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _spread(_t(spark, sf_dir, "lineitem")).filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    revenue = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+        )
+        .agg(revenue)
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders — semi-join against a HAVING
+# aggregate of the fact table itself, then enrich with customer
+# ---------------------------------------------------------------------------
+@_register(
+    "large_volume_orders",
+    "TPC-H Q18 shape: orders whose total lineitem quantity exceeds 300 "
+    "— self-aggregation of lineitem with HAVING, joined back to orders "
+    "⋈ customer; decimal-exact quantity; top-100 by totalprice with "
+    "orderkey tie-break",
+    """
+    with big as (
+        select l_orderkey,
+               cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty
+        from lineitem
+        group by l_orderkey
+        having sum(cast(l_quantity as decimal(12,2))) > 300
+    )
+    select
+        c.c_custkey,
+        c.c_name,
+        o.o_orderkey,
+        cast(o.o_orderdate as date)                        as orderdate,
+        round(cast(o.o_totalprice as double), 2)           as totalprice,
+        b.sum_qty
+    from big b
+    join orders o   on b.l_orderkey = o.o_orderkey
+    join customer c on o.o_custkey = c.c_custkey
+    order by totalprice desc, o.o_orderkey asc
+    limit 100
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _spread(_t(spark, sf_dir, "lineitem"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_q")
+        )
+        .filter(F.col("_q") > 300)
+        .select(
+            "l_orderkey", F.col("_q").cast("double").alias("sum_qty")
+        )
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias(
+                "totalprice"
+            ),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

@@ -76,6 +76,18 @@ def test_cli_sql_verb(spark, tmp_path, capsys):
     assert "14" in out  # FIXTURES: 14 anomaly events
 
 
+def test_cli_verify_verb_runs_oracle_sweep(spark, tmp_path, capsys):
+    """`verify` is the scripted driver-scale parity gate: Spark vs DuckDB
+    for the named queries (all 95 when none given), exit 1 on mismatch."""
+    rc = main(
+        _argv(tmp_path, "verify", "--sf", "/root/testdata/sf0.001",
+              "pricing_summary", "union_report")
+    )
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "2/2 queries match" in out
+
+
 def test_bench_contract(tmp_path):
     """bench.py must print ONE JSON line with the driver's expected keys
     (metric/value/unit/queries/sf) — guard the contract, not the timings."""
@@ -98,10 +110,20 @@ def test_bench_contract(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
     payload = json.loads(line)
-    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(payload) == {
+        "metric", "value", "unit", "queries", "spread", "n", "n_errors", "sf"
+    }
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
     assert set(payload["queries"]) == {"union_report", "topk_orders"}
+    assert set(payload["spread"]) == {"union_report", "topk_orders"}
     assert payload["value"] > 0
+    assert payload["n"] == 2 and payload["n_errors"] == 0
+    # TRUNCATION-PROOF ORDER: per-query maps first, headline scalars
+    # last — a tail-only capture must still carry wall time/counts/sf
+    # (round-3 BENCH artifact lost them by truncating the front).
+    keys = list(payload)
+    assert keys[:2] == ["queries", "spread"]
+    assert keys[-6:] == ["metric", "value", "unit", "n", "n_errors", "sf"]
 
 
 def test_bench_survives_failing_query(tmp_path):
@@ -130,6 +152,10 @@ def test_bench_survives_failing_query(tmp_path):
     assert set(payload["queries"]) == {"union_report"}
     assert payload["value"] > 0
     assert "no_such_query" in payload["errors"]
+    assert payload["n_errors"] == 1
+    # errors map must also precede the headline scalars
+    keys = list(payload)
+    assert keys.index("errors") < keys.index("metric")
 
 
 def test_cli_docs_lineage(tmp_path, capsys):

@@ -166,6 +166,42 @@ def test_shipping_priority_multiway_join_shape(spark):
     assert "ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>" in plan
 
 
+def test_local_supplier_volume_snowflake_join_shape(spark):
+    """TPC-H Q5 shape: the region→nation→supplier dims broadcast (no SMJ
+    against a dim at this size), the order-date range is pushed into the
+    orders scan, no cartesian product anywhere, and the revenue agg
+    combines map-side."""
+    plan = _plan(spark, "local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan  # region filter reaches its scan
+    assert "o_orderdate" in plan.split("PushedFilters")[1].split("\n")[0] or \
+        "IsNotNull(o_orderdate)" in plan
+    assert "partial_sum" in plan
+    # supplier scan pruned to the two join columns
+    assert "ReadSchema: struct<s_suppkey:bigint,s_nationkey:int>" in plan
+
+
+def test_returned_item_revenue_join_shape(spark):
+    """TPC-H Q10 shape: returnflag + date filters pushed to the fact
+    scans, nation broadcast, top-20 via TakeOrderedAndProject."""
+    plan = _plan(spark, "returned_item_revenue")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed into lineitem scan
+
+
+def test_large_volume_orders_join_shape(spark):
+    """TPC-H Q18 shape: the HAVING self-aggregation combines map-side
+    before its shuffle, the surviving key set joins orders without a
+    cartesian, and the top-100 avoids a global sort."""
+    plan = _plan(spark, "large_volume_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_vocabulary_and_bpe_partial_agg_absorbs_explosion(spark):
     """The token/pair explosion must be reduced by map-side partial
     aggregation before the exchange — the shuffle carries |vocab|, not
