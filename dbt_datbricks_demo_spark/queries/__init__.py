@@ -25,6 +25,7 @@ from dbt_datbricks_demo_spark.queries import llm_ops  # noqa: F401  (registers i
 from dbt_datbricks_demo_spark.queries import pipeline_ops  # noqa: F401  (registers into QUERIES)
 from dbt_datbricks_demo_spark.queries import relational_ext  # noqa: F401  (registers into QUERIES)
 from dbt_datbricks_demo_spark.queries import curation_ops  # noqa: F401  (registers into QUERIES)
+from dbt_datbricks_demo_spark.queries import subqueries  # noqa: F401  (registers into QUERIES)
 
 GRADED_PREFIX = (
     # relational core (SURVEY §2.1-§2.9 mappings)

@@ -202,6 +202,65 @@ def test_large_volume_orders_join_shape(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_late_shipment_priority_semi_join_shape(spark):
+    """TPC-H Q4 shape: the correlated EXISTS compiles to ONE semi join
+    (never a per-row subquery or cartesian), lineitem pruned to its two
+    referenced columns, count combines map-side."""
+    plan = _plan(spark, "late_shipment_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    li_schema = [
+        seg.split("\n")[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+        if "l_orderkey" in seg.split("\n")[0]
+    ]
+    assert li_schema and all("l_quantity" not in s for s in li_schema)
+
+
+def test_customer_order_distribution_outer_join_shape(spark):
+    """TPC-H Q13 shape: LEFT OUTER with the priority filter in the join
+    condition; both aggregation levels combine map-side."""
+    plan = _plan(spark, "customer_order_distribution")
+    assert "LeftOuter" in plan or "RightOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("partial_count") >= 2
+
+
+def test_scalar_subquery_queries_reuse_exchange(spark):
+    """TPC-H Q11/Q17 shapes derive the same aggregate twice (scalar
+    threshold + main branch). At 100 TB re-deriving means re-scanning the
+    fact table — AQE must stitch the branches with a ReusedExchange."""
+    for name in ("top_customer_share", "small_quantity_part_revenue"):
+        df = QUERIES[name].build(spark, SF)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in final, name
+
+
+def test_idle_rich_customers_anti_join_shape(spark):
+    """TPC-H Q22 shape: scalar avg attaches via a one-row broadcast
+    nested loop (the only sanctioned BNLJ form) and the NOT EXISTS is a
+    single anti join."""
+    plan = _plan(spark, "idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar attach
+    assert "CartesianProduct" not in plan
+
+
+def test_sole_late_supplier_single_window_pass(spark):
+    """TPC-H Q21 shape: both correlated existence checks collapse into
+    ONE window pass over orderkey — exactly one window operator, no
+    correlated re-scan, supplier broadcast."""
+    import re
+
+    plan = _plan(spark, "sole_late_supplier")
+    headers = re.findall(r"^\(\d+\) Window", plan, flags=re.M)
+    assert len(headers) == 1, headers
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_vocabulary_and_bpe_partial_agg_absorbs_explosion(spark):
     """The token/pair explosion must be reduced by map-side partial
     aggregation before the exchange — the shuffle carries |vocab|, not
