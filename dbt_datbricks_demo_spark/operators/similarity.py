@@ -312,6 +312,23 @@ def cosine_neardup_pairs(
         hyperplane_bucket(F.col(vec_col), w).alias("_bucket"),
         _norm(F.col(vec_col)).alias("_l2"),
     )
+    return _bucketed_cosine_pairs(
+        staged, threshold, id_col, vec_col, block_salts, hot_bucket_width
+    )
+
+
+def _bucketed_cosine_pairs(
+    staged: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    block_salts: int,
+    hot_bucket_width: int,
+) -> DataFrame:
+    """Shared blocked self-join tail: exact-cosine pairs (id_a < id_b)
+    within a precomputed `_bucket` column (LSH bucket, IVF cell, …),
+    with the sampled hot-bucket S×S grid defense documented in
+    cosine_neardup_pairs. `staged` must carry id, vec, _bucket, _l2."""
 
     def bucket_pairs(side: DataFrame, grid: bool) -> DataFrame:
         if grid:
@@ -360,6 +377,49 @@ def cosine_neardup_pairs(
         return bucket_pairs(staged, grid=False)
     return bucket_pairs(staged.filter(~F.col("_bucket").isin(hot)), grid=False).unionByName(
         bucket_pairs(staged.filter(F.col("_bucket").isin(hot)), grid=True)
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_salts: int = 4,
+    hot_bucket_width: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    within each cluster drop every vector that has a lower-id
+    cluster-mate with cosine >= threshold.
+
+    Differences from the paper, chosen for determinism: the keeper is
+    the minimum id (the paper keeps the item farthest from the
+    centroid — swap the priority column to change policy), and the
+    quantizer is injected (fixed md5 grid here for oracle parity;
+    train_ivf_centroids in production for better cluster quality).
+
+    Scale shape: assignment is one narrow pass (ivf_assign, no
+    shuffle); the pairwise scan is per-cell (expected N²/cells work)
+    with the same sampled hot-cell S×S grid defense as the LSH path; a
+    vector survives via one distinct + left-anti join on id. Returns
+    (id, _cell, kept) — one row per input vector.
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_assign(F.col(vec_col), centroids).alias("_bucket"),
+        _norm(F.col(vec_col)).alias("_l2"),
+    )
+    pairs = _bucketed_cosine_pairs(
+        staged, threshold, id_col, vec_col, block_salts, hot_bucket_width
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return staged.join(dropped.withColumn("_hit", F.lit(1)), id_col, "left").select(
+        F.col(id_col),
+        F.col("_bucket").alias("cell"),
+        F.col("_hit").isNull().alias("kept"),
     )
 
 

@@ -241,3 +241,67 @@ def split_assignment(
         out = F.when(cond, name) if out is None else out.when(cond, name)
     last = items[-1][0]
     return (out.otherwise(last)) if out is not None else F.lit(last)
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model perplexity (model-based quality scoring)
+# ---------------------------------------------------------------------------
+# The classic perplexity-filtering step of web-corpus curation (CCNet
+# et al.) scores documents with a language model; the in-engine analog
+# is a unigram LM trained on the corpus itself in one aggregation pass.
+# Reference scope note: the reference has no LM scoring — this extends
+# its quality-test surface (SURVEY §2 F-family filters) with the
+# standard curation operator.
+
+
+def unigram_term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, cnt) over the whole corpus: one explode feeding a hash
+    aggregation — map-side partial agg absorbs the token explosion, so
+    the shuffle carries |vocab| rows, not |corpus tokens|."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def unigram_doc_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document average negative log-likelihood (nats/token) under
+    an add-one-smoothed corpus unigram LM: p(w) = (c(w)+1) / (N+V).
+
+    Shape at scale: the (doc, term) tf table and the model both come out
+    of partial-agg-absorbed shuffles; they join on term (AQE picks
+    broadcast only if the vocab fits); the N+V totals attach as a one-row
+    broadcast. No per-row subqueries, no driver-side model materialization.
+    avg_nll is rounded to 6 dp (module determinism convention: the
+    per-doc double fold is order-dependent in its low bits)."""
+    model = unigram_term_counts(df, text_col=text_col)
+    tot = model.agg(
+        F.sum("cnt").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    tf = (
+        df.select(
+            F.col(id_col), *[F.col(c) for c in keep_cols],
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy(id_col, *keep_cols, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    nll_term = -F.col("tf") * F.log(
+        (F.col("cnt") + F.lit(1)) / (F.col("_n") + F.col("_v"))
+    )
+    return (
+        tf.join(model, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col, *keep_cols)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tok"),
+            F.round(F.sum(nll_term) / F.sum("tf"), 6).alias("avg_nll"),
+        )
+    )

@@ -9,10 +9,14 @@ therefore curated explicitly:
   SURVEY §2-mapped operator plus the headline training-pipeline
   capabilities (SCD2 snapshots, GROUPING SETS, BM25, decontamination,
   PII redaction, curriculum deciles, skew-salted agg, the capstone
-  training-set report). Near-duplicate plumbing variants (e.g. the
-  multimodal resize/audio/frame variants of multimodal_features, the
-  bucketed/multiprobe stages subsumed by ann_recall_report) yield
-  their slots: they stay fully oracled and are regression-gated by
+  training-set report, and — round 4 — unigram-LM perplexity scoring
+  and SemDeDup semantic dedup). Near-duplicate plumbing variants
+  (e.g. the multimodal resize/audio/frame variants of
+  multimodal_features, the bucketed/multiprobe stages subsumed by
+  ann_recall_report) yield their slots, as did union_report /
+  except_inactive_customers in round 4 (U1/U2 are the two simplest
+  set ops; demoted in favor of the perplexity/SemDeDup headliners):
+  they stay fully oracled and are regression-gated by
   tests/test_oracle_gate.py, which checks ALL registered queries
   against DuckDB on every pytest run.
 - Remaining oracle-backed queries follow in registration order.
@@ -26,6 +30,7 @@ from dbt_datbricks_demo_spark.queries import pipeline_ops  # noqa: F401  (regist
 from dbt_datbricks_demo_spark.queries import relational_ext  # noqa: F401  (registers into QUERIES)
 from dbt_datbricks_demo_spark.queries import curation_ops  # noqa: F401  (registers into QUERIES)
 from dbt_datbricks_demo_spark.queries import subqueries  # noqa: F401  (registers into QUERIES)
+from dbt_datbricks_demo_spark.queries import scoring_ops  # noqa: F401  (registers into QUERIES)
 
 GRADED_PREFIX = (
     # relational core (SURVEY §2.1-§2.9 mappings)
@@ -36,8 +41,6 @@ GRADED_PREFIX = (
     "daily_summary_join",
     "enrich_broadcast",
     "orphan_anti_join",
-    "union_report",
-    "except_inactive_customers",
     "topk_orders",
     "having_rollup",
     "surrogate_keys",
@@ -70,6 +73,8 @@ GRADED_PREFIX = (
     "embedding_neardup_pairs",
     # text analysis + curation
     "text_quality",
+    "unigram_perplexity_report",
+    "semdedup_report",
     "lang_id_eval",
     "quality_deciles",
     "decontam_report",

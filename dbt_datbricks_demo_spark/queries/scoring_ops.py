@@ -1,0 +1,196 @@
+"""Round-4 model-based curation additions.
+
+Unigram-LM perplexity scoring (the CCNet-style perplexity-filtering
+step of web-corpus curation, expressed as two partial-agg-absorbed
+aggregation passes) and SemDeDup-style semantic deduplication (Abbas
+et al. 2023: coarse-quantizer clustering + within-cluster cosine
+pruning). Both extend the reference's quality-filter surface (SURVEY
+§2 F-family) with the operators a training-data pipeline layers on
+top; DuckDB oracles compute literally the same values.
+
+Determinism: token/term counts and N+V totals are exact integers; the
+only floats are ln() of identical IEEE quotients, folded per document
+and rounded to 6 dp (module convention for order-dependent low bits),
+and the index-order cosine folds shared with the ANN oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.operators import similarity, text
+from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
+from dbt_datbricks_demo_spark.queries.llm_ops import _sql_dot, _sql_l2
+
+_SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring
+# ---------------------------------------------------------------------------
+@_register(
+    "unigram_perplexity_report",
+    "per-(lang, source) negative-log-likelihood stats under an add-one-"
+    "smoothed corpus unigram LM (operators.text.unigram_doc_nll) — the "
+    "in-engine analog of perplexity filtering: model training is ONE "
+    "partial-agg-absorbed pass, scoring joins tf to the model on term "
+    "(never a broadcast of an unbounded vocab), totals attach as a "
+    "one-row broadcast",
+    f"""
+    with tok as (
+        select doc_id, lang, source, unnest({_SQL_TOKENS}) as term
+        from documents
+    ),
+    model as (
+        select term, count(*) as cnt from tok group by term
+    ),
+    tot as (
+        select cast(sum(cnt) as double) as n, cast(count(*) as double) as v
+        from model
+    ),
+    tf as (
+        select doc_id, lang, source, term, count(*) as tf
+        from tok group by doc_id, lang, source, term
+    ),
+    per_doc as (
+        select doc_id, lang, source,
+               cast(sum(tf) as bigint) as n_tok,
+               cast(round(round(sum(-tf * ln((cnt + 1) / (n + v)))
+                                / sum(tf), 6) * 1e6, 0) as bigint)
+                   as nll_micro
+        from tf join model using (term), tot
+        group by doc_id, lang, source
+    )
+    select lang, source,
+           cast(count(*) as bigint)   as n_docs,
+           cast(sum(n_tok) as bigint) as n_tokens,
+           cast(sum(nll_micro) as double) / count(*) / 1e6 as mean_nll,
+           cast(min(nll_micro) as double) / 1e6            as min_nll,
+           cast(max(nll_micro) as double) / 1e6            as max_nll
+    from per_doc
+    group by lang, source
+    order by lang, source
+    """,
+)
+def unigram_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    per_doc = text.unigram_doc_nll(
+        docs, text_col="text", id_col="doc_id", keep_cols=("lang", "source")
+    )
+    # group stats over EXACT micro-nat integers: per-doc avg_nll is a
+    # 6-dp-rounded double, i.e. within 1 ulp of an integer number of
+    # micro-nats — re-rounding a group MEAN of such values lands exactly
+    # on .5e-6 boundaries where engine round modes diverge (observed),
+    # while the integer sum is order-free and the final divisions are
+    # IEEE-identical
+    micro = (
+        per_doc.withColumn(
+            "nll_micro",
+            F.round(F.col("avg_nll") * 1e6, 0).cast("bigint"),
+        )
+    )
+    return (
+        micro.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            (
+                F.sum("nll_micro").cast("double") / F.count(F.lit(1)) / F.lit(1e6)
+            ).alias("mean_nll"),
+            (F.min("nll_micro").cast("double") / F.lit(1e6)).alias("min_nll"),
+            (F.max("nll_micro").cast("double") / F.lit(1e6)).alias("max_nll"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: coarse-cluster + within-cluster cosine pruning
+# ---------------------------------------------------------------------------
+# The md5-derived fixed quantizer (same grid as ann_ivf_fixed_topk)
+# keeps assignment engine-portable so the whole pipeline — clustering,
+# pairwise pruning, keeper selection — is value-hash-verified. The
+# testdata embeddings are random, so the demo threshold 0.2 keeps the
+# pruning observable; production semantic dedup would use ~0.95 with
+# trained centroids (similarity.train_ivf_centroids).
+_SEM_CELLS = 16
+_SEM_DIMS = 64
+_SEM_THRESHOLD = 0.2
+# The raw md5 grid spans ±1000 per component while the corpus embeddings
+# are unit-norm (±0.125-ish per component) — unscaled, the ||c||² term
+# dominates the argmin and every vector lands in one cell. Dividing by
+# 8000 puts centroid components on the embedding scale, giving balanced
+# direction-driven cells (measured 17–62 of 500 at sf0.001).
+_SEM_FIXED = [
+    [x / 8000.0 for x in row]
+    for row in similarity.ivf_fixed_centroids(_SEM_CELLS, _SEM_DIMS)
+]
+
+
+def _sql_semdedup() -> str:
+    score_exprs = []
+    for c in _SEM_FIXED:
+        c2 = 0.0
+        for x in c:
+            c2 = c2 + x * x
+        score_exprs.append(f"(-2.0 * {_sql_dot('embedding', c)} + {c2!r})")
+    sc = "[" + ",\n               ".join(score_exprs) + "]"
+    return f"""
+    with scored as (
+        select vec_id, embedding, {sc} as sc
+        from embeddings
+    ),
+    assigned as (
+        select vec_id, embedding,
+               list_position(sc, list_min(sc)) - 1 as cell,
+               {_sql_l2("embedding")} as l2
+        from scored
+    ),
+    dropped as (
+        select distinct b.vec_id
+        from assigned a join assigned b
+          on a.cell = b.cell and a.vec_id < b.vec_id
+        where {_sql_dot("a.embedding",
+                        "list_transform(b.embedding, x -> cast(x as double))")}
+                  / (a.l2 * b.l2) >= {_SEM_THRESHOLD}
+    )
+    select cell,
+           cast(count(*) as bigint) as n_vecs,
+           cast(count(*) filter (where d.vec_id is not null) as bigint)
+               as n_dropped,
+           cast(count(*) filter (where d.vec_id is null) as bigint)
+               as n_kept
+    from assigned left join dropped d using (vec_id)
+    group by cell
+    order by cell
+    """
+
+
+@_register(
+    "semdedup_report",
+    "SemDeDup semantic dedup (operators.similarity.semdedup): fixed-"
+    "quantizer cell assignment in one narrow pass, within-cell cosine "
+    "pairs (per-cell self-join with the sampled hot-cell grid defense), "
+    "min-id keeper policy — per-cell kept/dropped counts, the whole "
+    "cluster-prune-keep pipeline value-hash-verified",
+    _sql_semdedup(),
+)
+def semdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    flags = similarity.semdedup(
+        emb,
+        _SEM_FIXED,
+        threshold=_SEM_THRESHOLD,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    return (
+        flags.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.count_if(~F.col("kept")).cast("bigint").alias("n_dropped"),
+            F.count_if(F.col("kept")).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("cell")
+    )

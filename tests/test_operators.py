@@ -545,3 +545,73 @@ def test_gap_fill_interpolation_edges(spark):
     assert out[("a", 6)] == (True, 60.0, 60.0)
     assert out[("b", 0)] == (True, 5.0, 5.0)
     assert len(out) == 7
+
+
+# ---------------------------------------------------------------------------
+# Round 4: unigram LM + SemDeDup
+# ---------------------------------------------------------------------------
+def test_unigram_doc_nll_orders_docs_by_rarity(spark):
+    # "a a a" uses only the commonest token; "z" is a hapax — under the
+    # corpus unigram LM the hapax doc must carry strictly higher NLL
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "a a z"), (3, "z")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in text.unigram_doc_nll(df, "text", "doc_id").collect()
+    }
+    assert rows[1]["n_tok"] == 3 and rows[3]["n_tok"] == 1
+    assert rows[1]["avg_nll"] < rows[2]["avg_nll"] < rows[3]["avg_nll"]
+
+
+def test_unigram_doc_nll_matches_hand_model(spark):
+    # corpus: tokens a,a,b → N=3, V=2; p(a)=(2+1)/(3+2), p(b)=(1+1)/(3+2)
+    import math
+
+    df = spark.createDataFrame([(1, "a a"), (2, "b")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in text.unigram_doc_nll(df, "text", "doc_id").collect()}
+    assert rows[1]["avg_nll"] == round(-math.log(3 / 5), 6)
+    assert rows[2]["avg_nll"] == round(-math.log(2 / 5), 6)
+
+
+def _unit(v):
+    n = sum(x * x for x in v) ** 0.5
+    return [x / n for x in v]
+
+
+def test_semdedup_drops_higher_id_within_cell(spark):
+    # 4-d toy space, 2 centroids on axes 0 and 1. Vectors 1 and 2 are
+    # near-identical (cos≈1) and share cell 0 → higher id 2 dropped;
+    # vector 3 sits in cell 1 alone → kept.
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0]]
+    rows = [
+        (1, _unit([1.0, 0.1, 0, 0])),
+        (2, _unit([1.0, 0.11, 0, 0])),
+        (3, _unit([0.1, 1.0, 0, 0])),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semdedup(emb, cents, threshold=0.95).collect()
+    }
+    assert out[1]["kept"] and not out[2]["kept"] and out[3]["kept"]
+    assert out[1]["cell"] == 0 and out[2]["cell"] == 0 and out[3]["cell"] == 1
+
+
+def test_semdedup_misses_cross_cell_pairs_by_design(spark):
+    # two identical vectors pushed into DIFFERENT cells by the quantizer
+    # are not compared — the documented recall trade of cluster-scoped
+    # pruning (the paper's within-cluster semantics)
+    cents = [[1.0, 0, 0, 0], [0.7, 0.72, 0, 0]]
+    rows = [
+        (1, _unit([1.0, 0.0, 0, 0])),   # cell 0
+        (2, _unit([0.7, 0.73, 0, 0])),  # cell 1, cos(1,2)≈0.69 < thr anyway
+        (3, _unit([0.69, 0.73, 0, 0])),  # cell 1, near-dup of 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semdedup(emb, cents, threshold=0.95).collect()
+    }
+    assert out[1]["kept"] and out[2]["kept"] and not out[3]["kept"]
