@@ -49,6 +49,24 @@ def _unpersist_all(spark) -> None:
         it.next().unpersist(False)
 
 
+def _gc_quiesce(spark) -> None:
+    """Force a driver GC BETWEEN queries (outside any timed section).
+
+    Spark's ContextCleaner reclaims shuffle files, broadcast blocks and
+    RDD metadata only when the driver GC collects their weak
+    references; across 100+ queries in a 24 GiB heap the JVM may not GC
+    for minutes and cleanup debt accumulates into later timings. (Note:
+    this is hygiene, not the fix for the historical 3 s / 15 s bimodal
+    mode of the near-dup family — that was interpreted higher-order-
+    function eval losing the JIT-profile lottery, fixed structurally by
+    dedup.shingle_hash_rows; explicit GC and a 1 GiB code cache were
+    both tested and did NOT remove it.)"""
+    try:
+        spark._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -117,6 +135,7 @@ def main() -> None:
                     _unpersist_all(spark)
                 except Exception:  # noqa: BLE001
                     pass
+                _gc_quiesce(spark)
             all_runs.setdefault(name, []).append(elapsed)
 
     timings = {n: min(ts) for n, ts in all_runs.items()}

@@ -64,14 +64,24 @@ def clean_corpus(
     if persist_gated:
         gated = gated.localCheckpoint(eager=False)
 
-    # 4. near-dup removal among the survivors: ONE text pass builds the
-    # shingle-hash table; candidates and Jaccard verification both read it
-    hashed = dedup.shingle_hash_table(gated, id_col, text_col, k=shingle_k)
-    pairs = dedup.candidate_pairs_from_hashes(
-        hashed, id_col, num_hashes=num_hashes, bands=bands
+    # 4. near-dup removal among the survivors: the corpus-wide pass is
+    # the row-level codegen shingle path (explode → md5 per row →
+    # partial-agged minhash); interpreted array lambdas only run on the
+    # candidate subset (see dedup.shingle_hash_rows docstring)
+    rows = dedup.shingle_hash_rows(gated, id_col, text_col, k=shingle_k)
+    sigs = dedup.minhash_sigs_from_rows(rows, id_col, num_hashes=num_hashes)
+    pairs = dedup.candidate_pairs_from_sigs(
+        sigs, id_col, num_hashes=num_hashes, bands=bands
+    ).localCheckpoint(eager=True)
+    hashed_small = dedup.candidate_hash_arrays(
+        gated, pairs, id_col, text_col, k=shingle_k
     )
     confirmed = dedup.jaccard_pairs_from_hashes(
-        hashed, pairs, id_col, broadcast_pair_limit=broadcast_pair_limit
+        hashed_small,
+        pairs,
+        id_col,
+        broadcast_pair_limit=broadcast_pair_limit,
+        pairs_prepared=True,
     )
     # losers is O(confirmed duplicate pairs) — tiny on a clean corpus,
     # unbounded on a dirty one. Size-guard the broadcast (same pattern as

@@ -5,12 +5,18 @@ Scale design:
     document bodies: loser ids come from a narrow window over the
     digest, and the corpus anti-joins them (size-guarded broadcast; a
     dup-heavy corpus falls back to one body shuffle).
-  * MinHash+LSH — per-row signature computation is pure JVM array math
-    (transform/array_min, codegen); the only shuffle is the band-bucket
-    self-join, whose input is |docs| × bands tiny (band_hash, doc_id)
-    pairs. Candidate pairs are then verified with exact Jaccard. This is
-    the standard near-dup pipeline (shingle → minhash → band → bucket
-    join) at web scale.
+  * MinHash+LSH — the corpus-wide signature pass is ROW-LEVEL
+    whole-stage-codegen work (shingle_hash_rows: narrow explode +
+    per-row md5 + partial-agged min), NOT higher-order-function array
+    lambdas: Catalyst evaluates HOF lambdas with its interpreted
+    expression walker, whose throughput depends on a per-JVM HotSpot
+    profile lottery (measured 5× bimodal; see shingle_hash_rows).
+    Shuffles: |docs|×num_hashes signature rows (map-side combined) and
+    the band-bucket self-join over tiny (band_hash, id) pairs.
+    Candidate pairs are verified with exact Jaccard over distinct-
+    shingle arrays computed ONLY for the candidate subset. This is the
+    standard near-dup pipeline (shingle → minhash → band → bucket join)
+    at web scale.
   * SimHash — one 32/64-bit signature per doc; near-dups differ in few
     bits. Signature again pure array math.
   * All hashes derive from md5 (not Spark's xxhash64) so results are
@@ -235,6 +241,88 @@ def shingle_hash_table(
     return staged.select(F.col(id_col), F.col("_hs")).localCheckpoint(eager=True)
 
 
+def shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """(id, shingle-hash) ROWS — one row per k-gram occurrence — via
+    explode + row-level md5. This is the whole-stage-codegen form of the
+    shingle pass: higher-order-function lambdas (transform/aggregate)
+    are evaluated by Catalyst's INTERPRETED expression walker
+    (ArrayTransform.nullSafeEval), and whether HotSpot JITs that generic
+    walker well is a per-JVM profile lottery — measured on this bench as
+    a bimodal 3 s / 15 s wall time for the near-dup compositions within
+    identical runs (thread dumps show BinaryArithmetic.eval /
+    PhysicalDataType.apply dominating slow runs). Row-level expressions
+    compile into the query's own generated code and are immune.
+
+    The explode is NARROW (no shuffle): each doc's rows stay in its
+    partition and downstream per-id aggregations combine map-side, so
+    the shuffle after a minhash aggregation carries |docs| rows, not
+    |corpus k-grams|. Occurrence rows (not distinct shingles) are
+    exactly what MinHash needs: min over occurrences = min over the
+    distinct set. Consumers that need true distinct-shingle SETS
+    (Jaccard sizes) restrict to candidate ids first and use the array
+    form (with_shingle_hashes) on that small subset."""
+    norm = F.trim(F.lower(F.col(text_col)))
+    staged = df.select(F.col(id_col), norm.alias("_n"))
+    idx = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("_n") - (k - 1)))
+    ).alias("_i")
+    rows = staged.select(F.col(id_col), F.col("_n"), idx)
+    h = md5_int32(F.col("_n").substr(F.col("_i"), F.lit(k))) % F.lit(MERSENNE31)
+    return rows.select(F.col(id_col), h.alias("_h"))
+
+
+def minhash_sigs_from_rows(
+    rows: DataFrame, id_col: str, num_hashes: int = 8, sig_col: str = "_sig"
+) -> DataFrame:
+    """MinHash signatures from shingle-hash ROWS: one groupBy with
+    num_hashes min-aggregates. Map-side partial aggregation reduces each
+    partition to its doc count before the exchange — the signature
+    shuffle carries |docs| × num_hashes bigints. Values are identical to
+    the array-form minhash (same affine permutations over the same
+    hashes; duplicates cannot change a min)."""
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE31)).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(_affine_params(num_hashes))
+    ]
+    per = rows.groupBy(id_col).agg(*aggs)
+    return per.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias(sig_col),
+    )
+
+
+def candidate_pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    sig_col: str = "_sig",
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) from staged minhash signatures:
+    band keys over the 8-element signature (cheap even interpreted),
+    explode, self-join on band_key, distinct."""
+    rows_per_band = num_hashes // bands
+    keyed = sigs.select(
+        F.col(id_col),
+        F.explode(lsh_band_keys(F.col(sig_col), bands, rows_per_band)).alias(
+            "band_key"
+        ),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def candidate_pairs_from_hashes(
     hashed: DataFrame,
     id_col: str,
@@ -317,6 +405,7 @@ def jaccard_pairs_from_hashes(
     pairs: DataFrame,
     id_col: str,
     broadcast_pair_limit: int = BROADCAST_PAIR_LIMIT,
+    pairs_prepared: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: attach each side's
     staged hash array with a join, intersect JVM-side
@@ -333,8 +422,13 @@ def jaccard_pairs_from_hashes(
     verify a handful of candidates. Above the limit — a dirty 100-TB
     corpus where candidates are O(duplicate pairs) and would blow the
     broadcast ceiling — both joins fall back to hash-partitioned
-    shuffles on doc id, moving each side's array exactly once."""
-    pairs = pairs.localCheckpoint(eager=True)
+    shuffles on doc id, moving each side's array exactly once.
+
+    pairs_prepared=True: the caller already eagerly checkpointed
+    `pairs` (because other consumers read it too) — skip the
+    re-checkpoint, just count for the guard."""
+    if not pairs_prepared:
+        pairs = pairs.localCheckpoint(eager=True)
     use_broadcast = pairs.count() <= broadcast_pair_limit
     pairs_hinted = F.broadcast(pairs) if use_broadcast else pairs
 
@@ -480,6 +574,31 @@ def connected_components(
     )
 
 
+def candidate_hash_arrays(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """(id, _hs) distinct-shingle hash ARRAYS for exactly the documents
+    appearing in candidate `pairs` — the array form (with its exact
+    distinct-shingle set semantics for Jaccard sizes) computed only on
+    the O(candidate) subset, so the HOF array lambdas run over thousands
+    of docs, not the corpus. `pairs` should already be materialized
+    (checkpointed) by the caller. The candidate-id relation is tiny —
+    AQE broadcasts the semi-join side."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    subset = df.join(cand_ids, on=id_col, how="left_semi")
+    return with_shingle_hashes(subset, text_col, k, out="_hs").select(
+        F.col(id_col), F.col("_hs")
+    )
+
+
 def neardup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -491,12 +610,20 @@ def neardup_clusters(
 ) -> DataFrame:
     """Full transitive near-dup clustering: LSH candidates → exact-Jaccard
     confirmed edges → connected components. Returns every document with
-    its cluster representative (min id); singletons map to themselves."""
-    hashed = shingle_hash_table(df, id_col, text_col, k)
-    pairs = candidate_pairs_from_hashes(hashed, id_col, num_hashes, bands)
-    confirmed = jaccard_pairs_from_hashes(hashed, pairs, id_col).filter(
-        F.col("jaccard") >= jaccard_threshold
-    )
+    its cluster representative (min id); singletons map to themselves.
+
+    Corpus-wide work is the row-level codegen path (shingle_hash_rows →
+    minhash_sigs_from_rows); the interpreted array lambdas only touch
+    the candidate subset (candidate_hash_arrays)."""
+    rows = shingle_hash_rows(df, id_col, text_col, k)
+    sigs = minhash_sigs_from_rows(rows, id_col, num_hashes)
+    pairs = candidate_pairs_from_sigs(
+        sigs, id_col, num_hashes, bands
+    ).localCheckpoint(eager=True)
+    hashed_small = candidate_hash_arrays(df, pairs, id_col, text_col, k)
+    confirmed = jaccard_pairs_from_hashes(
+        hashed_small, pairs, id_col, pairs_prepared=True
+    ).filter(F.col("jaccard") >= jaccard_threshold)
     comp = connected_components(df, confirmed.select("id_a", "id_b"), id_col)
     return comp.select(F.col("id").alias(id_col), "component")
 

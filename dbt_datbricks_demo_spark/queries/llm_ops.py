@@ -161,8 +161,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
-    staged = dedup.with_minhash(docs, "text", num_hashes=8, k=5, sig_col="_sig")
-    return staged.select(
+    rows = dedup.shingle_hash_rows(docs, "doc_id", "text", k=5)
+    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=8)
+    return sigs.select(
         "doc_id",
         *[F.element_at(F.col("_sig"), i + 1).alias(f"h{i}") for i in range(8)],
     )
@@ -205,9 +206,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
-    hashed = dedup.shingle_hash_table(docs, "doc_id", "text", k=5)
-    pairs = dedup.candidate_pairs_from_hashes(hashed, "doc_id", num_hashes=8, bands=2)
-    return dedup.jaccard_pairs_from_hashes(hashed, pairs, "doc_id")
+    rows = dedup.shingle_hash_rows(docs, "doc_id", "text", k=5)
+    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=8)
+    pairs = dedup.candidate_pairs_from_sigs(
+        sigs, "doc_id", num_hashes=8, bands=2
+    ).localCheckpoint(eager=True)
+    hashed_small = dedup.candidate_hash_arrays(docs, pairs, "doc_id", "text", k=5)
+    return dedup.jaccard_pairs_from_hashes(
+        hashed_small, pairs, "doc_id", pairs_prepared=True
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -167,6 +167,83 @@ def _sql_semdedup() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Semantic (embedding-level) benchmark decontamination
+# ---------------------------------------------------------------------------
+# Complements decontam_report's n-gram overlap with the embedding-space
+# variant: a training vector is contaminated when its cosine to ANY
+# benchmark vector exceeds a threshold. The benchmark side is bounded
+# by contract (eval sets are small), so it broadcasts and the scan is
+# one pass over the corpus — |corpus| x |benchmark| comparisons, never
+# a corpus self-join. Threshold 0.25 is demo-scaled to the random
+# testdata embeddings (real corpora use ~0.9 with real encoders).
+_DECON_THRESHOLD = 0.25
+
+
+@_register(
+    "semantic_decontam_report",
+    "embedding-space benchmark decontamination: corpus (label<>0) vs "
+    "benchmark (label=0) max-cosine via a bounded broadcast cross join "
+    "— per-vector max similarity, deterministic argmax benchmark id "
+    "(max-struct trick), close-benchmark count, contamination flag",
+    f"""
+    with bench as (
+        select vec_id as bench_id, embedding as bv,
+               {_sql_l2("embedding")} as bl2
+        from embeddings where label = 0
+    ),
+    corpus as (
+        select vec_id, embedding, {_sql_l2("embedding")} as l2
+        from embeddings where label <> 0
+    ),
+    pairs as (
+        select c.vec_id, b.bench_id,
+               {_sql_dot("c.embedding",
+                         "list_transform(b.bv, x -> cast(x as double))")}
+                   / (c.l2 * b.bl2) as cos
+        from corpus c cross join bench b
+    )
+    select vec_id,
+           max(cos)                                   as max_sim,
+           (max(struct_pack(c := cos, k := bench_id))).k
+                                                      as closest_bench,
+           cast(count(*) filter (where cos >= 0.2) as bigint)
+                                                      as n_bench_close,
+           max(cos) >= {_DECON_THRESHOLD}             as contaminated
+    from pairs
+    group by vec_id
+    """,
+)
+def semantic_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    bench = F.broadcast(
+        emb.filter(F.col("label") == 0).select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("embedding").alias("bv"),
+            similarity._norm(F.col("embedding")).alias("bl2"),
+        )
+    )
+    corpus = emb.filter(F.col("label") != 0).select(
+        "vec_id", "embedding", similarity._norm(F.col("embedding")).alias("l2")
+    )
+    cos = similarity.pairwise_dot(F.col("embedding"), F.col("bv")) / (
+        F.col("l2") * F.col("bl2")
+    )
+    return (
+        corpus.crossJoin(bench)
+        .select("vec_id", "bench_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max("cos").alias("max_sim"),
+            F.max(F.struct(F.col("cos"), F.col("bench_id")))
+            .getField("bench_id")
+            .alias("closest_bench"),
+            F.count_if(F.col("cos") >= 0.2).cast("bigint").alias("n_bench_close"),
+            (F.max("cos") >= F.lit(_DECON_THRESHOLD)).alias("contaminated"),
+        )
+    )
+
+
 @_register(
     "semdedup_report",
     "SemDeDup semantic dedup (operators.similarity.semdedup): fixed-"

@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ContextCleaner reclaims shuffle files / broadcast blocks / RDD
+        # metadata only when driver GC collects their weak references; in
+        # a large, rarely-collected heap the cleanup debt accumulates
+        # across a many-query session. The default periodic-GC interval
+        # (30min) is longer than a whole session here.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         # local[N] runs every executor thread inside this one JVM heap — size
         # it for N concurrent tasks, not for a lone driver (GC stalls at 8g)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -47,3 +47,37 @@ def write_jsonl(
     big outputs)."""
     out = df.coalesce(num_files) if num_files else df
     out.write.mode(mode).json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Read ORC (Spark-native columnar source, no extra jars). Schema
+    optional — ORC files self-describe — but pinning one skips footer
+    inference over a large file listing and catches drift at read time.
+    Predicate pushdown / column pruning work as for parquet (plan-pinned
+    in tests/test_maintenance.py round-trip)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Write ORC with optional hive partitioning; num_files coalesces
+    for interchange-friendly file counts (None keeps the plan's
+    partitioning). zlib is Spark's ORC default codec — splittable and
+    universally readable; switch via spark.sql.orc.compression.codec."""
+    out = df.coalesce(num_files) if num_files else df
+    w = out.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -23,6 +23,12 @@ HEADLINE = {
     "gap_fill_interpolate": "time-series gapfill: running frames only (no O(n^2) unbounded-following)",
     "salted_hot_key_agg": "skew defense: two-phase salted aggregation",
     "funnel_report": "ordered funnel: one shuffle + in-plan fold state machine",
+    "late_shipment_priority": "TPC-H Q4 shape: correlated EXISTS as one left-semi join",
+    "sole_late_supplier": "TPC-H Q21 shape: EXISTS/NOT EXISTS pair as ONE window pass",
+    "top_customer_share": "TPC-H Q11 shape: scalar-subquery HAVING, AQE ReusedExchange",
+    "unigram_perplexity_report": "unigram-LM scoring: two partial-agg passes, term join, 1-row totals broadcast",
+    "semdedup_report": "SemDeDup: narrow cell assignment -> per-cell pairs -> anti join",
+    "semantic_decontam_report": "embedding decontam: bounded benchmark broadcast, one corpus pass",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -615,3 +615,25 @@ def test_semdedup_misses_cross_cell_pairs_by_design(spark):
         for r in similarity.semdedup(emb, cents, threshold=0.95).collect()
     }
     assert out[1]["kept"] and out[2]["kept"] and not out[3]["kept"]
+
+
+def test_orc_roundtrip_partitioned_with_pushdown(spark, tmp_path):
+    """ORC interchange: partitioned write, schema'd read-back, and the
+    scale contract — partition pruning plus predicate pushdown both
+    reach the ORC scan."""
+    from dbt_datbricks_demo_spark.sources.corpus_io import read_orc, write_orc
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", "en"), (2, "beta", "en"), (3, "gamma", "de")],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by=("lang",))
+    back = read_orc(spark, path)
+    assert {r["doc_id"] for r in back.collect()} == {1, 2, 3}
+
+    q = back.filter((F.col("lang") == "en") & (F.col("doc_id") > 1)).select("doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters")[1].split("]")[0]
+    assert [r["doc_id"] for r in q.collect()] == [2]
