@@ -716,3 +716,54 @@ def with_winnowed_fingerprints(
             F.array_distinct(F.when(n >= w, mins).otherwise(short))
         ),
     ).drop("_kg_hashes")
+
+
+def duplicate_gram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span measurement (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a word
+    n-gram occurring more than once across the corpus marks a duplicated
+    span. Per document: how many of its n-gram positions sit inside such
+    a span.
+
+    The suffix-array of the paper globalizes to Spark as a gram
+    frequency table: explode every position's n-gram, count occurrences
+    corpus-wide, mark grams with total >= 2 (within-doc repeats count —
+    the paper dedups those too), and fold the flags back per document.
+    Shuffles carry (gram, id) pairs — O(corpus tokens), the same budget
+    as the unigram-LM pass; document bodies never shuffle. Grams shuffle
+    as strings for exactness here; a 100-TB deployment would shuffle a
+    128-bit gram digest instead (collision odds ~n²/2¹²⁸) — same plan,
+    narrower rows.
+
+    Returns (id, n_grams, n_dup_grams) — one row per document with at
+    least one n-gram; callers left-join and zero-fill short docs.
+    """
+    from dbt_datbricks_demo_spark.operators.text import word_ngrams_all
+
+    toks = tokens(text_col)
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams_all(toks, n)).alias("gram"),
+    )
+    dup_grams = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .filter(F.col("total") >= 2)
+        .select("gram")
+    )
+    totals = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    dups = (
+        ex.join(dup_grams, "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return totals.join(dups, "id", "left").select(
+        "id",
+        "n_grams",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+    )

@@ -1,0 +1,543 @@
+"""Round-4 session-3 additions: graph / clustering / incremental
+curation operators.
+
+Extends the training-data-pipeline surface with the operators a mature
+corpus build runs after the round-3 set: ranking documents by
+similarity-graph centrality (PageRank), topic clustering by embedding
+(fixed-iteration Lloyd), measuring duplicated-span mass (ExactSubstr),
+model-based quality filtering (linear classifier inference), robust
+outlier detection (median/MAD), and incremental batch-vs-corpus
+deduplication (the operational form of dedup: a new crawl lands and
+must be admitted against the standing corpus, not re-deduped globally).
+
+Determinism contract (module-wide): every order-dependent float is
+either (a) an exact integer/decimal aggregate, (b) a sequential
+per-row fold over an array (engine-identical), or (c) rounded to
+integer micro-units via the engine-portable `floor(x*1e6 + 0.5)`
+before any cross-row sum. PageRank and the MAD outlier threshold go
+further and stay in pure integer arithmetic (`div` / `//`), so the
+oracle comparison is bit-exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.operators import clustering, dedup, graph, text
+from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
+from dbt_datbricks_demo_spark.queries.llm_ops import (
+    _SQL_SHINGLE_HASHES,
+    _SQL_TOKENS,
+    _sql_minhash_cols,
+)
+
+# micro-unit round-half-up, portable across Spark (half-even round()) and
+# DuckDB (half-up round()) — same form the quantization query pinned
+_MICRO = "cast(floor(({x}) * 1000000 + 0.5) as bigint)"
+
+
+def _micro(col) -> F.Column:
+    return F.floor(col * 1000000 + F.lit(0.5)).cast("bigint")
+
+
+def _sql_bands(hashed_cte: str) -> str:
+    """Band-key rows (doc_id, band_key) for 8 hashes × 2 bands — the
+    same md5('-'-joined slice) keys operators.dedup.lsh_band_keys
+    emits."""
+    sigs = f"select doc_id, {', '.join(_sql_minhash_cols(8))} from {hashed_cte}"
+    return f"""
+        with s as ({sigs})
+        select doc_id, md5(concat_ws('-', '0', h0, h1, h2, h3)) as band_key from s
+        union all
+        select doc_id, md5(concat_ws('-', '1', h4, h5, h6, h7)) as band_key from s
+    """
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: linear classifier inference
+# ---------------------------------------------------------------------------
+# fastText-style quality classifier reduced to its inference step: a
+# fixed linear model over the engineered quality features. Weights are
+# part of the operator contract (a deployment trains its own); keeping
+# scores on the logit scale avoids exp()'s cross-engine low bits.
+_W = {"bias": -0.2, "n_tokens": 0.04, "avg_token_len": -0.45,
+      "punct_ratio": -12.0, "stopword_ratio": 8.0}
+
+_SQL_FEATURES = f"""
+    select doc_id, source,
+        len({_SQL_TOKENS}) as n_tokens,
+        list_sum(list_transform({_SQL_TOKENS}, x -> length(x))) * 1.0
+            / nullif(len({_SQL_TOKENS}), 0) as avg_token_len,
+        len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+            / nullif(length(text), 0) as punct_ratio,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) * 1.0
+            / nullif(len({_SQL_TOKENS}), 0) as stopword_ratio
+    from documents
+"""
+
+
+@_register(
+    "quality_classifier_report",
+    "linear quality-classifier inference (fastText-style reduced to a "
+    "fixed linear model over the §2.9 quality features): per-source "
+    "doc counts, keep rate at logit>0, mean logit — scoring is a pure "
+    "narrow projection (zero shuffle before the 1-key agg); logits "
+    "travel as micro-ints so the mean is an exact integer ratio",
+    f"""
+    with f as ({_SQL_FEATURES}),
+    scored as (
+        select source,
+               {_MICRO.format(x=f"{_W['bias']} + {_W['n_tokens']} * n_tokens "
+                                f"+ {_W['avg_token_len']} * avg_token_len "
+                                f"+ {_W['punct_ratio']} * punct_ratio "
+                                f"+ {_W['stopword_ratio']} * stopword_ratio")}
+                   as logit_micro
+        from f
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(case when logit_micro > 0 then 1 else 0 end) as bigint)
+               as n_keep,
+           sum(case when logit_micro > 0 then 1 else 0 end) * 1.0 / count(*)
+               as keep_rate,
+           cast(sum(logit_micro) as double) / count(*) as mean_logit_micro
+    from scored
+    group by source
+    order by source
+    """,
+)
+def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    feats = text.quality_stats(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    logit = (
+        F.lit(_W["bias"])
+        + F.lit(_W["n_tokens"]) * F.col("n_tokens")
+        + F.lit(_W["avg_token_len"]) * F.col("avg_token_len")
+        + F.lit(_W["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(_W["stopword_ratio"]) * F.col("stopword_ratio")
+    )
+    scored = feats.select("source", _micro(logit).alias("logit_micro"))
+    keep = F.when(F.col("logit_micro") > 0, 1).otherwise(0)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep).cast("bigint").alias("n_keep"),
+            (F.sum(keep) * 1.0 / F.count(F.lit(1))).alias("keep_rate"),
+            (F.sum("logit_micro").cast("double") / F.count(F.lit(1))).alias(
+                "mean_logit_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median / MAD
+# ---------------------------------------------------------------------------
+@_register(
+    "mad_outlier_report",
+    "median/MAD robust outlier detection per event_type (the filter a "
+    "metrics pipeline runs before training on telemetry): exact "
+    "interpolated medians, deviations and the 3-sigma-equivalent "
+    "threshold compared in integer micro-units — two grouped medians + "
+    "broadcast-joined group stats, shuffles carry only (type, value)",
+    f"""
+    with med as (
+        select event_type, quantile_cont(value, 0.5) as med
+        from events group by event_type
+    ),
+    dev as (
+        select e.event_type, abs(e.value - m.med) as dev, m.med
+        from events e join med m using (event_type)
+    ),
+    mad as (
+        select event_type, {_MICRO.format(x='any_value(med)')} as med_micro,
+               {_MICRO.format(x='quantile_cont(dev, 0.5)')} as mad_micro,
+               count(*) as n_events
+        from dev group by event_type
+    )
+    select d.event_type,
+           cast(m.n_events as bigint) as n_events,
+           m.med_micro, m.mad_micro,
+           cast(sum(case when {_MICRO.format(x='d.dev')}
+                              > (44478 * m.mad_micro) // 10000
+                     then 1 else 0 end) as bigint) as n_outliers
+    from dev d join mad m using (event_type)
+    group by d.event_type, m.n_events, m.med_micro, m.mad_micro
+    order by d.event_type
+    """,
+)
+def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _spread(_t(spark, sf_dir, "events")).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("dev"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        _micro(F.first("med")).alias("med_micro"),
+        _micro(F.percentile("dev", F.lit(0.5))).alias("mad_micro"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # integer threshold: 3 * 1.4826 * mad == (44478 * mad_micro) div 10000
+    joined = dev.join(F.broadcast(mad), "event_type")
+    return (
+        joined.groupBy("event_type", "n_events", "med_micro", "mad_micro")
+        .agg(
+            F.sum(
+                F.when(
+                    _micro(F.col("dev"))
+                    > F.expr("(44478 * mad_micro) div 10000"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "med_micro",
+            "mad_micro",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated-span measurement
+# ---------------------------------------------------------------------------
+@_register(
+    "duplicate_span_report",
+    "duplicated-span mass per source (Lee et al. 2022 ExactSubstr, "
+    "globalized as a word-8-gram frequency table — operators.dedup."
+    "duplicate_gram_stats): corpus-token-bounded shuffles, bodies never "
+    "move; only docs with >= 1 gram are measured (both engines drop "
+    "shorter docs identically)",
+    f"""
+    with tok as (
+        select doc_id, source, {_SQL_TOKENS} as t from documents
+    ),
+    grams as (
+        select doc_id, source,
+               unnest(case when len(t) >= 8
+                           then list_transform(range(1, len(t) - 6),
+                                               i -> array_to_string(t[i:i+7], ' '))
+                           else []::varchar[] end) as gram
+        from tok
+    ),
+    dup as (
+        select gram from grams group by gram having count(*) >= 2
+    ),
+    per_doc as (
+        select g.doc_id, any_value(g.source) as source,
+               count(*) as n_grams,
+               sum(case when d.gram is not null then 1 else 0 end) as n_dup
+        from grams g left join dup d on g.gram = d.gram
+        group by g.doc_id
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs_measured,
+           cast(sum(n_grams) as bigint) as n_grams,
+           cast(sum(n_dup) as bigint) as n_dup_grams,
+           sum(n_dup) * 1.0 / sum(n_grams) as dup_gram_rate,
+           cast(sum(case when 2 * n_dup > n_grams then 1 else 0 end) as bigint)
+               as n_docs_majority_dup
+    from per_doc
+    group by source
+    order by source
+    """,
+)
+def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    stats = dedup.duplicate_gram_stats(docs, "doc_id", "text", n=8)
+    with_src = stats.join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return (
+        with_src.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_measured"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_dup_grams").cast("bigint").alias("n_dup_grams"),
+            (F.sum("n_dup_grams") * 1.0 / F.sum("n_grams")).alias(
+                "dup_gram_rate"
+            ),
+            F.sum(
+                F.when(2 * F.col("n_dup_grams") > F.col("n_grams"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_docs_majority_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental batch-vs-corpus deduplication
+# ---------------------------------------------------------------------------
+@_register(
+    "incremental_dedup_report",
+    "incremental admission of a new batch (doc_id % 10 == 7 stands in "
+    "for the incoming crawl) against the standing corpus: exact-digest "
+    "anti-join, then MinHash band-collision anti-join for the "
+    "survivors; per-source admission funnel. Both joins key on "
+    "digest/band_key — batch-sized left sides, corpus-sized right "
+    "sides, no text shuffles",
+    f"""
+    with batch as (select * from documents where doc_id % 10 = 7),
+    corpus as (select * from documents where doc_id % 10 <> 7),
+    bd as (select doc_id, source, md5(text) as digest from batch),
+    cd as (select distinct md5(text) as digest from corpus),
+    hb as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from batch),
+    hc as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from corpus),
+    bb as ({_sql_bands('hb')}),
+    bc as ({_sql_bands('hc')}),
+    near as (
+        select distinct b.doc_id
+        from bb b join (select distinct band_key from bc) c using (band_key)
+    ),
+    flags as (
+        select bd.doc_id, bd.source,
+               (cd.digest is not null) as is_exact,
+               (near.doc_id is not null) as is_near
+        from bd
+        left join cd on bd.digest = cd.digest
+        left join near on near.doc_id = bd.doc_id
+    )
+    select source,
+           cast(count(*) as bigint) as n_batch,
+           cast(sum(case when is_exact then 1 else 0 end) as bigint)
+               as n_exact_dup,
+           cast(sum(case when not is_exact and is_near then 1 else 0 end)
+                as bigint) as n_near_dup,
+           cast(sum(case when not is_exact and not is_near then 1 else 0 end)
+                as bigint) as n_admitted
+    from flags
+    group by source
+    order by source
+    """,
+)
+def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+
+    bd = batch.select("doc_id", "source", dedup.content_hash("text").alias("digest"))
+    cd = corpus.select(dedup.content_hash("text").alias("digest")).distinct()
+
+    def bands(side: DataFrame) -> DataFrame:
+        rows = dedup.shingle_hash_rows(side, "doc_id", "text", k=5)
+        sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=8)
+        return sigs.select(
+            "doc_id",
+            F.explode(dedup.lsh_band_keys(F.col("_sig"), 2, 4)).alias("band_key"),
+        )
+
+    near = (
+        bands(batch)
+        .join(bands(corpus).select("band_key").distinct(), "band_key")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    flags = (
+        bd.join(cd.withColumn("_exact", F.lit(True)), "digest", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("_exact", F.lit(False)).alias("is_exact"),
+            F.coalesce("_near", F.lit(False)).alias("is_near"),
+        )
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            one(F.col("is_exact")).alias("n_exact_dup"),
+            one(~F.col("is_exact") & F.col("is_near")).alias("n_near_dup"),
+            one(~F.col("is_exact") & ~F.col("is_near")).alias("n_admitted"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the LSH similarity graph
+# ---------------------------------------------------------------------------
+_SQL_PAIRS = f"""
+    hashed as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from documents),
+    bands as ({_sql_bands('hashed')}),
+    pairs as (
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from bands a join bands b
+          on a.band_key = b.band_key and a.doc_id < b.doc_id
+    )
+"""
+
+
+@_register(
+    "pagerank_similarity_graph",
+    "fixed-point PageRank (3 iterations, d=0.85) over the MinHash-LSH "
+    "candidate-pair graph — operators.graph.pagerank_fixed: ranks in "
+    "integer parts-per-billion with integer-division contributions, so "
+    "both engines are bit-identical by construction; adjacency built "
+    "and checkpointed once, each round is two keyed shuffles over "
+    "O(nodes+edges) rows; top 20 by rank",
+    f"""
+    with {_SQL_PAIRS},
+    edges as (
+        select id_a as src, id_b as dst from pairs
+        union all
+        select id_b as src, id_a as dst from pairs
+    ),
+    deg as (select src as node, count(*) as deg from edges group by src),
+    nn as (select count(*) as n from deg),
+    r0 as (
+        select node, deg, cast(1000000000::bigint // n as bigint) as r from deg, nn
+    ),
+    r1 as (
+        select e.dst as node,
+               cast(sum((85 * r.r) // (100 * r.deg))
+                    + (15 * 1000000000::bigint) // (100 * (select n from nn))
+                    as bigint) as r
+        from edges e join r0 r on r.node = e.src
+        group by e.dst
+    ),
+    r2 as (
+        select e.dst as node,
+               cast(sum((85 * r.r) // (100 * d.deg))
+                    + (15 * 1000000000::bigint) // (100 * (select n from nn))
+                    as bigint) as r
+        from edges e
+        join r1 r on r.node = e.src
+        join deg d on d.node = e.src
+        group by e.dst
+    ),
+    r3 as (
+        select e.dst as node,
+               cast(sum((85 * r.r) // (100 * d.deg))
+                    + (15 * 1000000000::bigint) // (100 * (select n from nn))
+                    as bigint) as r
+        from edges e
+        join r2 r on r.node = e.src
+        join deg d on d.node = e.src
+        group by e.dst
+    )
+    select r3.node as doc_id, cast(deg.deg as bigint) as deg,
+           r3.r as rank_ppb
+    from r3 join deg on deg.node = r3.node
+    order by rank_ppb desc, doc_id
+    limit 20
+    """,
+)
+def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    rows = dedup.shingle_hash_rows(docs, "doc_id", "text", k=5)
+    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=8)
+    pairs = dedup.candidate_pairs_from_sigs(
+        sigs, "doc_id", num_hashes=8, bands=2
+    ).localCheckpoint(eager=True)
+    ranked = graph.pagerank_fixed(pairs, iterations=3, damping_pct=85)
+    return (
+        ranked.select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").cast("bigint").alias("deg"),
+            "rank_ppb",
+        )
+        .orderBy(F.desc("rank_ppb"), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration k-means topic clustering
+# ---------------------------------------------------------------------------
+_SQL_KM_DIST = (
+    "list_sum(list_transform(list_zip({v}, {m}), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+@_register(
+    "kmeans_cluster_report",
+    "deterministic fixed-iteration Lloyd k-means over embeddings "
+    "(k=8 lowest-id seeds, 2 iterations — operators.clustering."
+    "kmeans_fixed): micro-quantized vectors make centroid means exact "
+    "integer ratios; per-cluster sizes + micro-int inertia. Each "
+    "iteration is one k-row broadcast + argmin + per-dim integer agg — "
+    "the MLlib KMeans shape with every float nondeterminism pinned",
+    f"""
+    with q as (
+        select vec_id,
+               list_transform(embedding,
+                   x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))
+                   as q
+        from embeddings
+    ),
+    v as (
+        select vec_id, q,
+               list_transform(q, y -> cast(y as double) / 1000000) as v
+        from q
+    ),
+    c0 as (select vec_id as cid, v as m from v where vec_id < 8),
+    s1 as (
+        select v.vec_id, c.cid,
+               {_SQL_KM_DIST.format(v='v.v', m='c.m')} as d, v.q
+        from v cross join c0 c
+    ),
+    a1 as (
+        select vec_id, cid, q from (
+            select *, row_number() over (partition by vec_id
+                                         order by d, cid) as rn
+            from s1
+        ) where rn = 1
+    ),
+    pd1 as (
+        select cid, dim, sum(q[dim]) as s, count(*) as n
+        from a1 cross join (select unnest(range(1, 65)) as dim) dims
+        group by cid, dim
+    ),
+    c1 as (
+        select cid,
+               list(cast(s as double) / (n * 1000000) order by dim) as m
+        from pd1 group by cid
+    ),
+    s2 as (
+        select v.vec_id, c.cid,
+               {_SQL_KM_DIST.format(v='v.v', m='c.m')} as d
+        from v cross join c1 c
+    ),
+    a2 as (
+        select vec_id, cid, d from (
+            select *, row_number() over (partition by vec_id
+                                         order by d, cid) as rn
+            from s2
+        ) where rn = 1
+    )
+    select cid,
+           cast(count(*) as bigint) as n_vectors,
+           cast(sum({_MICRO.format(x='d')}) as bigint) as inertia_micro
+    from a2
+    group by cid
+    order by cid
+    """,
+)
+def kmeans_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    assign = clustering.kmeans_fixed(emb, k=8, iterations=2)
+    return (
+        assign.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(_micro(F.col("dist"))).cast("bigint").alias("inertia_micro"),
+        )
+        .orderBy("cid")
+    )

@@ -1,0 +1,124 @@
+"""Behavioral unit tests for the round-4 graph / clustering /
+incremental-curation operators. The oracle gate (test_oracle_gate)
+already value-checks every registered query against DuckDB; these
+tests pin the operator-level semantics on hand-built inputs where the
+expected answer is known by construction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.operators import clustering, dedup, graph
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+def test_pagerank_symmetric_graph_equal_ranks(spark):
+    # triangle: perfectly symmetric, every node must end with the same rank
+    out = graph.pagerank_fixed(
+        _pairs(spark, [(1, 2), (2, 3), (1, 3)]), iterations=3
+    ).collect()
+    assert len(out) == 3
+    assert len({r.rank_ppb for r in out}) == 1
+    assert all(r.deg == 2 for r in out)
+
+
+def test_pagerank_star_hub_outranks_leaves(spark):
+    out = {
+        r.node: r
+        for r in graph.pagerank_fixed(
+            _pairs(spark, [(1, 2), (1, 3), (1, 4), (1, 5)]), iterations=3
+        ).collect()
+    }
+    hub, leaves = out[1], [out[i] for i in (2, 3, 4, 5)]
+    assert hub.deg == 4
+    assert all(hub.rank_ppb > leaf.rank_ppb for leaf in leaves)
+    assert len({leaf.rank_ppb for leaf in leaves}) == 1  # symmetry
+
+
+def test_pagerank_mass_conserved_up_to_truncation(spark):
+    # integer division truncates < 1 unit per edge per round; with
+    # SCALE=1e9 the total mass stays within edges*iters units of SCALE
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)]
+    out = graph.pagerank_fixed(_pairs(spark, pairs), iterations=3).collect()
+    total = sum(r.rank_ppb for r in out)
+    slack = 2 * len(pairs) * 3 + 100 * 4  # directed-edge + base truncation
+    assert graph.SCALE - slack <= total <= graph.SCALE
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_kmeans_separates_two_blobs(spark):
+    # seeds are ids 0 and 1; blob A hugs (0,0), blob B hugs (10,10)
+    rows = [
+        (0, (0.0, 0.1)), (1, (10.0, 9.9)),
+        (2, (0.2, -0.1)), (3, (0.1, 0.0)),
+        (4, (9.8, 10.1)), (5, (10.2, 10.0)),
+    ]
+    out = clustering.kmeans_fixed(_emb(spark, rows), k=2, iterations=2).collect()
+    by_id = {r.id: r.cid for r in out}
+    assert by_id[0] == by_id[2] == by_id[3] == 0
+    assert by_id[1] == by_id[4] == by_id[5] == 1
+
+
+def test_kmeans_tie_breaks_to_lower_cid(spark):
+    # a point equidistant from both centroids must go to cid 0
+    rows = [(0, (0.0, 0.0)), (1, (2.0, 0.0)), (2, (1.0, 0.0))]
+    out = clustering.kmeans_fixed(_emb(spark, rows), k=2, iterations=1).collect()
+    assert {r.id: r.cid for r in out}[2] == 0
+
+
+def test_kmeans_quantizes_half_up(spark):
+    q = clustering.quantize(F.col("v"))
+    row = (
+        spark.range(1)
+        .select(F.array(F.lit(0.0000005), F.lit(-0.0000005)).alias("v"))
+        .select(q.alias("q"))
+        .first()
+    )
+    # floor(x*1e6 + 0.5): +0.5 µ rounds up to 1, −0.5 µ rounds up to 0
+    assert row.q == [1, 0]
+
+
+# ---------------------------------------------------------------------------
+# duplicate_gram_stats (ExactSubstr)
+# ---------------------------------------------------------------------------
+def test_duplicate_gram_stats_planted_duplicate_span(spark):
+    span = "a b c d e f g h"  # one exact 8-gram shared between docs 1, 2
+    docs = spark.createDataFrame(
+        [
+            (1, span + " x1 y1 z1"),
+            (2, span + " x2 y2 z2"),
+            (3, "p q r s t u v w unique tail here"),
+            (4, "too short"),  # < 8 tokens: dropped from measurement
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.id: r for r in dedup.duplicate_gram_stats(docs, n=8).collect()}
+    # 11 tokens -> 4 gram positions; only the leading span gram repeats
+    assert out[1].n_grams == 4 and out[1].n_dup_grams == 1
+    assert out[2].n_grams == 4 and out[2].n_dup_grams == 1
+    assert out[3].n_dup_grams == 0
+    assert 4 not in out
+
+
+def test_duplicate_gram_stats_counts_within_doc_repeats(spark):
+    # the same 8-gram twice INSIDE one doc is duplicated mass too
+    text = "a b c d e f g h " + "a b c d e f g h"
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    row = dedup.duplicate_gram_stats(docs, n=8).first()
+    assert row.n_grams == 9
+    assert row.n_dup_grams >= 2  # both copies of the repeated gram flagged
