@@ -269,3 +269,58 @@ def test_vocabulary_and_bpe_partial_agg_absorbs_explosion(spark):
         plan = _plan(spark, name)
         assert "partial_count" in plan, name
         assert "TakeOrderedAndProject" in plan, name
+
+
+# ---- round-4 session-3 additions ------------------------------------------
+def test_volume_shipping_all_dims_broadcast(spark):
+    plan = _plan(spark, "volume_shipping")
+    # supplier/nation/orders/customer all broadcast; only the fact shuffles
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # Catalyst infers the two-nation filter INTO both nation scans
+    assert "NATION_1" in plan.split("Scan")[1] or "n_name" in plan
+
+
+def test_brand_quantity_disjunction_splits_to_both_scans(spark):
+    plan = _plan(spark, "brand_quantity_revenue")
+    # the quantity-only residue of the OR pushes into the lineitem scan
+    # and the brand/size residue into the part scan — neither side reads
+    # rows no disjunct can accept
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln and "Or(" in ln for ln in pushed)
+    assert any("p_brand" in ln and "Or(" in ln for ln in pushed)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_min_cost_supplier_filters_before_aggregation(spark):
+    # the (partkey, suppkey) agg must consume the dim-filtered fact, not
+    # the raw corpus: broadcast joins sit BELOW the hash aggregate
+    plan = _plan(spark, "min_cost_supplier")
+    agg_pos = plan.find("partial_min")
+    bhj_pos = plan.rfind("BroadcastHashJoin")
+    assert agg_pos != -1 and bhj_pos != -1
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_centroid_expansion_is_broadcast(spark):
+    plan = _plan(spark, "kmeans_cluster_report")
+    # the k-row centroid cross product is a broadcast nested loop,
+    # never a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_no_cartesian_and_checkpointed_adjacency(spark):
+    plan = _plan(spark, "pagerank_similarity_graph")
+    assert "CartesianProduct" not in plan
+    # adjacency is consumed from the eager checkpoint, not re-derived:
+    # the LSH self-join appears zero times in the final plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_incremental_dedup_band_join_shape(spark):
+    plan = _plan(spark, "incremental_dedup_report")
+    assert "CartesianProduct" not in plan
+    # the batch-side filter reaches the parquet scan
+    assert "doc_id" in plan
