@@ -1,0 +1,498 @@
+"""Round-4 session-4 additions: dataset analysis / statistics surface.
+
+The operations an analytics engine runs *around* the pipeline — data
+profiling (per-column null/distinct/extremes, the `ANALYZE`/summary
+companion to SURVEY §2 S9 statistics collection), trend estimation
+(closed-form OLS over exact aggregate sums), deterministic weighted
+sampling (the importance-sampling complement of the mixture/stratified
+samplers in operators.sampling), robust winsorized statistics, a
+chi-square independence test over corpus metadata, and containment
+Jaccard on the LSH candidate pairs (catches subset-duplicates that the
+symmetric Jaccard of `minhash_lsh_jaccard` under-scores).
+
+Determinism contract (module convention, see queries/advanced_ops.py):
+counts and sums are exact integers/decimals; every order-dependent
+float is micro-rounded (`floor(x*1e6 + 0.5)`) per row BEFORE any
+cross-row sum; the only raw doubles are single divisions /
+multiplications of already-exact operands, which are IEEE-identical on
+every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.operators import dedup
+from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
+from dbt_datbricks_demo_spark.queries.llm_ops import (
+    _SQL_SHINGLE_HASHES,
+    _sql_minhash_cols,
+)
+
+
+def _micro(col) -> F.Column:
+    """Engine-portable half-up micro-unit rounding (module convention)."""
+    return F.floor(col * 1000000 + F.lit(0.5)).cast("bigint")
+
+
+_MICRO = "cast(floor(({x}) * 1000000 + 0.5) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# Column-level data profiling (the summary-statistics companion of S9
+# ANALYZE; reference collects table stats via Databricks ANALYZE TABLE —
+# notebooks/databricks_data_flow.sql — this is the in-engine report form)
+# ---------------------------------------------------------------------------
+_PROFILE_NUM = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+
+
+@_register(
+    "table_profile_report",
+    "per-column data profile of lineitem (rows / nulls / exact distinct "
+    "/ min / max / exact-decimal mean): ONE aggregation pass — the "
+    "multi-distinct expand factor equals the profiled-column count, the "
+    "standard trade vs per-column rescans; unpivoted to one row per "
+    "column via stack()",
+    f"""
+    {' union all '.join(
+        f'''select '{c}' as col_name,
+               cast(count(*) as bigint) as n_rows,
+               cast(count(*) - count({c}) as bigint) as n_null,
+               cast(count(distinct {c}) as bigint) as n_distinct,
+               cast(min({c}) as double) as min_val,
+               cast(max({c}) as double) as max_val,
+               {_MICRO.format(
+                   x=f'cast(sum(cast({c} as decimal(18,2))) as double) / count({c})'
+               )} as mean_micro
+           from lineitem''' for c in _PROFILE_NUM
+    )}
+    union all
+    {' union all '.join(
+        f'''select '{c}' as col_name,
+               cast(count(*) as bigint) as n_rows,
+               cast(count(*) - count({c}) as bigint) as n_null,
+               cast(count(distinct {c}) as bigint) as n_distinct,
+               cast(null as double) as min_val,
+               cast(null as double) as max_val,
+               cast(null as bigint) as mean_micro
+           from lineitem''' for c in _PROFILE_STR
+    )}
+    order by col_name
+    """,
+)
+def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _spread(_t(spark, sf_dir, "lineitem"))
+    aggs = []
+    for c in _PROFILE_NUM:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            _micro(
+                F.sum(F.col(c).cast("decimal(18,2)")).cast("double") / F.count(c)
+            ).alias(f"{c}__mean"),
+        ]
+    for c in _PROFILE_STR:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    one = li.agg(*aggs)
+    rows = []
+    for c in _PROFILE_NUM:
+        rows.append(
+            f"'{c}', {c}__rows, {c}__null, {c}__distinct,"
+            f" {c}__min, {c}__max, {c}__mean"
+        )
+    for c in _PROFILE_STR:
+        rows.append(
+            f"'{c}', {c}__rows, {c}__null, {c}__distinct,"
+            f" cast(null as double), cast(null as double), cast(null as bigint)"
+        )
+    stacked = one.select(
+        F.expr(
+            f"stack({len(rows)}, {', '.join(rows)}) as "
+            "(col_name, n_rows, n_null, n_distinct, min_val, max_val, mean_micro)"
+        )
+    )
+    return stacked.orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Trend estimation: closed-form per-group OLS from exact decimal sums
+# ---------------------------------------------------------------------------
+@_register(
+    "regression_trend_report",
+    "per-nation monthly-revenue OLS trend (slope/intercept) from "
+    "closed-form normal equations over EXACT decimal sums (n·Σxy − ΣxΣy "
+    "etc.) — the engines' native regr_slope merges order-dependent "
+    "partial states; decimal sums are order-free, so one double "
+    "division at the end is engine-identical. 3-table join: nation "
+    "broadcast, orders⋈customer shuffle on custkey",
+    """
+    with monthly as (
+        select n.n_name,
+               (year(o.o_orderdate) - 1992) * 12 + month(o.o_orderdate) - 1
+                   as month_idx,
+               cast(sum(cast(o.o_totalprice as decimal(18,2))) as decimal(18,2))
+                   as rev
+        from orders o
+        join customer c on c.c_custkey = o.o_custkey
+        join nation n on n.n_nationkey = c.c_nationkey
+        group by 1, 2
+    ),
+    fit as (
+        select n_name,
+               cast(count(*) as decimal(6,0)) as nm,
+               cast(sum(cast(month_idx as decimal(10,0))) as decimal(10,0)) as sx,
+               cast(sum(rev) as decimal(24,2)) as sy,
+               cast(sum(cast(month_idx as decimal(10,0))
+                        * cast(month_idx as decimal(10,0))) as decimal(14,0))
+                   as sxx,
+               cast(sum(cast(month_idx as decimal(10,0)) * rev) as decimal(28,2))
+                   as sxy
+        from monthly group by n_name
+    )
+    select n_name, cast(nm as bigint) as n_months,
+           round(cast(nm * sxy - sx * sy as double)
+                 / cast(nm * sxx - sx * sx as double), 6) as slope,
+           round((cast(sy as double)
+                  - round(cast(nm * sxy - sx * sy as double)
+                          / cast(nm * sxx - sx * sx as double), 6)
+                    * cast(sx as double)) / cast(nm as double), 6) as intercept,
+           cast(sy as double) as total_rev
+    from fit
+    order by n_name
+    """,
+)
+def regression_trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _spread(_t(spark, sf_dir, "orders"))
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * 12
+                + F.month("o_orderdate")
+                - F.lit(1)
+            ).alias("month_idx"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    xd = F.col("month_idx").cast("decimal(10,0)")
+    fit = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("decimal(6,0)").alias("nm"),
+        F.sum(xd).cast("decimal(10,0)").alias("sx"),
+        F.sum("rev").cast("decimal(24,2)").alias("sy"),
+        F.sum(xd * xd).cast("decimal(14,0)").alias("sxx"),
+        F.sum(xd * F.col("rev")).cast("decimal(28,2)").alias("sxy"),
+    )
+    num = (F.col("nm") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("nm") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = F.round(num / den, 6)
+    return (
+        fit.select(
+            "n_name",
+            F.col("nm").cast("bigint").alias("n_months"),
+            slope.alias("slope"),
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("nm").cast("double"),
+                6,
+            ).alias("intercept"),
+            F.col("sy").cast("double").alias("total_rev"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (importance sampling by doc length)
+# ---------------------------------------------------------------------------
+@_register(
+    "weighted_sample_report",
+    "deterministic weighted rejection sampling: admit doc iff "
+    "md5-uniform(doc_id) < n_chars / max_chars — weight-proportional, "
+    "engine/partitioning-stable (same salt convention as dataset_split);"
+    " the corpus-max scalar attaches as a one-row broadcast; per-lang "
+    "admission stats",
+    """
+    with mx as (
+        select cast(max(n_chars) as double) as max_chars from documents
+    ),
+    assigned as (
+        select d.lang, d.n_chars,
+            case when ('0x' || substr(md5('wsample' || cast(d.doc_id as varchar)),
+                                       1, 8))::ubigint % 10000
+                      < cast(floor(d.n_chars / mx.max_chars * 10000) as bigint)
+                 then 1 else 0 end as admitted
+        from documents d, mx
+    )
+    select lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(admitted) as bigint) as n_sampled,
+           cast(sum(admitted * n_chars) as bigint) as sampled_chars,
+           cast(sum(n_chars) as bigint) as total_chars
+    from assigned
+    group by lang
+    order by lang
+    """,
+)
+def weighted_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    mx = F.broadcast(
+        docs.agg(F.max("n_chars").cast("double").alias("max_chars"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wsample"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    threshold = F.floor(F.col("n_chars") / F.col("max_chars") * 10000).cast(
+        "bigint"
+    )
+    assigned = docs.crossJoin(mx).select(
+        "lang",
+        "n_chars",
+        F.when(bucket < threshold, F.lit(1)).otherwise(F.lit(0)).alias("admitted"),
+    )
+    return (
+        assigned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("admitted").alias("n_sampled"),
+            F.sum(F.col("admitted") * F.col("n_chars")).alias("sampled_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics (p05/p95 clamp before the mean)
+# ---------------------------------------------------------------------------
+@_register(
+    "winsorized_stats_report",
+    "per-lang winsorized mean of n_chars: exact p05/p95 (Spark "
+    "percentile() ≡ DuckDB quantile_cont linear interpolation) computed "
+    "in a tiny per-lang aggregate, broadcast-joined back, values "
+    "clamped then micro-rounded per row before the exact integer sum — "
+    "two scans (percentile pass + clamp pass), the scalable shape vs a "
+    "per-lang sort window",
+    f"""
+    with pct as (
+        select lang,
+               quantile_cont(n_chars, 0.05) as p05,
+               quantile_cont(n_chars, 0.95) as p95
+        from documents group by lang
+    ),
+    clamped as (
+        select d.lang, p.p05, p.p95,
+               {_MICRO.format(
+                   x='least(greatest(cast(d.n_chars as double), p.p05), p.p95)'
+               )} as w_micro
+        from documents d join pct p on p.lang = d.lang
+    )
+    select lang,
+           cast(count(*) as bigint) as n_docs,
+           round(any_value(p05), 6) as p05,
+           round(any_value(p95), 6) as p95,
+           round(cast(sum(w_micro) as double) / count(*) / 1e6, 6)
+               as winsorized_mean
+    from clamped
+    group by lang
+    order by lang
+    """,
+)
+def winsorized_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pct = F.broadcast(
+        docs.groupBy("lang").agg(
+            F.expr("percentile(n_chars, 0.05)").alias("p05"),
+            F.expr("percentile(n_chars, 0.95)").alias("p95"),
+        )
+    )
+    clamped = docs.join(pct, "lang").select(
+        "lang",
+        "p05",
+        "p95",
+        _micro(
+            F.least(
+                F.greatest(F.col("n_chars").cast("double"), F.col("p05")),
+                F.col("p95"),
+            )
+        ).alias("w_micro"),
+    )
+    return (
+        clamped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.any_value("p05"), 6).alias("p05"),
+            F.round(F.any_value("p95"), 6).alias("p95"),
+            F.round(
+                F.sum("w_micro").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test over corpus metadata
+# ---------------------------------------------------------------------------
+@_register(
+    "chi_square_report",
+    "chi-square independence of lang × source: observed counts in one "
+    "corpus aggregation; row/col totals re-aggregated from the TINY "
+    "contingency table (never a second corpus scan) and attached by "
+    "broadcast; per-cell (obs−exp)²/exp micro-rounded before the final "
+    "exact sum",
+    f"""
+    with obs as (
+        select lang, source, cast(count(*) as bigint) as o
+        from documents group by lang, source
+    ),
+    rt as (select lang, cast(sum(o) as bigint) as row_tot from obs group by lang),
+    ct as (select source, cast(sum(o) as bigint) as col_tot
+           from obs group by source),
+    n as (select cast(sum(o) as double) as n_total,
+                 count(distinct lang) as n_lang,
+                 count(distinct source) as n_source
+          from obs),
+    cells as (
+        select o.lang, o.source, n.n_lang, n.n_source,
+               {_MICRO.format(
+                   x='power(o.o - rt.row_tot * ct.col_tot / n.n_total, 2)'
+                     ' / (rt.row_tot * ct.col_tot / n.n_total)'
+               )} as term_micro
+        from obs o
+        join rt on rt.lang = o.lang
+        join ct on ct.source = o.source
+        cross join n
+    )
+    select cast(count(*) as bigint) as n_cells,
+           cast((any_value(n_lang) - 1) * (any_value(n_source) - 1)
+                as bigint) as dof,
+           round(cast(sum(term_micro) as double) / 1e6, 6) as chi_square
+    from cells
+    """,
+)
+def chi_square_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    obs = obs.localCheckpoint(eager=True)  # tiny; read by 3 aggregates below
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(
+        F.sum("o").cast("double").alias("n_total"),
+        F.countDistinct("lang").alias("n_lang"),
+        F.countDistinct("source").alias("n_source"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n_total")
+    cells = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            _micro(F.pow(F.col("o") - exp, 2) / exp).alias("term_micro"),
+            "n_lang",
+            "n_source",
+        )
+    )
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        ((F.any_value("n_lang") - 1) * (F.any_value("n_source") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.round(F.sum("term_micro").cast("double") / 1e6, 6).alias("chi_square"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment Jaccard on the LSH candidate pairs (subset-duplicate probe)
+# ---------------------------------------------------------------------------
+@_register(
+    "containment_dedup_report",
+    "containment Jaccard |A∩B| / min(|A|,|B|) on the MinHash-LSH "
+    "candidate pairs — catches subset-duplicates (a doc embedded inside "
+    "a longer one) that symmetric Jaccard under-scores; shares the "
+    "banded candidate generation and staged-hash-array verification "
+    "with minhash_lsh_jaccard (operators.dedup.jaccard_pairs_from_hashes)",
+    f"""
+    with hashed as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from documents),
+    sigs as (select doc_id, {', '.join(_sql_minhash_cols(8))} from hashed),
+    bands as (
+        select doc_id, md5(concat_ws('-', '0', h0, h1, h2, h3)) as band_key
+        from sigs
+        union all
+        select doc_id, md5(concat_ws('-', '1', h4, h5, h6, h7)) as band_key
+        from sigs
+    ),
+    pairs as (
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from bands a join bands b
+          on a.band_key = b.band_key and a.doc_id < b.doc_id
+    ),
+    sh as (select doc_id, unnest(hs) as sh from hashed),
+    sizes as (select doc_id, count(*) as set_size from sh group by doc_id),
+    inter as (
+        select p.id_a, p.id_b, count(*) as n_common
+        from pairs p
+        join sh a on a.doc_id = p.id_a
+        join sh b on b.doc_id = p.id_b and b.sh = a.sh
+        group by p.id_a, p.id_b
+    )
+    select i.id_a, i.id_b, i.n_common,
+           sa.set_size as size_a, sb.set_size as size_b,
+           i.n_common * 1.0 / least(sa.set_size, sb.set_size) as containment
+    from inter i
+    join sizes sa on sa.doc_id = i.id_a
+    join sizes sb on sb.doc_id = i.id_b
+    order by containment desc, i.id_a, i.id_b
+    """,
+)
+def containment_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    rows = dedup.shingle_hash_rows(docs, "doc_id", "text", k=5)
+    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=8)
+    pairs = dedup.candidate_pairs_from_sigs(
+        sigs, "doc_id", num_hashes=8, bands=2
+    ).localCheckpoint(eager=True)
+    hashed_small = dedup.candidate_hash_arrays(docs, pairs, "doc_id", "text", k=5)
+    verified = dedup.jaccard_pairs_from_hashes(
+        hashed_small, pairs, "doc_id", pairs_prepared=True
+    )
+    return (
+        verified.select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            (
+                F.col("n_common")
+                * 1.0
+                / F.least(F.col("size_a"), F.col("size_b"))
+            ).alias("containment"),
+        )
+        .orderBy(F.col("containment").desc(), "id_a", "id_b")
+    )
