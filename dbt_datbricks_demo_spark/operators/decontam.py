@@ -66,42 +66,53 @@ def contamination_report(
     `benchmark_grams` is materialized and counted once; broadcast only
     under `broadcast_gram_limit` (shuffled join fallback above it).
     """
-    bench = benchmark_grams.localCheckpoint(eager=True)
+    # both sides probe on a 60-bit md5-derived gram digest, not the gram
+    # string: the checkpointed/broadcast benchmark relation is 8-byte
+    # longs (~12x narrower than 5-gram strings) and the hash-relation
+    # probe compares longs. A digest collision is deterministic — an
+    # oracle computing the same digest sees the identical result.
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("bigint")
+    bench = (
+        benchmark_grams.select(gh.alias("_gh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     if bench.count() <= broadcast_gram_limit:
         bench = F.broadcast(bench)
+    bench_hit = bench.withColumn("_hit", F.lit(1))
 
-    # NOT checkpointed: the gram arrays are recomputed by the two
-    # consumers (hits, spine), but regexp+array expression work over a
-    # scan is cheaper than writing corpus-sized gram arrays to checkpoint
-    # storage — narrow recompute beats wide materialization here
-    docs = corpus.select(
+    # ONE gram derivation feeds everything: explode_outer keeps a null
+    # row for gram-less docs (so the spine never needs a second corpus
+    # pass), the benchmark probe is a broadcast LEFT join (stream-side
+    # rows preserved, map-only), and the per-doc fold partial-aggregates
+    # map-side — the shuffle carries ~one row per doc per partition, not
+    # O(corpus grams). The previous shape derived the gram arrays twice
+    # (hits + spine) and joined the two corpus-keyed aggregates back
+    # together; this is one scan, one probe, one narrow shuffle.
+    staged = corpus.select(
         F.col(id_col),
         F.array_distinct(word_ngrams_all(tokens(text_col), n)).alias("_grams"),
     )
-
-    hits = (
-        docs.select(F.col(id_col), F.explode("_grams").alias("gram"))
-        .join(bench, "gram")
+    exploded = staged.select(
+        F.col(id_col),
+        F.size("_grams").alias("_n"),
+        F.explode_outer("_grams").alias("gram"),
+    ).select(F.col(id_col), F.col("_n"), gh.alias("_gh"))
+    per_doc = (
+        exploded.join(bench_hit, "_gh", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-
-    # zero-hit documents have a REAL overlap of 0.0 (only gram-less docs
-    # are NULL), so coalesce before the division
-    frac = (
-        F.coalesce("n_overlap", F.lit(0)) * 1.0
-        / F.nullif(F.col("n_grams"), F.lit(0))
-    )
-    return (
-        docs.select(F.col(id_col), F.size("_grams").cast("bigint").alias("n_grams"))
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
-            frac.alias("overlap_frac"),
-            F.coalesce(frac >= flag_threshold, F.lit(False)).alias("contaminated"),
+        .agg(
+            F.any_value("_n").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_overlap"),
         )
+    )
+    frac = F.col("n_overlap") * 1.0 / F.nullif(F.col("n_grams"), F.lit(0))
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        F.coalesce(frac >= flag_threshold, F.lit(False)).alias("contaminated"),
     )
 
 

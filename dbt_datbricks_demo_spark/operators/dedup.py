@@ -34,7 +34,7 @@ sf0.01 this turns a 34 s band-key projection into < 1 s.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_datbricks_demo_spark.operators.text import tokens
@@ -587,15 +587,25 @@ def candidate_hash_arrays(
     the O(candidate) subset, so the HOF array lambdas run over thousands
     of docs, not the corpus. `pairs` should already be materialized
     (checkpointed) by the caller. The candidate-id relation is tiny —
-    AQE broadcasts the semi-join side."""
+    AQE broadcasts the semi-join side.
+
+    The result is EAGERLY checkpointed here: every consumer joins it
+    twice (the id_a and id_b sides of the pair verification), and
+    without materialization each side re-runs the semi-join + the
+    interpreted shingle lambdas — measured as the dominant cost of the
+    clean_corpus composition. O(candidates) rows, so the
+    materialization is small by construction (the same reasoning that
+    lets the caller count it)."""
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     subset = df.join(cand_ids, on=id_col, how="left_semi")
-    return with_shingle_hashes(subset, text_col, k, out="_hs").select(
-        F.col(id_col), F.col("_hs")
+    return (
+        with_shingle_hashes(subset, text_col, k, out="_hs")
+        .select(F.col(id_col), F.col("_hs"))
+        .localCheckpoint(eager=True)
     )
 
 
@@ -731,14 +741,16 @@ def duplicate_gram_stats(
     a span.
 
     The suffix-array of the paper globalizes to Spark as a gram
-    frequency table: explode every position's n-gram, count occurrences
-    corpus-wide, mark grams with total >= 2 (within-doc repeats count —
-    the paper dedups those too), and fold the flags back per document.
-    Shuffles carry (gram, id) pairs — O(corpus tokens), the same budget
-    as the unigram-LM pass; document bodies never shuffle. Grams shuffle
-    as strings for exactness here; a 100-TB deployment would shuffle a
-    128-bit gram digest instead (collision odds ~n²/2¹²⁸) — same plan,
-    narrower rows.
+    frequency table: explode every position's n-gram ONCE, shuffle a
+    60-bit md5-derived gram digest (not the string — rows are ~16 bytes
+    instead of ~60, and at 100 TB the digest IS the design: collision
+    odds ~tokens²/2⁶⁰ and any collision is deterministic, so an oracle
+    computing the same digest sees the same result), count corpus-wide
+    occurrences with ONE window over the digest (within-doc repeats
+    count — the paper dedups those too), and fold per document. Two
+    narrow shuffles total (digest window, per-id fold); the previous
+    formulation re-derived the explode three times and shuffled gram
+    strings twice more for a dup-set equi-join.
 
     Returns (id, n_grams, n_dup_grams) — one row per document with at
     least one n-gram; callers left-join and zero-fill short docs.
@@ -746,24 +758,17 @@ def duplicate_gram_stats(
     from dbt_datbricks_demo_spark.operators.text import word_ngrams_all
 
     toks = tokens(text_col)
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("bigint")
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams_all(toks, n)).alias("gram"),
+    ).select("id", gh.alias("gh"))
+    counted = ex.select(
+        "id", F.count(F.lit(1)).over(Window.partitionBy("gh")).alias("total")
     )
-    dup_grams = (
-        ex.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("total"))
-        .filter(F.col("total") >= 2)
-        .select("gram")
-    )
-    totals = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    dups = (
-        ex.join(dup_grams, "gram")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
-    )
-    return totals.join(dups, "id", "left").select(
-        "id",
-        "n_grams",
-        F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+    return counted.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("total") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_grams"),
     )

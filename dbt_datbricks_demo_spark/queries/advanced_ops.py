@@ -217,30 +217,37 @@ def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicate_span_report",
     "duplicated-span mass per source (Lee et al. 2022 ExactSubstr, "
     "globalized as a word-8-gram frequency table — operators.dedup."
-    "duplicate_gram_stats): corpus-token-bounded shuffles, bodies never "
-    "move; only docs with >= 1 gram are measured (both engines drop "
-    "shorter docs identically)",
+    "duplicate_gram_stats): ONE explode, corpus-wide totals via a "
+    "window over a 60-bit md5 gram digest (narrow shuffle rows; the "
+    "oracle computes the same digest, so a collision is deterministic "
+    "and seen identically by both engines); only docs with >= 1 gram "
+    "are measured (both engines drop shorter docs identically)",
     f"""
     with tok as (
         select doc_id, source, {_SQL_TOKENS} as t from documents
     ),
     grams as (
         select doc_id, source,
-               unnest(case when len(t) >= 8
-                           then list_transform(range(1, len(t) - 6),
-                                               i -> array_to_string(t[i:i+7], ' '))
-                           else []::varchar[] end) as gram
-        from tok
+               (('0x' || substr(md5(gram), 1, 15))::ubigint)::bigint as gh
+        from (
+            select doc_id, source,
+                   unnest(case when len(t) >= 8
+                               then list_transform(range(1, len(t) - 6),
+                                                   i -> array_to_string(t[i:i+7], ' '))
+                               else []::varchar[] end) as gram
+            from tok
+        )
     ),
-    dup as (
-        select gram from grams group by gram having count(*) >= 2
+    counted as (
+        select doc_id, source, count(*) over (partition by gh) as total
+        from grams
     ),
     per_doc as (
-        select g.doc_id, any_value(g.source) as source,
+        select doc_id, any_value(source) as source,
                count(*) as n_grams,
-               sum(case when d.gram is not null then 1 else 0 end) as n_dup
-        from grams g left join dup d on g.gram = d.gram
-        group by g.doc_id
+               sum(case when total >= 2 then 1 else 0 end) as n_dup
+        from counted
+        group by doc_id
     )
     select source,
            cast(count(*) as bigint) as n_docs_measured,

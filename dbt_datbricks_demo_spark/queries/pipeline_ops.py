@@ -129,15 +129,18 @@ _DECONTAM_FLAG = 0.05
         from assigned
     ),
     bench as (
-        select distinct unnest(gd) as gram from grams where bucket >= 9500
+        select distinct (('0x' || substr(md5(gram), 1, 15))::ubigint)::bigint as gh
+        from (select unnest(gd) as gram from grams where bucket >= 9500)
     ),
     corpus as (
         select doc_id, gd from grams where bucket < 9500
     ),
     hits as (
         select doc_id, count(*) as c
-        from (select doc_id, unnest(gd) as gram from corpus)
-        join bench using (gram)
+        from (select doc_id,
+                     (('0x' || substr(md5(gram), 1, 15))::ubigint)::bigint as gh
+              from (select doc_id, unnest(gd) as gram from corpus))
+        join bench using (gh)
         group by 1
     )
     select corpus.doc_id,
