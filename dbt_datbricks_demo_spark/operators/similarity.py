@@ -99,22 +99,22 @@ def ivf_assign(
     −2⟨v,c⟩+‖c‖² (the ‖v‖² term is constant per row). One narrow pass,
     no shuffle — the IVF analog of hyperplane_bucket.
 
-    The centroid matrix is ONE 2-D array literal scored by a single
-    transform() lambda, not |cells| separate unrolled dot-product
-    expressions — the unrolled form made the expression tree (and its
-    codegen) grow with cell count, which dominated small-query wall
-    time. Identical arithmetic order per element, so assignments (and
-    the oracle hash) are unchanged."""
-    cmat = F.array(
-        *[F.array(*[F.lit(float(x)).cast("double") for x in c]) for c in centroids]
-    )
+    The centroid matrix is ONE nested-array Literal scored by a single
+    transform() lambda — not |cells| unrolled dot-product expressions,
+    and not |cells|×|dims| CreateArray(lit, …) nodes either: a single
+    Literal lands in the generated code as one object reference, where
+    the per-element lit() form inflated the generated source past the
+    Janino/JIT sweet spot and the (per-build, cache-missing) compile
+    dominated small-query wall time. Identical arithmetic order per
+    element, so assignments (and the oracle hash) are unchanged."""
+    cmat = F.lit([[float(x) for x in c] for c in centroids])
     c2s = []
     for c in centroids:
         c2 = 0.0
         for x in c:
             c2 = c2 + float(x) * float(x)
         c2s.append(c2)
-    c2arr = F.array(*[F.lit(v) for v in c2s])
+    c2arr = F.lit(c2s)
 
     def score(c: Column, i: Column) -> Column:
         prods = F.zip_with(vec_col, c, lambda x, y: x.cast("double") * y)
@@ -206,8 +206,10 @@ def ivf_index_topk(
 
 def _dot_with_literal(vec_col: Column, query: list[float]) -> Column:
     """Sequential dot product of an array<float> column with a Python
-    vector, in double precision."""
-    q = F.array(*[F.lit(float(x)).cast("double") for x in query])
+    vector, in double precision. The vector is ONE array Literal, not
+    |dims| lit() nodes — see ivf_assign on why that matters for
+    codegen-compile wall time."""
+    q = F.lit([float(x) for x in query])
     prods = F.zip_with(vec_col, q, lambda x, y: x.cast("double") * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -324,11 +326,22 @@ def _bucketed_cosine_pairs(
     vec_col: str,
     block_salts: int,
     hot_bucket_width: int,
+    staged_prepared: bool = False,
 ) -> DataFrame:
     """Shared blocked self-join tail: exact-cosine pairs (id_a < id_b)
     within a precomputed `_bucket` column (LSH bucket, IVF cell, …),
     with the sampled hot-bucket S×S grid defense documented in
-    cosine_neardup_pairs. `staged` must carry id, vec, _bucket, _l2."""
+    cosine_neardup_pairs. `staged` must carry id, vec, _bucket, _l2.
+
+    `staged` is EAGERLY checkpointed here unless the caller already did
+    (staged_prepared=True): the hot-bucket sample and both self-join
+    sides otherwise re-run the bucket-assignment expressions (argmin /
+    hyperplane dot products — the most expensive per-row expressions in
+    the module) once each. This is the assignment-table materialization
+    a real IVF/LSH pipeline writes to storage (write_ivf_index) before
+    querying it."""
+    if not staged_prepared:
+        staged = staged.localCheckpoint(eager=True)
 
     def bucket_pairs(side: DataFrame, grid: bool) -> DataFrame:
         if grid:
@@ -406,14 +419,23 @@ def semdedup(
     vector survives via one distinct + left-anti join on id. Returns
     (id, _cell, kept) — one row per input vector.
     """
+    # eager checkpoint: the final kept/dropped join below is a FOURTH
+    # consumer of the staged assignment on top of the three inside
+    # _bucketed_cosine_pairs — share one materialization across all four
     staged = df.select(
         F.col(id_col),
         F.col(vec_col),
         ivf_assign(F.col(vec_col), centroids).alias("_bucket"),
         _norm(F.col(vec_col)).alias("_l2"),
-    )
+    ).localCheckpoint(eager=True)
     pairs = _bucketed_cosine_pairs(
-        staged, threshold, id_col, vec_col, block_salts, hot_bucket_width
+        staged,
+        threshold,
+        id_col,
+        vec_col,
+        block_salts,
+        hot_bucket_width,
+        staged_prepared=True,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return staged.join(dropped.withColumn("_hit", F.lit(1)), id_col, "left").select(

@@ -58,6 +58,11 @@ def get_spark(
         # local[N] runs every executor thread inside this one JVM heap — size
         # it for N concurrent tasks, not for a lone driver (GC stalls at 8g)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # the default 100-entry generated-class cache thrashes on a
+        # 100+-query session (every query re-pays Janino compile on its
+        # second run); static conf, so it must be set before the JVM
+        # starts. Memory cost is bounded: classes, not data.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
