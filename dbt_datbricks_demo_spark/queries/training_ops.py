@@ -1,0 +1,204 @@
+"""Round-4 session-4 additions: contrastive-training data operations.
+
+Two operators a training-data pipeline runs downstream of curation:
+hard-negative mining (for each anchor embedding, the most-similar
+vectors with a DIFFERENT label — the standard negative-sampling step of
+contrastive/retrieval training, e.g. DPR/Contriever) and
+temperature-scaled mixture weighting (UNIMAX/mT5-style: per-source
+sampling weights proportional to share^alpha, flattening the source
+distribution before token-budget allocation).
+
+Determinism contract (module convention): cosines are sequential
+per-row folds (engine-identical, shared with the ANN oracles); mixture
+shares/weights are micro-rounded per source BEFORE the cross-source
+normalization sum, so the only raw doubles are single divisions of
+exact operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.operators import similarity
+from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
+from dbt_datbricks_demo_spark.queries.llm_ops import _SQL_TOKENS
+
+_MICRO = "cast(floor(({x}) * 1000000 + 0.5) as bigint)"
+
+
+def _micro(col) -> F.Column:
+    return F.floor(col * 1000000 + F.lit(0.5)).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training negatives)
+# ---------------------------------------------------------------------------
+_N_ANCHORS = 5
+_NEG_K = 5
+
+
+@_register(
+    "hard_negative_mining",
+    f"hard-negative mining: for each of {_N_ANCHORS} anchor embeddings, "
+    f"the top-{_NEG_K} most-cosine-similar vectors with a DIFFERENT "
+    "label (DPR/Contriever negative sampling). The anchor set is a "
+    "bounded broadcast; per-anchor ranking is a WindowGroupLimit "
+    "window, so each shuffle partition pre-truncates to k candidates — "
+    "never a global sort of |anchors|x|corpus| scores",
+    f"""
+    with anchors as (
+        select vec_id as anchor_id, label as anchor_label,
+               list_transform(embedding, x -> cast(x as double)) as av
+        from embeddings where vec_id < {_N_ANCHORS}
+    ),
+    scored as (
+        select a.anchor_id, e.vec_id as neg_id, e.label as neg_label,
+               round(
+                   list_sum(list_transform(range(1, 65),
+                       i -> cast(e.embedding[i] as double) * a.av[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65),
+                          i -> cast(e.embedding[i] as double)
+                               * cast(e.embedding[i] as double))))
+                      * sqrt(list_sum(list_transform(range(1, 65),
+                          i -> a.av[i] * a.av[i])))), 6) as cosine
+        from embeddings e
+        join anchors a on e.label <> a.anchor_label
+    ),
+    ranked as (
+        select anchor_id, neg_id, neg_label, cosine,
+               row_number() over (
+                   partition by anchor_id
+                   order by cosine desc, neg_id
+               ) as rnk
+        from scored
+    )
+    select anchor_id, cast(rnk as bigint) as rnk, neg_id, neg_label, cosine
+    from ranked where rnk <= {_NEG_K}
+    order by anchor_id, rnk
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_ANCHORS).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "av"
+            ),
+        )
+    )
+    cos = similarity.pairwise_dot(F.col("embedding"), F.col("av")) / (
+        similarity._norm(F.col("embedding")) * similarity._norm(F.col("av"))
+    )
+    scored = (
+        emb.join(anchors, F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _NEG_K)
+        .select(
+            "anchor_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "neg_id",
+            "neg_label",
+            "cosine",
+        )
+        .orderBy("anchor_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weighting (UNIMAX / mT5-style)
+# ---------------------------------------------------------------------------
+_MIX_ALPHA = 0.3
+_MIX_BUDGET = 1_000_000
+
+
+@_register(
+    "temperature_mixture_report",
+    "temperature-scaled mixture weighting: per-source token share "
+    f"flattened by share^{_MIX_ALPHA} (mT5/UNIMAX upsampling of "
+    "low-resource sources), normalized, and allocated against a "
+    f"{_MIX_BUDGET}-token budget — ONE corpus aggregation; the "
+    "per-source weight math runs on the tiny source table with shares "
+    "micro-rounded before the cross-source normalization sum",
+    f"""
+    with per_source as (
+        select source,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(len({_SQL_TOKENS})) as bigint) as total_tokens
+        from documents group by source
+    ),
+    tot as (select cast(sum(total_tokens) as double) as grand from per_source),
+    weighted as (
+        select source, n_docs, total_tokens,
+               {_MICRO.format(x='total_tokens / tot.grand')} as share_micro,
+               {_MICRO.format(
+                   x=f'power(total_tokens / tot.grand, {_MIX_ALPHA})'
+               )} as w_micro
+        from per_source, tot
+    ),
+    norm as (select cast(sum(w_micro) as bigint) as wsum from weighted)
+    select source, n_docs, total_tokens,
+           cast(share_micro as double) / 1e6 as raw_share,
+           cast(w_micro as double) / cast(norm.wsum as double) as temp_weight,
+           cast(({_MIX_BUDGET}::bigint * w_micro) // norm.wsum as bigint)
+               as alloc_tokens
+    from weighted, norm
+    order by source
+    """,
+)
+def temperature_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators import text
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    per_source = docs.select(
+        "source", F.size(text.tokens("text")).alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    per_source = per_source.localCheckpoint(eager=True)  # tiny; read 3x
+    tot = F.broadcast(
+        per_source.agg(F.sum("total_tokens").cast("double").alias("grand"))
+    )
+    weighted = per_source.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        _micro(F.col("total_tokens") / F.col("grand")).alias("share_micro"),
+        _micro(F.pow(F.col("total_tokens") / F.col("grand"), _MIX_ALPHA)).alias(
+            "w_micro"
+        ),
+    )
+    norm = F.broadcast(weighted.agg(F.sum("w_micro").cast("bigint").alias("wsum")))
+    return (
+        weighted.crossJoin(norm)
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.col("share_micro").cast("double") / 1e6).alias("raw_share"),
+            (F.col("w_micro").cast("double") / F.col("wsum").cast("double")).alias(
+                "temp_weight"
+            ),
+            # integer-exact allocation: `div` keeps the whole computation
+            # in bigint (floor of a double quotient can land on the wrong
+            # side of an integer boundary the exact `//` oracle sees)
+            F.expr(f"({_MIX_BUDGET}L * w_micro) div wsum")
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -324,3 +324,55 @@ def test_incremental_dedup_band_join_shape(spark):
     assert "CartesianProduct" not in plan
     # the batch-side filter reaches the parquet scan
     assert "doc_id" in plan
+
+
+# ---- round-4 session-4 additions ------------------------------------------
+def test_regression_trend_broadcast_dims_and_partial_agg(spark):
+    plan = _plan(spark, "regression_trend_report")
+    # customer + nation broadcast against the orders fact; monthly agg
+    # partial-aggregates map-side before the (nation, month) exchange
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    # orders scan pruned to the 3 referenced columns
+    read = plan.split("orders.parquet")[0]
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_table_profile_single_scan_with_expand(spark):
+    # one aggregation pass: the multi-distinct profile plans as ONE
+    # parquet scan feeding Expand — not one rescan per profiled column.
+    # (formatted mode lists each node twice: tree + detail section)
+    plan = _plan(spark, "table_profile_report")
+    assert plan.count("Scan parquet") == 2
+    assert "Expand" in plan
+    assert "partial_" in plan
+
+
+def test_winsorized_stats_broadcasts_percentile_table(spark):
+    # the tiny per-lang percentile aggregate joins back by broadcast;
+    # the corpus side never shuffles for the join
+    plan = _plan(spark, "winsorized_stats_report")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_duplicate_span_digest_window_single_explode(spark):
+    # the rewritten ExactSubstr shape: ONE generate (explode) of the
+    # gram stream, totals via window over the digest — no gram-string
+    # self-join, no second explode. Two scans total: the gram stream and
+    # the narrow (id, source) join side. (formatted mode lists each node
+    # twice: tree + detail section)
+    plan = _plan(spark, "duplicate_span_report")
+    assert plan.count("Generate") == 2
+    assert plan.count("Scan parquet") == 4
+    assert "Window" in plan
+
+
+def test_chi_square_totals_from_contingency_not_corpus(spark):
+    # row/col totals re-aggregate the tiny contingency table (read from
+    # its checkpoint), never a second corpus scan: exactly one parquet
+    # scan in the whole plan, everything else ExistingRDD
+    plan = _plan(spark, "chi_square_report")
+    assert plan.count("Scan parquet") == 0  # built entirely from the checkpoint
+    assert "Scan ExistingRDD" in plan
