@@ -29,6 +29,11 @@ HEADLINE = {
     "unigram_perplexity_report": "unigram-LM scoring: two partial-agg passes, term join, 1-row totals broadcast",
     "semdedup_report": "SemDeDup: narrow cell assignment -> per-cell pairs -> anti join",
     "semantic_decontam_report": "embedding decontam: bounded benchmark broadcast, one corpus pass",
+    "duplicate_span_report": "ExactSubstr: ONE gram explode, digest window totals, narrow fold",
+    "decontam_report": "n-gram decontam: explode_outer + broadcast digest probe, map-side partial agg",
+    "table_profile_report": "column profile: ONE scan, Expand multi-distinct, stack unpivot",
+    "regression_trend_report": "closed-form OLS: broadcast dims, exact decimal sums, partial agg",
+    "hard_negative_mining": "negative sampling: bounded anchor broadcast, WindowGroupLimit top-k",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -305,3 +305,92 @@ def test_gap_fill_laws(spark, points):
                 lo_b = min(nearest_prev, nearest_next) - 1e-6
                 hi_b = max(nearest_prev, nearest_next) + 1e-6
                 assert lo_b <= r["interp"] <= hi_b
+
+
+# ---------------------------------------------------------------------------
+# Session-4 additions: containment / winsorization / chi-square laws
+# ---------------------------------------------------------------------------
+@settings(**SETTINGS)
+@given(st.lists(texts.filter(lambda s: len(s) >= 6), min_size=2, max_size=8))
+def test_containment_dominates_jaccard(spark, docs):
+    """containment = |A∩B| / min(|A|,|B|) >= jaccard = |A∩B| / |A∪B| for
+    every pair (min(|A|,|B|) <= |A∪B|), and both lie in [0, 1]."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(len(docs)) for b in range(a + 1, len(docs))],
+        "id_a long, id_b long",
+    )
+    out = dedup.jaccard_pairs(df, pairs, "doc_id", k=3).collect()
+    for r in out:
+        cont = r.n_common / min(r.size_a, r.size_b) if min(r.size_a, r.size_b) else 0.0
+        assert -1e-12 <= r.jaccard <= 1 + 1e-12
+        assert cont + 1e-12 >= r.jaccard
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=3, max_size=40)
+)
+def test_winsorized_mean_bounded_by_percentiles(spark, xs):
+    """The winsorized mean lies within [p05, p95], and equals the plain
+    mean when no value falls outside the clamp."""
+    df = spark.createDataFrame([(x,) for x in xs], "n_chars long")
+    row = df.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    ).first()
+    clamped = df.select(
+        F.least(
+            F.greatest(F.col("n_chars").cast("double"), F.lit(row.p05)),
+            F.lit(row.p95),
+        ).alias("w")
+    )
+    wmean = clamped.agg(F.avg("w")).first()[0]
+    assert row.p05 - 1e-9 <= wmean <= row.p95 + 1e-9
+    if min(xs) >= row.p05 and max(xs) <= row.p95:
+        assert math.isclose(wmean, sum(xs) / len(xs), rel_tol=1e-12)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("ab"), st.sampled_from("xyz")),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_chi_square_nonnegative_and_zero_iff_independent(spark, cells):
+    """The chi-square statistic is >= 0, and ~0 for a perfectly
+    independent (product-form) contingency table."""
+    from dbt_datbricks_demo_spark.queries.analysis_ops import _micro
+
+    df = spark.createDataFrame(cells, "lang string, source string")
+    obs = df.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").cast("double").alias("n_total"))
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n_total")
+    chi = (
+        obs.join(rt, "lang").join(ct, "source").crossJoin(n)
+        .select(_micro(F.pow(F.col("o") - exp, 2) / exp).alias("t"))
+        .agg(F.sum("t")).first()[0]
+    )
+    assert chi >= 0
+    # product-form table: every (lang, source) combination equally filled
+    prod = spark.createDataFrame(
+        [(l, s) for l in "ab" for s in "xyz" for _ in range(4)],
+        "lang string, source string",
+    )
+    obs2 = prod.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt2 = obs2.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    ct2 = obs2.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    n2 = obs2.agg(F.sum("o").cast("double").alias("n_total"))
+    exp2 = F.col("row_tot") * F.col("col_tot") / F.col("n_total")
+    chi2 = (
+        obs2.join(rt2, "lang").join(ct2, "source").crossJoin(n2)
+        .select(_micro(F.pow(F.col("o") - exp2, 2) / exp2).alias("t"))
+        .agg(F.sum("t")).first()[0]
+    )
+    assert chi2 == 0
