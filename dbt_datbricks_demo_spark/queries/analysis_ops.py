@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_datbricks_demo_spark.operators import dedup
+from dbt_datbricks_demo_spark.queries.advanced_ops import _SQL_PAIRS
 from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
 from dbt_datbricks_demo_spark.queries.llm_ops import (
     _SQL_SHINGLE_HASHES,
@@ -495,4 +496,155 @@ def containment_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
         .orderBy(F.col("containment").desc(), "id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the similarity graph (third graph primitive after
+# PageRank and connected components)
+# ---------------------------------------------------------------------------
+@_register(
+    "triangle_count_report",
+    "triangle count over the MinHash-LSH candidate-pair graph: edges are "
+    "id-oriented (id_a < id_b) so each triangle is enumerated exactly "
+    "once by a two-hop join + closing-edge semi-join — the standard "
+    "oriented-wedge formulation that bounds the join fan-out (degree-"
+    "ordering is the production refinement); O(edges) relations only, "
+    "never the corpus",
+    f"""
+    with {_SQL_PAIRS},
+    tri as (
+        select p1.id_a as a, p1.id_b as b, p2.id_b as c
+        from pairs p1
+        join pairs p2 on p2.id_a = p1.id_b
+        join pairs p3 on p3.id_a = p1.id_a and p3.id_b = p2.id_b
+    ),
+    verts as (
+        select a as v from tri
+        union
+        select b from tri
+        union
+        select c from tri
+    )
+    select cast((select count(*) from pairs) as bigint) as n_edges,
+           cast((select count(*) from tri) as bigint) as n_triangles,
+           cast((select count(*) from verts) as bigint) as n_tri_nodes
+    """,
+)
+def triangle_count_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    rows = dedup.shingle_hash_rows(docs, "doc_id", "text", k=5)
+    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=8)
+    pairs = dedup.candidate_pairs_from_sigs(
+        sigs, "doc_id", num_hashes=8, bands=2
+    ).localCheckpoint(eager=True)
+    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    p2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    p3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    wedges = p1.join(p2, "b")
+    tri = wedges.join(p3, ["a", "c"], "left_semi").localCheckpoint(eager=True)
+    verts = (
+        tri.select(F.col("a").alias("v"))
+        .unionByName(tri.select(F.col("b").alias("v")))
+        .unionByName(tri.select(F.col("c").alias("v")))
+        .distinct()
+    )
+    n_edges = pairs.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = tri.groupBy().agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_verts = verts.groupBy().agg(F.count(F.lit(1)).alias("n_tri_nodes"))
+    return (
+        n_edges.crossJoin(F.broadcast(n_tri))
+        .crossJoin(F.broadcast(n_verts))
+        .select(
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.col("n_tri_nodes").cast("bigint").alias("n_tri_nodes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on the daily event-value series
+# ---------------------------------------------------------------------------
+@_register(
+    "cusum_changepoint",
+    "CUSUM changepoint detection: daily event-value totals (micro-int "
+    "per row before summing), cumulative deviation from the global mean "
+    "kept INTEGER by scaling by n (S_t = n*prefix_t - t*total — no "
+    "mean division until display), argmax |S_t| is the changepoint. "
+    "The day series is tiny after the first aggregation; the window "
+    "runs over days, not events",
+    """
+    with daily as (
+        select date_trunc('day', ts) as d,
+               cast(sum(cast(floor(value * 1000000 + 0.5) as bigint))
+                    as bigint) as x
+        from events group by 1
+    ),
+    tot as (
+        select cast(count(*) as bigint) as n, cast(sum(x) as bigint) as sx
+        from daily
+    ),
+    series as (
+        select d,
+               cast(sum(x) over (order by d) as bigint) as cx,
+               cast(row_number() over (order by d) as bigint) as t
+        from daily
+    ),
+    scored as (
+        select d, t, tot.n,
+               abs(tot.n * cx - t * tot.sx) as s_abs
+        from series, tot
+    )
+    select d as changepoint_day,
+           cast(t as bigint) as day_index,
+           cast(n as bigint) as n_days,
+           round(cast(s_abs as double) / n / 1e6, 6) as max_abs_cusum
+    from scored
+    order by s_abs desc, d
+    limit 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _spread(_t(spark, sf_dir, "events"))
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("d"),
+            _micro(F.col("value")).alias("xm"),
+        )
+        .groupBy("d")
+        .agg(F.sum("xm").cast("bigint").alias("x"))
+    )
+    daily = daily.localCheckpoint(eager=True)  # tiny day table, read twice
+    tot = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    series = daily.select(
+        "d",
+        F.sum("x").over(w).cast("bigint").alias("cx"),
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
+    )
+    scored = series.crossJoin(tot).select(
+        "d",
+        "t",
+        "n",
+        F.abs(F.col("n") * F.col("cx") - F.col("t") * F.col("sx")).alias("s_abs"),
+    )
+    return (
+        scored.orderBy(F.col("s_abs").desc(), "d")
+        .limit(1)
+        .select(
+            F.col("d").alias("changepoint_day"),
+            F.col("t").alias("day_index"),
+            F.col("n").alias("n_days"),
+            F.round(F.col("s_abs").cast("double") / F.col("n") / 1e6, 6).alias(
+                "max_abs_cusum"
+            ),
+        )
     )
