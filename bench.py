@@ -71,6 +71,20 @@ def _gc_quiesce(spark) -> None:
         pass
 
 
+def spread_map(all_runs: dict[str, list[float]]) -> dict[str, float]:
+    """Per-query max/min ratio over the WARM runs (run order preserved;
+    the first run is excluded when 3+ runs exist): the first pass pays
+    one-time codegen/JIT compile, so including it made every
+    compile-heavy query read as "unstable". Above SPREAD_FLAG_RATIO on
+    warm runs the number is a lottery, not a measurement — surfaced,
+    not hidden in the best-of min."""
+    out = {}
+    for n, ts in all_runs.items():
+        warm = ts[1:] if len(ts) >= 3 else ts
+        out[n] = round(max(warm) / max(min(warm), 1e-9), 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -143,19 +157,7 @@ def main() -> None:
             all_runs.setdefault(name, []).append(elapsed)
 
     timings = {n: min(ts) for n, ts in all_runs.items()}
-    # per-query max/min over the WARM runs (first run excluded when 3+
-    # runs): the first pass pays one-time codegen/JIT compile, so
-    # including it made every compile-heavy query read as "unstable".
-    # >SPREAD_FLAG_RATIO on warm runs means the number is a lottery, not
-    # a measurement — surfaced, not hidden in the min.
-    spread = {
-        n: round(
-            max(ts[1:] if len(ts) >= 3 else ts)
-            / max(min(ts[1:] if len(ts) >= 3 else ts), 1e-9),
-            3,
-        )
-        for n, ts in all_runs.items()
-    }
+    spread = spread_map(all_runs)
     high_spread = sorted(
         n
         for n, s in spread.items()

@@ -648,3 +648,109 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation: semi-supervised labeling over the similarity graph
+# ---------------------------------------------------------------------------
+@_register(
+    "label_propagation_eval",
+    "semi-supervised label propagation over the MinHash-LSH candidate "
+    "graph: 80% of documents keep their lang label (deterministic md5 "
+    "split), hidden nodes take the MAJORITY lang of their seeded "
+    "neighbors (ties: lexicographically smallest), and accuracy is "
+    "measured in-engine against the held-out truth — one round, all "
+    "relations O(edges), ranking via WindowGroupLimit",
+    f"""
+    with {_SQL_PAIRS},
+    edges as (
+        select id_a as src, id_b as dst from pairs
+        union all
+        select id_b as src, id_a as dst from pairs
+    ),
+    split as (
+        select doc_id, lang,
+               ('0x' || substr(md5('lp' || cast(doc_id as varchar)), 1, 8))::ubigint
+                   % 10000 < 8000 as seeded
+        from documents
+    ),
+    votes as (
+        select e.src as node, s.lang, count(*) as cnt
+        from edges e
+        join split s on s.doc_id = e.dst and s.seeded
+        group by 1, 2
+    ),
+    pred as (
+        select node, lang as pred_lang from (
+            select node, lang,
+                   row_number() over (
+                       partition by node order by cnt desc, lang
+                   ) as rn
+            from votes
+        ) where rn = 1
+    )
+    select h.lang,
+           cast(count(*) as bigint) as n_hidden,
+           cast(count(p.pred_lang) as bigint) as n_predicted,
+           cast(sum(case when p.pred_lang = h.lang then 1 else 0 end)
+                as bigint) as n_correct
+    from (select doc_id, lang from split where not seeded) h
+    left join pred p on p.node = h.doc_id
+    group by h.lang
+    order by h.lang
+    """,
+)
+def label_propagation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    rows = dedup.shingle_hash_rows(docs, "doc_id", "text", k=5)
+    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=8)
+    pairs = dedup.candidate_pairs_from_sigs(
+        sigs, "doc_id", num_hashes=8, bands=2
+    ).localCheckpoint(eager=True)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lp"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    split = docs.select("doc_id", "lang", (bucket < 8000).alias("seeded"))
+    seeds = split.filter(F.col("seeded")).select(
+        F.col("doc_id").alias("dst"), "lang"
+    )
+    votes = (
+        edges.join(seeds, "dst")
+        .groupBy(F.col("src").alias("node"), "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("lang"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("node").alias("doc_id"), F.col("lang").alias("pred_lang"))
+    )
+    hidden = split.filter(~F.col("seeded")).select("doc_id", "lang")
+    return (
+        hidden.join(pred, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_hidden"),
+            F.count("pred_lang").alias("n_predicted"),
+            F.sum(
+                F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .orderBy("lang")
+    )

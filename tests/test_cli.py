@@ -218,3 +218,19 @@ def test_cli_unit_test_verb(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "PASS anomaly_case_ladder" in out
     assert "Done. PASS=3 FAIL=0 TOTAL=3" in out
+
+
+def test_bench_spread_excludes_cold_first_run():
+    """spread_map measures WARM-run stability: with 3+ runs the first
+    (compile-paying) run is excluded; with fewer runs all runs count."""
+    import bench
+
+    runs = {
+        "cold_then_stable": [10.0, 1.0, 1.05],  # cold first run ignored
+        "genuinely_unstable": [1.0, 1.0, 3.0],  # warm flutter flagged
+        "two_runs": [2.0, 1.0],                 # best-of-2: both count
+    }
+    s = bench.spread_map(runs)
+    assert s["cold_then_stable"] == 1.05
+    assert s["genuinely_unstable"] == 3.0
+    assert s["two_runs"] == 2.0
