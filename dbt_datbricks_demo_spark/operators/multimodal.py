@@ -195,3 +195,63 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") 
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), frames - 1, F.lit(every_n))).alias("frame_no"),
     )
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_scenes", LongType()),
+        StructField("first_boundary_frame", LongType()),
+    ]
+)
+
+
+def video_scene_detect(
+    df: DataFrame,
+    frame_bytes: int = 100,
+    cut_threshold: int = 500,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Scene-cut detection plumbing for video-like payloads: the payload
+    is windowed into fixed-size 'frames' (every real pipeline's frame
+    iterator), each frame gets a deterministic md5-derived signature in
+    [0, 1000), and a scene boundary is declared where consecutive
+    signatures jump by >= cut_threshold — the stub analog of a
+    frame-difference shot detector. Real decode (PyAV/ffmpeg) is absent
+    in this environment; the Spark-side plumbing (Arrow batches, schema,
+    per-row frame loop bounded by payload size) is real and the
+    signature math is engine-portable, so the report is value-hash
+    verified against a SQL oracle computing the same windows.
+    """
+    import hashlib as _hl
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_scenes": [], "first_boundary_frame": []}
+            for did, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                n_frames = len(b) // frame_bytes + 1
+                prev = None
+                n_scenes = 1
+                first = None
+                for i in range(n_frames):
+                    frame = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    sig = int(_hl.md5(frame).hexdigest()[:4], 16) % 1000
+                    if prev is not None and abs(sig - prev) >= cut_threshold:
+                        n_scenes += 1
+                        if first is None:
+                            first = i
+                    prev = sig
+                out["doc_id"].append(int(did))
+                out["n_frames"].append(n_frames)
+                out["n_scenes"].append(n_scenes)
+                out["first_boundary_frame"].append(first)
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "n_frames": "int64", "n_scenes": "int64"}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        detect, SCENE_SCHEMA
+    )

@@ -754,3 +754,70 @@ def label_propagation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection plumbing (multimodal family)
+# ---------------------------------------------------------------------------
+@_register(
+    "video_scene_report",
+    "video scene-cut plumbing: payload windowed into 100-byte 'frames', "
+    "md5-derived signature per frame, boundary where consecutive "
+    "signatures jump >= 500 (the stub analog of a frame-difference shot "
+    "detector) — Arrow mapInPandas batches, engine-portable signature "
+    "math (operators.multimodal.video_scene_detect); per-source scene "
+    "stats",
+    """
+    with fr as (
+        select doc_id, source,
+               cast(i as bigint) as i,
+               ('0x' || substr(md5(substr(text, cast(i*100+1 as int), 100)),
+                               1, 4))::int % 1000 as sig
+        from (
+            select doc_id, source, text,
+                   unnest(range(0, octet_length(encode(text)) // 100 + 1)) as i
+            from documents
+        )
+    ),
+    diffs as (
+        select doc_id, source, i, sig,
+               lag(sig) over (partition by doc_id order by i) as prev
+        from fr
+    ),
+    per_doc as (
+        select doc_id, any_value(source) as source,
+               count(*) as n_frames,
+               1 + sum(case when prev is not null and abs(sig - prev) >= 500
+                            then 1 else 0 end) as n_scenes
+        from diffs group by doc_id
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_frames) as bigint) as n_frames,
+           cast(sum(n_scenes) as bigint) as n_scenes,
+           cast(max(n_scenes) as bigint) as max_scenes
+    from per_doc
+    group by source
+    order by source
+    """,
+)
+def video_scene_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators import multimodal
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    scenes = multimodal.video_scene_detect(
+        multimodal.attach_binary_payload(docs)
+    )
+    with_src = scenes.join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        with_src.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_frames").cast("bigint").alias("n_frames"),
+            F.sum("n_scenes").cast("bigint").alias("n_scenes"),
+            F.max("n_scenes").cast("bigint").alias("max_scenes"),
+        )
+        .orderBy("source")
+    )

@@ -133,6 +133,7 @@ _PYTHON_ALLOWED = {
     "multimodal_features",
     "resize_plan",
     "audio_features",
+    "video_scene_report",
     "label_principal_directions",
 }
 
