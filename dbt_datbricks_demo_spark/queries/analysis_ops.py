@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from dbt_datbricks_demo_spark.operators import dedup
 from dbt_datbricks_demo_spark.queries.advanced_ops import _SQL_PAIRS
-from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
+from dbt_datbricks_demo_spark.queries.inventory import (
+    _register,
+    _spread,
+    _sql_stddev_exact,
+    _t,
+)
 from dbt_datbricks_demo_spark.queries.llm_ops import (
     _SQL_SHINGLE_HASHES,
     _sql_minhash_cols,
@@ -821,3 +826,66 @@ def video_scene_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness (event-stream traffic analysis)
+# ---------------------------------------------------------------------------
+@_register(
+    "burstiness_report",
+    "per-user inter-arrival burstiness: lag-window gaps in integer "
+    "seconds (one shuffle on user_id), exact-decimal mean/stddev of the "
+    "gaps (n·Σx²−(Σx)² over decimal sums — no order-dependent native "
+    "stddev merge), top-25 burstiest users via TakeOrderedAndProject",
+    f"""
+    with gaps as (
+        select user_id,
+               (epoch_us(ts) - epoch_us(lag(ts) over (
+                   partition by user_id order by ts, event_id
+               ))) // 1000000 as gap
+        from events
+    ),
+    per_user as (
+        select user_id,
+               cast(count(*) as bigint) as n_gaps,
+               round(cast(sum(cast(gap as decimal(14,0))) as double)
+                     / count(*), 2) as mean_gap,
+               {{std}} as std_gap
+        from gaps where gap is not null
+        group by user_id
+        having count(*) >= 5
+    )
+    select user_id, n_gaps, mean_gap, std_gap
+    from per_user
+    order by std_gap desc, user_id
+    limit 25
+    """.format(std=_sql_stddev_exact("gap", 0)),
+)
+def burstiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.queries.inventory import _stddev_exact
+
+    ev = _spread(_t(spark, sf_dir, "events"))
+    # exact µs difference floored to whole seconds — DuckDB's epoch() is
+    # fractional and Spark's unix_timestamp() truncates, so second-level
+    # subtraction disagrees on sub-second components; µs math is integer
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) - unix_micros(cast(lag(ts) "
+            "over (partition by user_id order by ts, event_id) as timestamp)))"
+            " div 1000000"
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    n = F.count(F.lit(1))
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            n.cast("bigint").alias("n_gaps"),
+            F.round(
+                F.sum(F.col("gap").cast("decimal(14,0)")).cast("double") / n, 2
+            ).alias("mean_gap"),
+            _stddev_exact(F.col("gap"), n, scale=0).alias("std_gap"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    return per_user.orderBy(F.col("std_gap").desc(), "user_id").limit(25)
