@@ -305,3 +305,56 @@ def unigram_doc_nll(
             F.round(F.sum(nll_term) / F.sum("tf"), 6).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib proxy for repetitive/templated
+# text — highly compressible documents are boilerplate candidates; the
+# heuristic family of Gopher/RefinedWeb quality filters)
+# ---------------------------------------------------------------------------
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio via Arrow mapInPandas:
+    (compressed bytes / raw bytes) in exact integer micro-units. Python
+    zlib is the only compressor available in-engine, so this is a
+    documented rows-only operator (DuckDB has no zlib — no SQL oracle);
+    determinism holds within one environment (fixed level, same zlib),
+    which is what the pytest laws pin. Batch-bounded: one pass, no
+    shuffle before the caller's aggregation."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("raw_bytes", LongType()),
+            StructField("compressed_bytes", LongType()),
+            StructField("ratio_micro", LongType()),
+        ]
+    )
+
+    def compress(batches):
+        for pdf in batches:
+            raw = pdf[text_col].map(lambda s: s.encode("utf-8"))
+            rb = raw.map(len)
+            cb = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "raw_bytes": rb.astype("int64"),
+                    "compressed_bytes": cb.astype("int64"),
+                    "ratio_micro": (
+                        cb * 1_000_000 // rb.where(rb > 0, 1)
+                    ).astype("int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        compress, schema
+    )

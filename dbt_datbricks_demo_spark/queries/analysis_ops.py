@@ -889,3 +889,35 @@ def burstiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_gaps") >= 5)
     )
     return per_user.orderBy(F.col("std_gap").desc(), "user_id").limit(25)
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (rows-only: no SQL-expressible zlib)
+# ---------------------------------------------------------------------------
+@_register(
+    "compression_quality_report",
+    "zlib compression-ratio quality signal per source (operators.text."
+    "compression_ratio): highly compressible text is boilerplate — the "
+    "Gopher/RefinedWeb heuristic family. Arrow mapInPandas, exact "
+    "integer byte counts; rows-only (DuckDB has no zlib), regression-"
+    "pinned by pytest laws instead of a SQL oracle",
+    None,
+)
+def compression_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators import text as text_ops
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    ratios = text_ops.compression_ratio(docs)
+    with_src = ratios.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        with_src.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("raw_bytes").cast("bigint").alias("raw_bytes"),
+            F.sum("compressed_bytes").cast("bigint").alias("compressed_bytes"),
+            F.floor(F.sum("ratio_micro") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_ratio_micro"),
+        )
+        .orderBy("source")
+    )

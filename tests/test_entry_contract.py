@@ -20,9 +20,12 @@ def test_queries_and_oracles_align():
     assert len(qs) >= 52
     # every oracle belongs to a registered query
     assert set(osql) <= set(qs)
-    # rows-only set is the documented trio, nothing accidental
+    # rows-only set is the documented quartet, nothing accidental
     assert set(qs) - set(osql) == {
-        "ann_ivf_topk", "sketch_report", "label_principal_directions"
+        "ann_ivf_topk",
+        "sketch_report",
+        "label_principal_directions",
+        "compression_quality_report",
     }
     assert all(callable(fn) for fn in qs.values())
     assert all(isinstance(s, str) and "select" in s.lower() for s in osql.values())

@@ -637,3 +637,32 @@ def test_orc_roundtrip_partitioned_with_pushdown(spark, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1].split("]")[0]
     assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters")[1].split("]")[0]
     assert [r["doc_id"] for r in q.collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# compression_ratio (zlib quality signal — rows-only, law-pinned)
+# ---------------------------------------------------------------------------
+def test_compression_ratio_laws(spark):
+    from dbt_datbricks_demo_spark.operators.text import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam spam spam spam spam"),
+            (1, "q7#kPz!mW9@vRt2&xLc4$bNd8*hJf6^gSa1%yUe3(iOw5)"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    # repetitive text compresses much better than high-entropy text
+    assert out[0].ratio_micro < out[1].ratio_micro
+    # byte accounting is honest
+    assert out[0].raw_bytes == 49
+    assert out[0].compressed_bytes > 0
+    # empty doc guarded (no division by zero), ratio vs the 1-byte floor
+    assert out[2].raw_bytes == 0
+    # determinism within the environment: same input -> same bytes
+    again = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert {k: v.compressed_bytes for k, v in out.items()} == {
+        k: v.compressed_bytes for k, v in again.items()
+    }
