@@ -772,3 +772,105 @@ def duplicate_gram_stats(
         .cast("bigint")
         .alias("n_dup_grams"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Standing MinHash band index (the operational form of near-dup lookup)
+# ---------------------------------------------------------------------------
+MINHASH_BUCKET_COL = "band_bucket"
+MINHASH_INDEX_BUCKETS = 32
+
+
+def _band_bucket(band_key: Column) -> Column:
+    """Stable 32-way directory bucket of a band key (first hex byte of
+    the md5 key modulo the bucket count)."""
+    return (
+        F.conv(F.substring(band_key, 1, 2), 16, 10).cast("int")
+        % MINHASH_INDEX_BUCKETS
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 2,
+) -> None:
+    """Materialize the corpus's (id, band_key) LSH postings as a standing
+    index, hive-partitioned by a 32-way bucket of the band key. Every
+    in-query pipeline here recomputes signatures per run — correct for
+    one-shot queries, but the operational form of dedup is a NEW CRAWL
+    arriving against a standing corpus: the index is written once (and
+    appended per ingest), and each batch lookup prunes to the partition
+    directories its own band keys hash into, exactly like the IVF cell
+    index (write_ivf_index). At 100 TB the index is |docs|x|bands| short
+    rows — a small fraction of corpus bytes — and a batch lookup reads
+    only matching directories, enforced by planner partition pruning."""
+    from dbt_datbricks_demo_spark.plans.bucketing import write_partitioned
+
+    rows = shingle_hash_rows(df, id_col, text_col, k)
+    sigs = minhash_sigs_from_rows(rows, id_col, num_hashes)
+    keyed = sigs.select(
+        F.col(id_col),
+        F.explode(
+            lsh_band_keys(F.col("_sig"), bands, num_hashes // bands)
+        ).alias("band_key"),
+    )
+    write_partitioned(
+        keyed.withColumn(MINHASH_BUCKET_COL, _band_bucket(F.col("band_key"))),
+        path,
+        MINHASH_BUCKET_COL,
+    )
+
+
+def index_candidate_pairs(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 2,
+    broadcast_key_limit: int = BROADCAST_PAIR_LIMIT,
+) -> DataFrame:
+    """Candidate (batch_id, corpus_id) pairs for a new batch against a
+    write_minhash_index layout: the batch's band keys are computed fresh
+    (batch-sized, eagerly checkpointed once), its DISTINCT bucket values
+    — at most MINHASH_INDEX_BUCKETS, a bounded driver read like the IVF
+    probe-cell routing — prune the index scan to matching directories
+    (PartitionFilters, plan-pinned), and the equi-join on band_key is a
+    size-guarded broadcast of the batch postings with a shuffled
+    fallback. Self-matches (a batch doc already in the index under the
+    same id) are dropped."""
+    rows = shingle_hash_rows(batch, id_col, text_col, k)
+    sigs = minhash_sigs_from_rows(rows, id_col, num_hashes)
+    bk = (
+        sigs.select(
+            F.col(id_col).alias("batch_id"),
+            F.explode(
+                lsh_band_keys(F.col("_sig"), bands, num_hashes // bands)
+            ).alias("band_key"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    use_broadcast = bk.count() <= broadcast_key_limit
+    buckets = [
+        r["b"]
+        for r in bk.select(_band_bucket(F.col("band_key")).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    idx = spark.read.parquet(index_path).filter(
+        F.col(MINHASH_BUCKET_COL).isin(buckets)
+    )
+    probe = F.broadcast(bk) if use_broadcast else bk
+    return (
+        idx.join(probe, "band_key")
+        .filter(F.col("batch_id") != F.col(id_col))
+        .select("batch_id", F.col(id_col).alias("corpus_id"))
+        .distinct()
+    )

@@ -265,3 +265,52 @@ def test_salted_join_rejects_build_preserving_types(spark, skewed):
         skew.salted_join(skewed, dim, "k", 4, "row_id", how="full_outer")
     with pytest.raises(ValueError, match="salted_join supports"):
         skew.salted_join(skewed, dim, "k", 4, "row_id", how="right")
+
+
+# ---------------------------------------------------------------------------
+# Standing MinHash band index (write once, batch lookups prune directories)
+# ---------------------------------------------------------------------------
+def test_minhash_index_lookup_matches_direct_band_join(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbt_datbricks_demo_spark.operators import dedup
+    from dbt_datbricks_demo_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    path = str(tmp_path / "mh_index")
+    dedup.write_minhash_index(corpus, path)
+
+    got = dedup.index_candidate_pairs(spark, path, batch)
+    got_set = {(r.batch_id, r.corpus_id) for r in got.collect()}
+
+    # reference: direct band-key equi-join between batch and corpus
+    def keyed(df):
+        rows = dedup.shingle_hash_rows(df, "doc_id", "text", k=5)
+        sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=8)
+        return sigs.select(
+            "doc_id",
+            F.explode(dedup.lsh_band_keys(F.col("_sig"), 2, 4)).alias("band_key"),
+        )
+
+    direct = (
+        keyed(batch)
+        .withColumnRenamed("doc_id", "batch_id")
+        .join(keyed(corpus), "band_key")
+        .select("batch_id", F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    expected = {(r.batch_id, r.corpus_id) for r in direct.collect()}
+    assert got_set == expected
+    assert expected, "fixture must actually produce candidate pairs"
+
+    # scale contract: the index read is partition-PRUNED (directory
+    # filter on band_bucket), not a full scan with a post-filter
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan
+    assert dedup.MINHASH_BUCKET_COL in plan.split("PartitionFilters", 1)[1][:400]
