@@ -122,3 +122,38 @@ def test_duplicate_gram_stats_counts_within_doc_repeats(spark):
     row = dedup.duplicate_gram_stats(docs, n=8).first()
     assert row.n_grams == 9
     assert row.n_dup_grams >= 2  # both copies of the repeated gram flagged
+
+
+# ---------------------------------------------------------------------------
+# training_ops semantic laws (parity is oracle-gated; these pin meaning)
+# ---------------------------------------------------------------------------
+def test_temperature_mixture_invariants(spark):
+    from dbt_datbricks_demo_spark.queries.training_ops import (
+        _MIX_BUDGET,
+        temperature_mixture_report,
+    )
+
+    rows = temperature_mixture_report(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    # weights form a distribution and allocations respect the budget
+    assert abs(sum(r.temp_weight for r in rows) - 1.0) < 1e-9
+    assert sum(r.alloc_tokens for r in rows) <= _MIX_BUDGET
+    # temperature flattening: the weight share of the largest source
+    # shrinks vs its raw share; the smallest source's grows
+    hi = max(rows, key=lambda r: r.raw_share)
+    lo = min(rows, key=lambda r: r.raw_share)
+    assert hi.temp_weight < hi.raw_share + 1e-12
+    assert lo.temp_weight > lo.raw_share - 1e-12
+
+
+def test_hard_negatives_never_share_anchor_label(spark):
+    from dbt_datbricks_demo_spark.queries.training_ops import hard_negative_mining
+    from dbt_datbricks_demo_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = hard_negative_mining(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        assert labels[r.anchor_id] != r.neg_label
+        assert labels[r.neg_id] == r.neg_label
