@@ -101,3 +101,75 @@ def asof_join(
         ],
         F.when(in_tol, F.col("_m_time")).alias(f"matched_{time_col}"),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    by: list[str] | str,
+    right_cols: list[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row for
+    the same key with right.time >= left.time (pandas merge_asof
+    direction='forward'). Same union-marker shape as the backward join —
+    one hash shuffle of |L|+|R| rows, one per-partition sort, a running
+    first(..., ignorenulls) window looking forward — so the cost is a
+    regular join's, never |L|x|R| pairs. Left rows sort BEFORE right
+    rows at equal timestamps, so an exact-time right row matches
+    (inclusive forward). tolerance_seconds voids matches further than
+    left.time + tolerance.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    left_cols = left.columns
+
+    r = right.select(
+        *by,
+        F.col(time_col),
+        *right_cols,
+        F.lit(1).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c not in by and c != time_col],
+    )
+    l = left.select(
+        *by,
+        F.col(time_col),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(0).alias(_SIDE),
+        *[F.col(c) for c in left_cols if c not in by and c != time_col],
+    )
+    unioned = r.unionByName(l)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(time_col), F.col(_SIDE))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.first(F.when(F.col(_SIDE) == 1, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"_m_{c}")
+            for c in right_cols
+        ],
+        F.first(F.when(F.col(_SIDE) == 1, F.col(time_col)), ignorenulls=True)
+        .over(w)
+        .alias("_m_time"),
+    )
+
+    out = carried.filter(F.col(_SIDE) == 0)
+    in_tol = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else (
+            F.col("_m_time").cast("double") - F.col(time_col).cast("double")
+            <= F.lit(float(tolerance_seconds))
+        )
+    )
+    return out.select(
+        *[F.col(c) for c in left_cols],
+        *[F.when(in_tol, F.col(f"_m_{c}")).alias(c) for c in right_cols],
+        F.when(in_tol, F.col("_m_time")).alias(f"matched_{time_col}"),
+    )

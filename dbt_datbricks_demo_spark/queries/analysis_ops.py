@@ -921,3 +921,76 @@ def compression_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: error -> next purchase recovery analysis
+# ---------------------------------------------------------------------------
+_RECOVERY_TOL_S = 86_400  # 1 day
+
+
+@_register(
+    "asof_forward_recovery",
+    "forward as-of join (operators.asof.asof_join_forward — pandas "
+    "merge_asof direction='forward'): for each error event, the same "
+    "user's EARLIEST subsequent purchase within 1 day; union-marker "
+    "window shape (one shuffle, one sort, never |L|x|R|); global "
+    "recovery stats with integer-exact second gaps",
+    f"""
+    with err as (
+        select user_id, event_id, ts from events where event_type = 'error'
+    ),
+    pur as (
+        select distinct user_id, ts from events where event_type = 'purchase'
+    ),
+    m as (
+        select e.user_id, e.event_id, e.ts,
+               (select min(p.ts) from pur p
+                where p.user_id = e.user_id and p.ts >= e.ts) as nxt
+        from err e
+    ),
+    gaps as (
+        select *,
+               case when nxt is not null
+                     and (epoch_us(nxt) - epoch_us(ts)) // 1000000
+                         <= {_RECOVERY_TOL_S}
+                    then (epoch_us(nxt) - epoch_us(ts)) // 1000000 end as gap_s
+        from m
+    )
+    select cast(count(*) as bigint) as n_errors,
+           cast(count(gap_s) as bigint) as n_recovered,
+           cast(sum(gap_s) as bigint) as total_gap_seconds,
+           cast(max(gap_s) as bigint) as max_gap_seconds
+    from gaps
+    """,
+)
+def asof_forward_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators.asof import asof_join_forward
+
+    ev = _spread(_t(spark, sf_dir, "events"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    ).distinct()
+    # tolerance is +1s wider than the report filter: the operator's
+    # tolerance compares FRACTIONAL seconds while the report (and the
+    # oracle) floor to whole seconds — floor(g) <= tol iff g < tol+1,
+    # so the floored filter below must be the binding check, never the
+    # operator's fractional one
+    joined = asof_join_forward(
+        err, pur, time_col="ts", by="user_id", right_cols=[],
+        tolerance_seconds=_RECOVERY_TOL_S + 1,
+    )
+    gap = F.expr(
+        "(unix_micros(cast(matched_ts as timestamp))"
+        " - unix_micros(cast(ts as timestamp))) div 1000000"
+    )
+    gaps = joined.select(F.when(gap <= _RECOVERY_TOL_S, gap).alias("gap_s"))
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_errors"),
+        F.count("gap_s").cast("bigint").alias("n_recovered"),
+        F.sum("gap_s").cast("bigint").alias("total_gap_seconds"),
+        F.max("gap_s").cast("bigint").alias("max_gap_seconds"),
+    )

@@ -666,3 +666,41 @@ def test_compression_ratio_laws(spark):
     assert {k: v.compressed_bytes for k, v in out.items()} == {
         k: v.compressed_bytes for k, v in again.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# asof_join_forward (earliest subsequent match, inclusive, tolerance)
+# ---------------------------------------------------------------------------
+def test_asof_join_forward_semantics(spark):
+    import datetime as dt
+
+    from dbt_datbricks_demo_spark.operators.asof import asof_join_forward
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(30), "b"), (2, t(10), "c"), (3, t(5), "d")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(25), 200.0), (2, t(50), 300.0)],
+        "user_id long, ts timestamp, val double",
+    )
+    out = {
+        r.tag: r
+        for r in asof_join_forward(
+            left, right, "ts", "user_id", ["val"], tolerance_seconds=15
+        ).collect()
+    }
+    assert out["a"].val == 100.0      # inclusive: equal timestamp matches
+    assert out["b"].val is None       # no right row at/after t=30 for user 1
+    assert out["c"].val is None       # t=50 match exists but > 15s tolerance
+    assert out["c"].matched_ts is None
+    assert out["d"].val is None       # key 3 has no right rows at all
+    # without tolerance the forward match for user 2 appears
+    out2 = {
+        r.tag: r
+        for r in asof_join_forward(
+            left, right, "ts", "user_id", ["val"]
+        ).collect()
+    }
+    assert out2["c"].val == 300.0
