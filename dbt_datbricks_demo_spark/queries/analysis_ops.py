@@ -994,3 +994,113 @@ def asof_forward_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_s").cast("bigint").alias("total_gap_seconds"),
         F.max("gap_s").cast("bigint").alias("max_gap_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line session concurrency (interval algebra without |N|^2 overlap)
+# ---------------------------------------------------------------------------
+_SESSION_GAP_US = 1_800_000_000  # 30 min, same as sessionize_events
+
+
+@_register(
+    "session_concurrency_report",
+    "peak concurrent sessions per day by sweep-line: sessionized "
+    "intervals emit +1/-1 boundary rows, the running sum is computed "
+    "per-day with cross-day carry offsets from the TINY day-total table "
+    "(block prefix-sum — no single global window over all boundaries), "
+    "and the per-day max is permutation-invariant within (t, delta) "
+    "ties so both engines agree exactly; ends are inclusive (-1 lands "
+    "at end+1µs)",
+    f"""
+    with ev as (select * replace (date_trunc('microseconds', ts) as ts)
+                from events),
+    flagged as (
+        select user_id, event_id, ts,
+               case when epoch_us(ts) - lag(epoch_us(ts)) over w
+                         > {_SESSION_GAP_US}
+                         or lag(epoch_us(ts)) over w is null
+                    then 1 else 0 end as is_new
+        from ev
+        window w as (partition by user_id order by ts, event_id)
+    ),
+    sessions as (
+        select user_id,
+               sum(is_new) over (partition by user_id order by ts, event_id
+                                 rows unbounded preceding) as session_seq,
+               ts
+        from flagged
+    ),
+    intervals as (
+        select min(epoch_us(ts)) as s, max(epoch_us(ts)) + 1 as e
+        from sessions group by user_id, session_seq
+    ),
+    bounds as (
+        select s as t, 1 as delta from intervals
+        union all
+        select e as t, -1 as delta from intervals
+    ),
+    swept as (
+        select t, delta,
+               sum(delta) over (order by t, delta desc
+                                rows unbounded preceding) as conc
+        from bounds
+    )
+    select make_timestamp((t // 86400000000) * 86400000000) as day,
+           cast(max(conc) as bigint) as max_concurrency
+    from swept
+    group by 1
+    order by 1
+    """,
+)
+def session_concurrency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _spread(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    is_new = F.when(
+        (us - F.lag(us).over(w) > _SESSION_GAP_US) | F.lag(us).over(w).isNull(),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        ev.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+        .withColumn("session_seq", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            (F.max(F.unix_micros("ts")) + 1).alias("e"),
+        )
+    )
+    bounds = sessions.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(sessions.select(F.col("e").alias("t"), F.lit(-1).alias("delta")))
+    day = F.expr("(t div 86400000000) * 86400000000").alias("day_us")
+    staged = bounds.select("t", "delta", day).localCheckpoint(eager=True)
+    # cross-day carry: cumulative sum of prior days' delta totals — the
+    # day table is tiny, so its ordered window is trivially small; the
+    # per-boundary running sum only ever windows WITHIN one day
+    day_tot = staged.groupBy("day_us").agg(F.sum("delta").alias("day_delta"))
+    wd = Window.orderBy("day_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carry = F.broadcast(
+        day_tot.select(
+            "day_us",
+            (F.sum("day_delta").over(wd) - F.col("day_delta")).alias("carry"),
+        )
+    )
+    wb = Window.partitionBy("day_us").orderBy(
+        F.col("t"), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = staged.join(carry, "day_us").select(
+        "day_us", (F.col("carry") + F.sum("delta").over(wb)).alias("conc")
+    )
+    return (
+        swept.groupBy("day_us")
+        .agg(F.max("conc").cast("bigint").alias("max_concurrency"))
+        .select(
+            F.timestamp_micros(F.col("day_us")).alias("day"), "max_concurrency"
+        )
+        .orderBy("day")
+    )
