@@ -1104,3 +1104,197 @@ def session_concurrency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event path mining: top 3-step sequences within user sessions
+# ---------------------------------------------------------------------------
+@_register(
+    "event_path_mining",
+    "top-20 3-step event paths WITHIN sessions (gap-sessionized like "
+    "sessionize_events): two lead() windows over one user_id shuffle "
+    "build the trigram, session boundaries void cross-session paths, "
+    "exact counts, TakeOrderedAndProject top-k — the sequence-n-gram "
+    "complement of event_transition_matrix's 2-step counts",
+    f"""
+    with ev as (select * replace (date_trunc('microseconds', ts) as ts)
+                from events),
+    flagged as (
+        select user_id, event_id, ts, event_type,
+               case when epoch_us(ts) - lag(epoch_us(ts)) over w
+                         > {_SESSION_GAP_US}
+                         or lag(epoch_us(ts)) over w is null
+                    then 1 else 0 end as is_new
+        from ev
+        window w as (partition by user_id order by ts, event_id)
+    ),
+    sessions as (
+        select *, sum(is_new) over (partition by user_id
+                                    order by ts, event_id
+                                    rows unbounded preceding) as session_seq
+        from flagged
+    ),
+    tri as (
+        select event_type as e1,
+               lead(event_type, 1) over w2 as e2,
+               lead(event_type, 2) over w2 as e3,
+               session_seq,
+               lead(session_seq, 2) over w2 as seq3
+        from sessions
+        window w2 as (partition by user_id order by ts, event_id)
+    )
+    select e1, e2, e3, cast(count(*) as bigint) as n_paths
+    from tri
+    where e3 is not null and seq3 = session_seq
+    group by e1, e2, e3
+    order by n_paths desc, e1, e2, e3
+    limit 20
+    """,
+)
+def event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _spread(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    is_new = F.when(
+        (us - F.lag(us).over(w) > _SESSION_GAP_US) | F.lag(us).over(w).isNull(),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = ev.select(
+        "user_id", "event_id", "ts", "event_type", is_new.alias("is_new")
+    ).withColumn("session_seq", F.sum("is_new").over(run))
+    tri = sessions.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        "session_seq",
+        F.lead("session_seq", 2).over(w).alias("seq3"),
+    )
+    return (
+        tri.filter(F.col("e3").isNotNull() & (F.col("seq3") == F.col("session_seq")))
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across groups (batch-effect correction style)
+# ---------------------------------------------------------------------------
+@_register(
+    "quantile_normalize_report",
+    "nearest-rank quantile normalization of n_chars across langs: each "
+    "doc's within-group min-rank maps to the pooled order statistic at "
+    "target_pos = (rank-1)*(N-1) div (n_g-1) + 1 — ALL integer "
+    "arithmetic, zero floats. Ranks come from per-group VALUE "
+    "histograms and the pooled position lookup is a range join into "
+    "the pooled histogram's cumulative intervals (both histograms are "
+    "|distinct values|-sized and broadcast) — no global sort, no "
+    "single-partition window",
+    """
+    with pooled as (
+        select n_chars, count(*) as c from documents group by n_chars
+    ),
+    pooled_cum as (
+        select n_chars,
+               sum(c) over (order by n_chars rows unbounded preceding)
+                   - c + 1 as lo,
+               sum(c) over (order by n_chars rows unbounded preceding) as hi
+        from pooled
+    ),
+    n_tot as (select cast(count(*) as bigint) as n from documents),
+    grp_hist as (
+        select lang, n_chars, count(*) as c from documents
+        group by lang, n_chars
+    ),
+    grp_rank as (
+        select lang, n_chars,
+               sum(c) over (partition by lang order by n_chars
+                            rows unbounded preceding) - c + 1 as min_rank
+        from grp_hist
+    ),
+    grp_n as (select lang, cast(count(*) as bigint) as n_g
+              from documents group by lang),
+    target as (
+        select d.lang, d.n_chars, g.min_rank, gn.n_g, nt.n,
+               case when gn.n_g = 1 then 1
+                    else (g.min_rank - 1) * (nt.n - 1) // (gn.n_g - 1) + 1
+               end as pos
+        from documents d
+        join grp_rank g on g.lang = d.lang and g.n_chars = d.n_chars
+        join grp_n gn on gn.lang = d.lang
+        cross join n_tot nt
+    ),
+    normalized as (
+        select t.lang, p.n_chars as norm_chars
+        from target t
+        join pooled_cum p on t.pos between p.lo and p.hi
+    )
+    select lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(min(norm_chars) as bigint) as min_norm,
+           cast(max(norm_chars) as bigint) as max_norm,
+           cast(sum(norm_chars) as bigint) as sum_norm
+    from normalized
+    group by lang
+    order by lang
+    """,
+)
+def quantile_normalize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pooled = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pooled_cum = F.broadcast(
+        pooled.select(
+            "n_chars",
+            (F.sum("c").over(wp) - F.col("c") + 1).alias("lo"),
+            F.sum("c").over(wp).alias("hi"),
+        )
+    )
+    n_tot = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    grp_hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wg = Window.partitionBy("lang").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grp_rank = F.broadcast(
+        grp_hist.select(
+            "lang",
+            "n_chars",
+            (F.sum("c").over(wg) - F.col("c") + 1).alias("min_rank"),
+        )
+    )
+    grp_n = F.broadcast(docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g")))
+    target = (
+        docs.join(grp_rank, ["lang", "n_chars"])
+        .join(grp_n, "lang")
+        .crossJoin(n_tot)
+        .select(
+            "lang",
+            F.when(F.col("n_g") == 1, F.lit(1))
+            .otherwise(
+                F.expr("(min_rank - 1) * (n - 1) div (n_g - 1)") + 1
+            )
+            .alias("pos"),
+        )
+    )
+    normalized = target.join(
+        pooled_cum,
+        (F.col("pos") >= F.col("lo")) & (F.col("pos") <= F.col("hi")),
+    ).select("lang", F.col("n_chars").alias("norm_chars"))
+    return (
+        normalized.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("norm_chars").cast("bigint").alias("min_norm"),
+            F.max("norm_chars").cast("bigint").alias("max_norm"),
+            F.sum("norm_chars").cast("bigint").alias("sum_norm"),
+        )
+        .orderBy("lang")
+    )
