@@ -1298,3 +1298,97 @@ def quantile_normalize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini inequality of customer spend (Lorenz-curve economics, exact ints)
+# ---------------------------------------------------------------------------
+@_register(
+    "gini_inequality_report",
+    "per-mktsegment Gini coefficient of customer spend, exact integer "
+    "arithmetic end-to-end: spend in cents (decimal->bigint), ranks "
+    "from the per-segment VALUE histogram (sum of i*x over a tied run "
+    "= v*(c*r + c*(c-1)/2) — closed form, no per-row ranking), "
+    "Gini = (2*S1 - (n+1)*S0) / (n*S0) micro-rounded once at the end; "
+    "the only window runs over per-segment distinct spend values",
+    """
+    with spend as (
+        select c.c_mktsegment as seg, o.o_custkey,
+               cast(sum(cast(o.o_totalprice as decimal(18,2))) * 100
+                    as bigint) as cents
+        from orders o join customer c on c.c_custkey = o.o_custkey
+        group by 1, 2
+    ),
+    hist as (
+        select seg, cents, cast(count(*) as bigint) as c
+        from spend group by seg, cents
+    ),
+    ranked as (
+        select seg, cents, c,
+               sum(c) over (partition by seg order by cents
+                            rows unbounded preceding) - c + 1 as r
+        from hist
+    ),
+    sums as (
+        select seg,
+               cast(sum(c) as bigint) as n,
+               cast(sum(cast(c * cents as decimal(28,0))) as decimal(38,0)) as s0,
+               cast(sum(cast(cents as decimal(28,0))
+                        * (c * r + c * (c - 1) // 2)) as decimal(38,0)) as s1
+        from ranked group by seg
+    )
+    select seg,
+           n as n_customers,
+           cast(s0 as bigint) as total_cents,
+           cast(floor((2.0 * cast(s1 as double) - (n + 1.0) * cast(s0 as double))
+                      / (1.0 * n * cast(s0 as double))
+                      * 1000000 + 0.5) as bigint) as gini_micro
+    from sums
+    order by seg
+    """,
+)
+def gini_inequality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _spread(_t(spark, sf_dir, "orders"))
+    cust = _t(spark, sf_dir, "customer")
+    spend = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    hist = spend.groupBy("seg", "cents").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("seg").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = hist.select(
+        "seg", "cents", "c", (F.sum("c").over(wr) - F.col("c") + 1).alias("r")
+    )
+    # decimal(38) accumulators: S1 ~ n * max_cents * n overflows bigint
+    # at ~1e9 customers; decimals carry to 1e38 in both engines
+    sums = ranked.groupBy("seg").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum((F.col("c") * F.col("cents")).cast("decimal(28,0)"))
+        .cast("decimal(38,0)")
+        .alias("s0"),
+        F.sum(
+            F.col("cents").cast("decimal(28,0)")
+            * (F.col("c") * F.col("r") + F.expr("c * (c - 1) div 2"))
+        )
+        .cast("decimal(38,0)")
+        .alias("s1"),
+    )
+    gini = (
+        (2.0 * F.col("s1").cast("double") - (F.col("n") + 1.0) * F.col("s0").cast("double"))
+        / (1.0 * F.col("n") * F.col("s0").cast("double"))
+    )
+    return sums.select(
+        "seg",
+        F.col("n").alias("n_customers"),
+        F.col("s0").cast("bigint").alias("total_cents"),
+        F.floor(gini * 1000000 + F.lit(0.5)).cast("bigint").alias("gini_micro"),
+    ).orderBy("seg")
