@@ -1392,3 +1392,170 @@ def gini_inequality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s0").cast("bigint").alias("total_cents"),
         F.floor(gini * 1000000 + F.lit(0.5)).cast("bigint").alias("gini_micro"),
     ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (sliding-window distinct without re-scan)
+# ---------------------------------------------------------------------------
+@_register(
+    "rolling_active_users",
+    "7-day rolling active users: distinct (user, day) pairs explode "
+    "into the 7 window-end buckets they contribute to, then one exact "
+    "count-distinct per bucket — each sliding window is computed from "
+    "day-grain data (never 7 re-scans of raw events), the standard "
+    "scalable WAU shape; window ends ordered, exact counts",
+    """
+    with ud as (
+        select distinct user_id,
+               epoch_us(date_trunc('day', ts)) // 86400000000 as day_no
+        from events
+    ),
+    contrib as (
+        select user_id, day_no + i as window_end
+        from ud, unnest(range(0, 7)) as t(i)
+    ),
+    span as (
+        select min(day_no) as lo, max(day_no) as hi from ud
+    )
+    select make_timestamp(window_end * 86400000000) as window_end_day,
+           cast(count(distinct user_id) as bigint) as active_users_7d
+    from contrib, span
+    where window_end between span.lo and span.hi
+    group by window_end
+    order by window_end
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _spread(_t(spark, sf_dir, "events"))
+    ud = ev.select(
+        "user_id",
+        F.expr(
+            "unix_micros(cast(date_trunc('day', ts) as timestamp))"
+            " div 86400000000"
+        ).alias("day_no"),
+    ).distinct()
+    ud = ud.localCheckpoint(eager=True)  # read by contrib AND the span agg
+    span = F.broadcast(
+        ud.agg(F.min("day_no").alias("lo"), F.max("day_no").alias("hi"))
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day_no"), F.col("day_no") + 6)).alias(
+            "window_end"
+        ),
+    )
+    return (
+        contrib.crossJoin(span)
+        .filter(F.col("window_end").between(F.col("lo"), F.col("hi")))
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
+        .select(
+            F.timestamp_micros(F.col("window_end") * 86400000000).alias(
+                "window_end_day"
+            ),
+            "active_users_7d",
+        )
+        .orderBy("window_end_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: adjacent-bigram PMI over the corpus
+# ---------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+
+
+@_register(
+    "collocation_pmi_report",
+    "top-20 collocations by pointwise mutual information of ADJACENT "
+    "token bigrams (Church & Hanks): unigram/bigram counts are exact "
+    "map-side-combined aggregations, totals attach as one-row "
+    "broadcasts, pmi = ln of one double quotient of exact counts "
+    "rounded 6dp (module ln convention, cf. unigram_perplexity_report);"
+    f" bigrams below count {_PMI_MIN_COUNT} are pruned BEFORE the "
+    "unigram joins so only candidate collocations join",
+    f"""
+    with tok as (select {{toks}} as t from documents),
+    uni as (
+        select term, cast(count(*) as bigint) as n_x
+        from (select unnest(t) as term from tok) group by term
+    ),
+    n_uni as (select cast(sum(n_x) as double) as nu from uni),
+    bi as (
+        select g, cast(count(*) as bigint) as n_xy
+        from (
+            select unnest(case when len(t) >= 2
+                          then list_transform(range(1, len(t)),
+                                              i -> t[i] || ' ' || t[i+1])
+                          else []::varchar[] end) as g
+            from tok
+        ) group by g
+        having count(*) >= {_PMI_MIN_COUNT}
+    ),
+    n_bi as (
+        select cast(sum(len(t) - 1) as double) as nb
+        from tok where len(t) >= 2
+    ),
+    scored as (
+        select split_part(g, ' ', 1) as x, split_part(g, ' ', 2) as y,
+               n_xy, g
+        from bi
+    )
+    select s.x, s.y, s.n_xy, ux.n_x as n_x, uy.n_x as n_y,
+           round(ln((s.n_xy * nu.nu * nu.nu)
+                    / (nb.nb * ux.n_x * uy.n_x)), 6) as pmi
+    from scored s
+    join uni ux on ux.term = s.x
+    join uni uy on uy.term = s.y
+    cross join n_uni nu cross join n_bi nb
+    order by pmi desc, s.x, s.y
+    limit 20
+    """.format(toks="string_split_regex(trim(lower(text)), '\\s+')"),
+)
+def collocation_pmi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators import text as text_ops
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    staged = docs.select(text_ops.tokens("text").alias("t"))
+    uni = (
+        staged.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_x"))
+    )
+    uni = uni.localCheckpoint(eager=True)  # read by 2 joins + the total
+    n_uni = F.broadcast(uni.agg(F.sum("n_x").cast("double").alias("nu")))
+    bi = (
+        staged.select(
+            F.explode(text_ops.word_ngrams_all(F.col("t"), 2)).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= _PMI_MIN_COUNT)
+    )
+    n_bi = F.broadcast(
+        staged.filter(F.size("t") >= 2)
+        .agg(F.sum(F.size("t") - 1).cast("double").alias("nb"))
+    )
+    scored = bi.select(
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("x"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("y"),
+        "n_xy",
+    )
+    ux = uni.select(F.col("term").alias("x"), F.col("n_x").alias("n_x"))
+    uy = uni.select(F.col("term").alias("y"), F.col("n_x").alias("n_y"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_xy") * F.col("nu") * F.col("nu"))
+            / (F.col("nb") * F.col("n_x") * F.col("n_y"))
+        ),
+        6,
+    )
+    return (
+        scored.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(n_uni)
+        .crossJoin(n_bi)
+        .select("x", "y", "n_xy", "n_x", "n_y", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "x", "y")
+        .limit(20)
+    )
