@@ -1559,3 +1559,97 @@ def collocation_pmi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "x", "y")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup yield curve (diminishing returns of additional corpus slices)
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_rate_curve",
+    "marginal dedup yield: the corpus split into 10 deterministic md5 "
+    "slices, each content digest credited to its FIRST slice (min "
+    "(slice, doc_id) via one digest-keyed aggregation — no window over "
+    "rows), per-slice new-unique counts and the cumulative unique "
+    "curve (tiny 10-row running sum) — the data-planning curve for "
+    "'does more crawl still add content?'",
+    """
+    with sliced as (
+        select doc_id, md5(text) as digest,
+               ('0x' || substr(md5('slice' || cast(doc_id as varchar)), 1, 8))
+                   ::ubigint % 10 as slice
+        from documents
+    ),
+    firsts as (
+        select digest, min(slice * 10000000000 + doc_id) as first_key
+        from sliced group by digest
+    ),
+    per_slice as (
+        select s.slice,
+               cast(count(*) as bigint) as n_docs,
+               cast(sum(case when f.first_key = s.slice * 10000000000 + s.doc_id
+                             then 1 else 0 end) as bigint) as n_new_unique
+        from sliced s join firsts f on f.digest = s.digest
+        group by s.slice
+    )
+    select cast(slice as bigint) as slice, n_docs, n_new_unique,
+           cast(sum(n_new_unique) over (order by slice
+                                        rows unbounded preceding) as bigint)
+               as cumulative_unique
+    from per_slice
+    order by slice
+    """,
+)
+def dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    slice_col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("slice"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    sliced = docs.select(
+        "doc_id", F.md5("text").alias("digest"), slice_col.alias("slice")
+    )
+    firsts = sliced.groupBy("digest").agg(
+        F.min(F.col("slice") * 10_000_000_000 + F.col("doc_id")).alias(
+            "first_key"
+        )
+    )
+    per_slice = (
+        sliced.join(firsts, "digest")
+        .groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("first_key")
+                    == F.col("slice") * 10_000_000_000 + F.col("doc_id"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_new_unique"),
+        )
+    )
+    wc = Window.orderBy("slice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_slice.select(
+            F.col("slice").cast("bigint").alias("slice"),
+            "n_docs",
+            "n_new_unique",
+            F.sum("n_new_unique").over(wc).cast("bigint").alias(
+                "cumulative_unique"
+            ),
+        )
+        .orderBy("slice")
+    )
