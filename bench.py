@@ -37,6 +37,9 @@ from dbt_datbricks_demo_spark.session import get_spark  # noqa: E402
 SPREAD_FLAG_RATIO = 1.3
 SPREAD_FLAG_MIN_SEC = 0.5
 
+# how many per-query timings are repeated in the truncation-safe tail
+SLOWEST_TOP_N = 15
+
 
 def _unpersist_all(spark) -> None:
     """Drop cached/localCheckpointed blocks left behind by a finished
@@ -169,6 +172,15 @@ def main() -> None:
     # errors into stderr (seen in round 1's recorded tail)
     spark.stop()
 
+    # top-N per-query timings, repeated in the truncation-safe tail: the
+    # full "queries" map prints FIRST and gets front-truncated in the
+    # driver's artifact (happened in rounds 3 AND 4) — the slowest-query
+    # regression signal must survive in the tail next to the headline
+    # scalars.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:SLOWEST_TOP_N]
+    )
+
     # FIELD ORDER MATTERS: per-query maps first, headline scalars LAST —
     # tail-truncation must never eat wall time / counts / sf.
     payload: dict = {"queries": timings, "spread": spread}
@@ -176,6 +188,7 @@ def main() -> None:
         payload["high_spread"] = high_spread
     if errors:
         payload["errors"] = errors
+    payload["slowest"] = slowest
     payload["metric"] = "operator-inventory wall time"
     payload["value"] = round(sum(timings.values()), 3)
     payload["unit"] = "sec"

@@ -750,12 +750,20 @@ def duplicate_gram_stats(
     60-bit md5-derived gram digest (not the string — rows are ~16 bytes
     instead of ~60, and at 100 TB the digest IS the design: collision
     odds ~tokens²/2⁶⁰ and any collision is deterministic, so an oracle
-    computing the same digest sees the same result), count corpus-wide
-    occurrences with ONE window over the digest (within-doc repeats
-    count — the paper dedups those too), and fold per document. Two
-    narrow shuffles total (digest window, per-id fold); the previous
-    formulation re-derived the explode three times and shuffled gram
-    strings twice more for a dup-set equi-join.
+    computing the same digest sees the same result). Corpus-wide totals
+    are attached in two stages so the hot-gram mass never lands in one
+    task raw: (1) groupBy (id, gh) — a combiner-safe partial aggregate,
+    so a boilerplate gram repeated thousands of times WITHIN documents
+    collapses map-side to one row per doc; (2) ONE window over the
+    digest on that reduced stream (within-doc repeats still count via
+    the carried cnt — the paper dedups those too), then fold per
+    document. Three narrow shuffles, every aggregation
+    partial-agg-absorbed. Residual skew bound: the window task for the
+    hottest gram processes one row per DISTINCT DOC containing it (not
+    one per occurrence); for a corpus where a single gram spans a large
+    fraction of all documents, swap the window for a groupBy(gh) totals
+    table joined back (AQE skew-split eligible) at the cost of deriving
+    the gram stream twice.
 
     Returns (id, n_grams, n_dup_grams) — one row per document with at
     least one n-gram; callers left-join and zero-fill short docs.
@@ -768,12 +776,15 @@ def duplicate_gram_stats(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams_all(toks, n)).alias("gram"),
     ).select("id", gh.alias("gh"))
-    counted = ex.select(
-        "id", F.count(F.lit(1)).over(Window.partitionBy("gh")).alias("total")
+    per_doc_gram = ex.groupBy("id", "gh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    counted = per_doc_gram.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("gh"))
     )
     return counted.groupBy("id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-        F.sum(F.when(F.col("total") >= 2, 1).otherwise(0))
+        F.sum("cnt").cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("total") >= 2, F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("n_dup_grams"),
     )
@@ -803,13 +814,16 @@ def write_minhash_index(
     k: int = 5,
     num_hashes: int = 8,
     bands: int = 2,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the corpus's (id, band_key) LSH postings as a standing
     index, hive-partitioned by a 32-way bucket of the band key. Every
     in-query pipeline here recomputes signatures per run — correct for
     one-shot queries, but the operational form of dedup is a NEW CRAWL
-    arriving against a standing corpus: the index is written once (and
-    appended per ingest), and each batch lookup prunes to the partition
+    arriving against a standing corpus: the index is built once with the
+    default mode='overwrite' and each subsequent admitted batch is added
+    with mode='append' (dynamic-partition append into the same 32 bucket
+    directories), and each batch lookup prunes to the partition
     directories its own band keys hash into, exactly like the IVF cell
     index (write_ivf_index). At 100 TB the index is |docs|x|bands| short
     rows — a small fraction of corpus bytes — and a batch lookup reads
@@ -828,6 +842,7 @@ def write_minhash_index(
         keyed.withColumn(MINHASH_BUCKET_COL, _band_bucket(F.col("band_key"))),
         path,
         MINHASH_BUCKET_COL,
+        mode=mode,
     )
 
 

@@ -99,14 +99,19 @@ def ivf_assign(
     −2⟨v,c⟩+‖c‖² (the ‖v‖² term is constant per row). One narrow pass,
     no shuffle — the IVF analog of hyperplane_bucket.
 
-    The centroid matrix is ONE nested-array Literal scored by a single
-    transform() lambda — not |cells| unrolled dot-product expressions,
-    and not |cells|×|dims| CreateArray(lit, …) nodes either: a single
-    Literal lands in the generated code as one object reference, where
-    the per-element lit() form inflated the generated source past the
-    Janino/JIT sweet spot and the (per-build, cache-missing) compile
-    dominated small-query wall time. Identical arithmetic order per
-    element, so assignments (and the oracle hash) are unchanged."""
+    The centroid matrix is a single lit(nested_list) scored by one
+    transform() lambda, not |cells| unrolled dot-product expressions.
+    Mechanism note (corrected round 5): PySpark's lit() on a list
+    expands to array(lit(item)…) — per-element CreateArray nodes, the
+    same shape as hand-built lit trees — and BOTH forms reach codegen as
+    one folded Literal via Catalyst constant folding. What the transform
+    rewrite actually removes is the |cells| unrolled aggregate()
+    expressions (generated-source size); the round-4 wall-time win
+    measured alongside it came chiefly from sizing
+    spark.sql.codegen.cache.maxEntries to the workload (100→2000), which
+    stopped cross-query eviction and re-compiles. Identical arithmetic
+    order per element, so assignments (and the oracle hash) are
+    unchanged."""
     cmat = F.lit([[float(x) for x in c] for c in centroids])
     c2s = []
     for c in centroids:
@@ -206,9 +211,9 @@ def ivf_index_topk(
 
 def _dot_with_literal(vec_col: Column, query: list[float]) -> Column:
     """Sequential dot product of an array<float> column with a Python
-    vector, in double precision. The vector is ONE array Literal, not
-    |dims| lit() nodes — see ivf_assign on why that matters for
-    codegen-compile wall time."""
+    vector, in double precision. lit(list) expands to per-element
+    array(lit…) nodes that Catalyst constant-folds to one Literal — see
+    the corrected mechanism note in ivf_assign."""
     q = F.lit([float(x) for x in query])
     prods = F.zip_with(vec_col, q, lambda x, y: x.cast("double") * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)

@@ -341,7 +341,13 @@ def compression_ratio(
 
     def compress(batches):
         for pdf in batches:
-            raw = pdf[text_col].map(lambda s: s.encode("utf-8"))
+            # NULL text arrives as None/NaN in the Arrow batch — treat it
+            # as the empty document (raw_bytes 0, ratio guard below),
+            # matching the SQL-side operators' null tolerance instead of
+            # failing the whole job on .encode of None
+            raw = pdf[text_col].map(
+                lambda s: (s if isinstance(s, str) else "").encode("utf-8")
+            )
             rb = raw.map(len)
             cb = raw.map(lambda b: len(zlib.compress(b, level)))
             yield pd.DataFrame(

@@ -771,7 +771,11 @@ def label_propagation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signatures jump >= 500 (the stub analog of a frame-difference shot "
     "detector) — Arrow mapInPandas batches, engine-portable signature "
     "math (operators.multimodal.video_scene_detect); per-source scene "
-    "stats",
+    "stats. PARITY INVARIANT: the Spark side slices UTF-8 BYTES of the "
+    "payload while DuckDB's substr is CHARACTER-based (no blob substr "
+    "exists) — the oracle matches only while the documents testdata is "
+    "pure ASCII, which test_video_scene_oracle_ascii_invariant pins; "
+    "multibyte corpora need a byte-frame oracle outside SQL",
     """
     with fr as (
         select doc_id, source,

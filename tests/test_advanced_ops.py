@@ -157,3 +157,25 @@ def test_hard_negatives_never_share_anchor_label(spark):
     for r in out:
         assert labels[r.anchor_id] != r.neg_label
         assert labels[r.neg_id] == r.neg_label
+
+
+# ---------------------------------------------------------------------------
+# video_scene_report parity invariant (ADVICE r4): Spark frames the
+# payload in UTF-8 BYTES, DuckDB substr slices CHARACTERS (no blob
+# substr exists) — the oracle is valid only while the documents text is
+# pure ASCII. Pin that invariant so a future multibyte testdata refresh
+# fails HERE, loudly, instead of silently passing a wrong oracle.
+# ---------------------------------------------------------------------------
+def test_video_scene_oracle_ascii_invariant():
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        n = duckdb.sql(
+            f"select count(*) from '{sf}/documents.parquet' "
+            "where octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0, (
+            f"{sf}: {n} multibyte docs — the video_scene_report SQL oracle "
+            "(character substr) no longer matches the byte-frame operator; "
+            "see the PARITY INVARIANT note in queries/analysis_ops.py"
+        )

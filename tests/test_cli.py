@@ -111,7 +111,8 @@ def test_bench_contract(tmp_path):
     line = out.stdout.strip().splitlines()[-1]
     payload = json.loads(line)
     assert set(payload) == {
-        "metric", "value", "unit", "queries", "spread", "n", "n_errors", "sf"
+        "metric", "value", "unit", "queries", "spread", "slowest",
+        "n", "n_errors", "sf",
     }
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
     assert set(payload["queries"]) == {"union_report", "topk_orders"}
@@ -120,10 +121,22 @@ def test_bench_contract(tmp_path):
     assert payload["n"] == 2 and payload["n_errors"] == 0
     # TRUNCATION-PROOF ORDER: per-query maps first, headline scalars
     # last — a tail-only capture must still carry wall time/counts/sf
-    # (round-3 BENCH artifact lost them by truncating the front).
+    # (round-3 BENCH artifact lost them by truncating the front). The
+    # "slowest" top-N timing map sits INSIDE the safe tail, directly
+    # before the headline scalars, so per-query regression signal
+    # survives front-truncation too (rounds 3 AND 4 lost the full
+    # "queries" map that way).
     keys = list(payload)
     assert keys[:2] == ["queries", "spread"]
-    assert keys[-6:] == ["metric", "value", "unit", "n", "n_errors", "sf"]
+    assert keys[-7:] == [
+        "slowest", "metric", "value", "unit", "n", "n_errors", "sf"
+    ]
+    # slowest = top-N of the queries map, descending
+    slow = payload["slowest"]
+    assert set(slow) <= set(payload["queries"])
+    vals = list(slow.values())
+    assert vals == sorted(vals, reverse=True)
+    assert len(slow) == min(len(payload["queries"]), 15)
 
 
 def test_bench_survives_failing_query(tmp_path):

@@ -650,6 +650,7 @@ def test_compression_ratio_laws(spark):
             (0, "spam spam spam spam spam spam spam spam spam spam"),
             (1, "q7#kPz!mW9@vRt2&xLc4$bNd8*hJf6^gSa1%yUe3(iOw5)"),
             (2, ""),
+            (3, None),
         ],
         "doc_id long, text string",
     )
@@ -661,6 +662,9 @@ def test_compression_ratio_laws(spark):
     assert out[0].compressed_bytes > 0
     # empty doc guarded (no division by zero), ratio vs the 1-byte floor
     assert out[2].raw_bytes == 0
+    # NULL text tolerated like the SQL operators: empty-doc semantics,
+    # not an AttributeError that kills the whole job
+    assert out[3].raw_bytes == 0
     # determinism within the environment: same input -> same bytes
     again = {r.doc_id: r for r in compression_ratio(docs).collect()}
     assert {k: v.compressed_bytes for k, v in out.items()} == {
