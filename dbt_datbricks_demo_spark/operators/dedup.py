@@ -768,14 +768,12 @@ def duplicate_gram_stats(
     Returns (id, n_grams, n_dup_grams) — one row per document with at
     least one n-gram; callers left-join and zero-fill short docs.
     """
-    from dbt_datbricks_demo_spark.operators.text import word_ngrams_all
+    from dbt_datbricks_demo_spark.operators.text import word_gram_rows
 
-    toks = tokens(text_col)
     gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("bigint")
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams_all(toks, n)).alias("gram"),
-    ).select("id", gh.alias("gh"))
+    # row-level codegen gram pass (word_gram_rows) — no interpreted
+    # transform() lambda on the corpus stream
+    ex = word_gram_rows(df, id_col, text_col, n).select("id", gh.alias("gh"))
     per_doc_gram = ex.groupBy("id", "gh").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )

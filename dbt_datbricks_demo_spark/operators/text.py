@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Whitespace tokenizer applied to trimmed, lowercased text. Kept
 # deliberately simple so it is reproducible in any engine (oracle parity).
@@ -132,6 +133,42 @@ def word_ngrams_all(tok_col: Column, n: int) -> Column:
         F.size(tok_col) >= n,
         F.transform(F.sequence(F.lit(1), F.size(tok_col) - (n - 1)), gram),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_gram_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    pos_col: str | None = None,
+) -> DataFrame:
+    """(id[, pos], gram) ROWS — one row per word n-gram occurrence — via
+    position-explode + row-level slice/concat. This is the whole-stage-
+    codegen form of the word-gram pass, the exact analog of
+    `dedup.shingle_hash_rows` for character shingles: building the gram
+    ARRAY with a transform() lambda runs in Catalyst's interpreted
+    higher-order-function walker, whose wall time is a per-JVM JIT-
+    profile lottery (the measured bimodal 3 s / 15 s mode of the
+    near-dup family, and the round-4 warm-spread flags on the
+    gram-explode trio). Exploding the POSITION sequence instead and
+    computing `concat_ws(' ', slice(t, pos, n))` per row keeps every
+    expression inside the stage's generated code.
+
+    The explode is NARROW (no shuffle); docs with fewer than n tokens
+    produce no rows (the empty-sequence guard avoids the descending
+    sequence(1, 0) pitfall). `pos` is the 1-based start token position,
+    included only when pos_col is given."""
+    staged = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
+    seq = F.when(
+        F.size("_t") >= n,
+        F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    ex = staged.select("id", "_t", F.explode(seq).alias("_p"))
+    gram = F.concat_ws(" ", F.slice(F.col("_t"), F.col("_p"), n))
+    cols = [F.col("id")]
+    if pos_col:
+        cols.append(F.col("_p").alias(pos_col))
+    return ex.select(*cols, gram.alias("gram"))
 
 
 def top_run_count(arr: Column) -> Column:
@@ -363,4 +400,122 @@ def compression_ratio(
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         compress, schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr duplicated-span REMOVAL (the operational form of Lee et
+# al. 2022 — duplicate_gram_stats measures the mass, this op rewrites
+# the documents with the duplicated spans cut out)
+# ---------------------------------------------------------------------------
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Rewrite each document with its corpus-duplicated spans removed
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", the ExactSubstr deduplication the paper applies before
+    training). The paper's suffix array globalizes to Spark exactly like
+    `dedup.duplicate_gram_stats`: a word n-gram occurring >= 2 times
+    corpus-wide marks a duplicated span, and every token position the
+    gram covers is cut from the rewritten text.
+
+    Entirely in-plan, one corpus gram explode, no corpus self-join:
+
+    1. explode the gram POSITION sequence once (word_gram_rows — the
+       row-level whole-stage-codegen gram pass), carrying the 1-based
+       start position and a 60-bit md5 gram digest (16-byte shuffle
+       rows; the oracle computes the same digest so any collision is
+       deterministic and identical in both engines).
+    2. groupBy (id, digest) with collect_list(position) — the
+       combiner-safe partial aggregate, so within-doc boilerplate
+       repeats collapse map-side — then corpus totals via ONE window
+       over the digest on that reduced stream (same residual skew bound
+       as duplicate_gram_stats: one row per distinct doc per gram).
+    3. Duplicated gram positions expand to covered token indices
+       (explodes over the DUPLICATE-bounded stream only), dedup via the
+       map-side-combining collect_set per doc, sorted.
+    4. Contiguous covered indices merge to spans by pure array
+       arithmetic (adjacent-difference > 1 counts a new span — no
+       per-doc window), and the rewritten text is the original token
+       stream filtered by index and re-joined with single spaces.
+
+    Output text is NORMALIZED (trimmed, lowercased, single-spaced) —
+    the same `tokens()` convention every other text operator and its
+    SQL oracle share; the paper operates on raw bytes, which a
+    distributed engine cannot reassemble after whitespace-insensitive
+    tokenization. Token membership checks are array_contains over the
+    per-doc covered set: O(tokens x covered) per row worst case, fine
+    for document-sized arrays and zero extra shuffles.
+
+    Returns one row per input document with non-null text:
+    (id, clean_text, n_spans_removed, tokens_total, tokens_removed,
+    tokens_kept, chars_kept, chars_removed). Docs shorter than n tokens
+    pass through unchanged with zero counters.
+    """
+    nn = df.filter(F.col(text_col).isNotNull())
+    staged = nn.select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    # row-level codegen gram pass — see word_gram_rows on why no
+    # transform() lambda touches the corpus stream
+    ex = word_gram_rows(nn, id_col, text_col, n, pos_col="pos").select(
+        "id", "pos", gh.alias("gh")
+    )
+    per_doc_gram = ex.groupBy("id", "gh").agg(
+        F.collect_list("pos").alias("poss"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    dup = per_doc_gram.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("gh"))
+    ).filter(F.col("total") >= 2)
+    covered = dup.select("id", F.explode("poss").alias("p")).select(
+        "id", F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("idx")
+    )
+    # collect_set dedups map-side (no separate distinct shuffle)
+    cov = covered.groupBy("id").agg(
+        F.sort_array(F.collect_set("idx")).alias("cov")
+    )
+    # spans = 1 + number of gaps between adjacent covered indices;
+    # greatest() keeps slice lengths non-negative for the 0/1-element
+    # cases (both branches of a CASE reach codegen)
+    tail = F.slice(F.col("cov"), 2, F.greatest(F.size("cov") - 1, F.lit(0)))
+    head = F.slice(F.col("cov"), 1, F.greatest(F.size("cov") - 1, F.lit(0)))
+    gaps = F.aggregate(
+        F.zip_with(
+            tail, head,
+            lambda a, b: F.when(a - b > 1, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cov = cov.select(
+        "id", "cov",
+        F.when(F.size("cov") == 0, 0).otherwise(1 + gaps)
+        .cast("bigint").alias("n_spans_removed"),
+    )
+    out = staged.join(cov, "id", "left").withColumn(
+        "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("t"), lambda x, i: ~F.array_contains(F.col("cov"), i + 1)
+    )
+    clean = F.concat_ws(" ", kept)
+    norm = F.concat_ws(" ", F.col("t"))
+    return out.select(
+        F.col("id").alias(id_col),
+        clean.alias("clean_text"),
+        F.coalesce(F.col("n_spans_removed"), F.lit(0).cast("bigint")).alias(
+            "n_spans_removed"
+        ),
+        F.size("t").cast("bigint").alias("tokens_total"),
+        F.size("cov").cast("bigint").alias("tokens_removed"),
+        (F.size("t") - F.size("cov")).cast("bigint").alias("tokens_kept"),
+        F.length(clean).cast("bigint").alias("chars_kept"),
+        (F.length(norm) - F.length(clean)).cast("bigint").alias(
+            "chars_removed"
+        ),
     )

@@ -287,6 +287,126 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ExactSubstr duplicated-span REMOVAL (operational rewrite; the report
+# above only measures the mass)
+# ---------------------------------------------------------------------------
+@_register(
+    "span_removal_report",
+    "documents rewritten with corpus-duplicated word-8-gram spans CUT "
+    "(Lee et al. 2022 ExactSubstr dedup as applied before training — "
+    "operators.text.remove_duplicate_spans): one corpus gram explode, "
+    "combiner-safe (id, digest) pre-agg, corpus totals via a window on "
+    "the reduced stream, duplicate-bounded span expansion, in-plan "
+    "token-filter reassembly; per-source removal accounting over the "
+    "rewritten docs. The oracle re-derives covered token indices "
+    "relationally (lag-window span count) — same digest, same spans",
+    f"""
+    with tok as (
+        select doc_id, source, {_SQL_TOKENS} as t from documents
+        where text is not null
+    ),
+    grams as (
+        select doc_id, i as pos,
+               (('0x' || substr(md5(array_to_string(t[i:i+7], ' ')),
+                                1, 15))::ubigint)::bigint as gh
+        from (
+            select doc_id, t, unnest(range(1, len(t) - 6)) as i
+            from tok where len(t) >= 8
+        )
+    ),
+    counted as (
+        select doc_id, pos, count(*) over (partition by gh) as total
+        from grams
+    ),
+    covered as (
+        select distinct doc_id, idx from (
+            select doc_id, unnest(range(pos, pos + 8)) as idx
+            from counted where total >= 2
+        )
+    ),
+    marked as (
+        select doc_id, idx,
+               case when lag(idx) over (partition by doc_id order by idx)
+                         is null
+                      or idx - lag(idx) over (partition by doc_id
+                                              order by idx) > 1
+                    then 1 else 0 end as newspan
+        from covered
+    ),
+    rem as (
+        select doc_id, count(*) as tokens_removed, sum(newspan) as n_spans
+        from marked group by doc_id
+    ),
+    toklens as (
+        select doc_id, idx, len(t[idx]) as l
+        from (select doc_id, t, unnest(range(1, len(t) + 1)) as idx
+              from tok)
+    ),
+    chars as (
+        select tl.doc_id,
+               count(*) as tokens_total,
+               sum(tl.l) as all_len,
+               sum(case when c.idx is null then tl.l else 0 end) as kept_len,
+               sum(case when c.idx is null then 1 else 0 end) as tokens_kept
+        from toklens tl
+        left join covered c on tl.doc_id = c.doc_id and tl.idx = c.idx
+        group by tl.doc_id
+    ),
+    per_doc as (
+        select ch.doc_id,
+               coalesce(r.n_spans, 0) as n_spans,
+               coalesce(r.tokens_removed, 0) as tokens_removed,
+               ch.tokens_total, ch.tokens_kept,
+               case when ch.tokens_kept > 0
+                    then ch.kept_len + ch.tokens_kept - 1 else 0
+               end as chars_kept,
+               (ch.all_len + ch.tokens_total - 1)
+                 - case when ch.tokens_kept > 0
+                        then ch.kept_len + ch.tokens_kept - 1 else 0
+                   end as chars_removed
+        from chars ch left join rem r using (doc_id)
+    )
+    select t.source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(case when p.n_spans > 0 then 1 else 0 end) as bigint)
+               as n_docs_affected,
+           cast(sum(p.n_spans) as bigint) as n_spans_removed,
+           cast(sum(p.tokens_removed) as bigint) as tokens_removed,
+           cast(sum(p.tokens_kept) as bigint) as tokens_kept,
+           cast(sum(p.chars_removed) as bigint) as chars_removed,
+           cast(sum(p.chars_kept) as bigint) as chars_kept,
+           sum(p.tokens_removed) * 1.0 / sum(p.tokens_total)
+               as removed_token_rate
+    from per_doc p join tok t using (doc_id)
+    group by t.source
+    order by t.source
+    """,
+)
+def span_removal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    cleaned = text.remove_duplicate_spans(docs, "doc_id", "text", n=8)
+    with_src = cleaned.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        with_src.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_spans_removed") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+            F.sum("n_spans_removed").cast("bigint").alias("n_spans_removed"),
+            F.sum("tokens_removed").cast("bigint").alias("tokens_removed"),
+            F.sum("tokens_kept").cast("bigint").alias("tokens_kept"),
+            F.sum("chars_removed").cast("bigint").alias("chars_removed"),
+            F.sum("chars_kept").cast("bigint").alias("chars_kept"),
+            (
+                F.sum("tokens_removed") * 1.0 / F.sum("tokens_total")
+            ).alias("removed_token_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental batch-vs-corpus deduplication
 # ---------------------------------------------------------------------------
 @_register(

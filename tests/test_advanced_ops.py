@@ -179,3 +179,50 @@ def test_video_scene_oracle_ascii_invariant():
             "(character substr) no longer matches the byte-frame operator; "
             "see the PARITY INVARIANT note in queries/analysis_ops.py"
         )
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans (ExactSubstr removal — the operational rewrite)
+# ---------------------------------------------------------------------------
+def test_remove_duplicate_spans_cuts_planted_spans(spark):
+    from dbt_datbricks_demo_spark.operators.text import remove_duplicate_spans
+
+    shared1 = "a b c d e f g h"          # 8-gram planted in docs 0, 1, 3
+    shared2 = "m n o p q r s t"          # 8-gram planted in docs 3, 4
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared1} x0 y0 z0"),
+            (1, f"p q {shared1} r"),
+            (2, "too short for any gram"),
+            (3, f"{shared1} gap1 gap2 {shared2}"),
+            (4, f"{shared2} e4 x4 y4 z4 w4"),
+            (5, "i1 i2 i3 i4 i5 i6 i7 i8 i1 i2 i3 i4 i5 i6 i7 i8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, n=8).collect()}
+
+    # leading span cut, unique tail kept
+    assert out[0].clean_text == "x0 y0 z0"
+    assert out[0].n_spans_removed == 1
+    assert (out[0].tokens_removed, out[0].tokens_kept) == (8, 3)
+    # mid-document span cut, both flanks kept
+    assert out[1].clean_text == "p q r"
+    assert out[1].n_spans_removed == 1
+    # short doc passes through unchanged with zero counters
+    assert out[2].clean_text == "too short for any gram"
+    assert out[2].n_spans_removed == 0 and out[2].tokens_removed == 0
+    assert out[2].chars_removed == 0
+    # two separated duplicated spans -> 2 spans, only the gap survives
+    assert out[3].clean_text == "gap1 gap2"
+    assert out[3].n_spans_removed == 2
+    assert out[3].tokens_removed == 16
+    # within-doc repetition alone triggers removal (the paper dedups
+    # self-repeats too); contiguous coverage merges to ONE span
+    assert out[5].clean_text == ""
+    assert out[5].n_spans_removed == 1
+    assert out[5].tokens_removed == 16 and out[5].chars_kept == 0
+    # char accounting is consistent with the normalized reassembly
+    for r in out.values():
+        assert r.chars_kept == len(r.clean_text)
+        assert r.tokens_total == r.tokens_kept + r.tokens_removed

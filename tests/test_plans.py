@@ -377,3 +377,20 @@ def test_chi_square_totals_from_contingency_not_corpus(spark):
     plan = _plan(spark, "chi_square_report")
     assert plan.count("Scan parquet") == 0  # built entirely from the checkpoint
     assert "Scan ExistingRDD" in plan
+
+
+def test_span_removal_no_corpus_self_join_single_gram_explode(spark):
+    # ExactSubstr REMOVAL keeps the measurement query's shape: the
+    # corpus gram stream explodes once (the two other Generates expand
+    # only the duplicate-bounded position stream), totals attach by a
+    # window over the digest on the combiner-reduced (id, digest)
+    # stream, and the rewrite joins docs to per-doc covered sets by id —
+    # never gram-to-gram corpus self-joins, never a cartesian product.
+    plan = _plan(spark, "span_removal_report")
+    # formatted mode lists each node twice (tree + detail): 3 Generates
+    # = corpus posexplode + 2 duplicate-bounded expansions
+    assert plan.count("Generate") == 6
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # combiner-safe pre-aggregation before the digest window
+    assert "partial_" in plan
