@@ -704,3 +704,206 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain/host-level curation (round 5): the RefinedWeb-style surface —
+# per-domain document caps, host blocklist filtering, per-domain quality
+# rollup. The documents table's `source` column is the host/domain key.
+# ---------------------------------------------------------------------------
+_DOMAIN_CAP = 10
+_BLOCKED_DOMAINS = ["src3", "src7", "src11", "src15"]
+_BLOCKED_TERM = "dup"
+
+
+@_register(
+    "domain_cap_report",
+    "per-domain document cap (RefinedWeb-style: keep the top "
+    f"{_DOMAIN_CAP} docs per domain by (n_chars desc, doc_id)): the "
+    "kept set ranks with row_number + an immediate rank filter, which "
+    "Spark compiles to WindowGroupLimit — each map task forwards only "
+    "its per-domain top-K BEFORE the exchange, so a hot domain with "
+    "100M docs never sorts corpus-wide; totals come from a separate "
+    "combiner-safe groupBy and join back broadcast (per-domain table "
+    "is tiny at any scale)",
+    f"""
+    with ranked as (
+        select source, doc_id, n_chars, len({_SQL_TOKENS}) as ntok,
+               row_number() over (partition by source
+                                  order by n_chars desc, doc_id) as rn
+        from documents
+    ),
+    totals as (
+        select source, count(*) as n_docs, sum(ntok) as tokens_total
+        from ranked group by source
+    ),
+    kept as (
+        select source, count(*) as n_kept, sum(ntok) as tokens_kept,
+               sum(n_chars) as chars_kept
+        from ranked where rn <= {_DOMAIN_CAP} group by source
+    )
+    select t.source,
+           cast(t.n_docs as bigint) as n_docs,
+           cast(k.n_kept as bigint) as n_kept,
+           cast(t.n_docs - k.n_kept as bigint) as n_dropped,
+           cast(t.tokens_total as bigint) as tokens_total,
+           cast(k.tokens_kept as bigint) as tokens_kept,
+           cast(k.chars_kept as bigint) as chars_kept
+    from totals t join kept k using (source)
+    order by t.source
+    """,
+)
+def domain_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    ntok = F.size(tokens("text"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum(ntok).cast("bigint").alias("tokens_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("tokens_total"),
+    )
+    return (
+        totals.join(F.broadcast(kept), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).cast("bigint").alias(
+                "n_dropped"
+            ),
+            "tokens_total",
+            "tokens_kept",
+            "chars_kept",
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "domain_blocklist_report",
+    "host blocklist + banned-term admission funnel: the blocklist is a "
+    "TABLE joined broadcast-left (a production blocklist is millions of "
+    "hosts — never an isin literal), the term check is an exact token "
+    "membership test (array_contains — no regex-dialect divergence); "
+    "per-domain funnel counts (domain-blocked wins over term-blocked)",
+    f"""
+    with blk as (
+        select unnest(['{"','".join(_BLOCKED_DOMAINS)}']) as b_source
+    ),
+    f as (
+        select d.source,
+               (b.b_source is not null) as db,
+               list_contains({_SQL_TOKENS}, '{_BLOCKED_TERM}') as tb
+        from documents d left join blk b on d.source = b.b_source
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(case when db then 1 else 0 end) as bigint)
+               as n_domain_blocked,
+           cast(sum(case when not db and tb then 1 else 0 end) as bigint)
+               as n_term_blocked,
+           cast(sum(case when not db and not tb then 1 else 0 end) as bigint)
+               as n_admitted
+    from f
+    group by source
+    order by source
+    """,
+)
+def domain_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    blk = spark.createDataFrame(
+        [(s,) for s in _BLOCKED_DOMAINS], "b_source string"
+    )
+    flagged = (
+        docs.join(
+            F.broadcast(blk), docs["source"] == blk["b_source"], "left"
+        )
+        .withColumn("db", F.col("b_source").isNotNull())
+        .withColumn("tb", F.array_contains(tokens("text"), _BLOCKED_TERM))
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("db"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_domain_blocked"),
+            F.sum(F.when(~F.col("db") & F.col("tb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_term_blocked"),
+            F.sum(F.when(~F.col("db") & ~F.col("tb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_admitted"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "domain_quality_rollup",
+    "per-domain corpus quality rollup: doc counts, exact-digest unique "
+    "share (domain-level dup rate), language diversity, token mass, "
+    "short-doc share, and a quality tier CASE over the mean doc length "
+    "— the per-host scorecard a crawl-curation pipeline keeps; one "
+    "combiner-safe aggregation pass, distinct counts partial-agged on "
+    "(source, value)",
+    f"""
+    with d as (
+        select source, lang, md5(text) as digest,
+               len({_SQL_TOKENS}) as ntok
+        from documents
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(count(distinct digest) as bigint) as n_unique,
+           cast(count(distinct lang) as bigint) as n_langs,
+           cast(sum(ntok) as bigint) as tokens_total,
+           cast(sum(case when ntok < 30 then 1 else 0 end) as bigint)
+               as n_short_docs,
+           sum(ntok) * 1.0 / count(*) as mean_doc_tokens,
+           case when sum(ntok) * 1.0 / count(*) >= 60 then 'long'
+                when sum(ntok) * 1.0 / count(*) >= 40 then 'medium'
+                else 'short' end as length_tier
+    from d
+    group by source
+    order by source
+    """,
+)
+def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    ntok = F.size(tokens("text"))
+    d = docs.select(
+        "source", "lang", F.md5("text").alias("digest"), ntok.alias("ntok")
+    )
+    mean_tokens = F.sum("ntok") * 1.0 / F.count(F.lit(1))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("digest").cast("bigint").alias("n_unique"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("ntok").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(F.col("ntok") < 30, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_short_docs"),
+            mean_tokens.alias("mean_doc_tokens"),
+            F.when(mean_tokens >= 60, "long")
+            .when(mean_tokens >= 40, "medium")
+            .otherwise("short")
+            .alias("length_tier"),
+        )
+        .orderBy("source")
+    )

@@ -394,3 +394,24 @@ def test_span_removal_no_corpus_self_join_single_gram_explode(spark):
     assert "Window" in plan
     # combiner-safe pre-aggregation before the digest window
     assert "partial_" in plan
+
+
+def test_domain_cap_uses_window_group_limit(spark):
+    # the per-domain cap must compile to WindowGroupLimit: each map task
+    # forwards only its per-domain top-K before the exchange, so a hot
+    # domain never sorts corpus-wide; the tiny per-domain aggregate
+    # joins back broadcast
+    plan = _plan(spark, "domain_cap_report")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_blocklist_broadcasts_the_blocklist(spark):
+    # the blocklist is a table, joined broadcast — the corpus side never
+    # shuffles for the admission check
+    plan = _plan(spark, "domain_blocklist_report")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # final rollup keeps map-side combine
+    assert "partial_" in plan
