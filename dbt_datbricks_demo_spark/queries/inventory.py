@@ -1034,17 +1034,87 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_register(
     "sketch_report",
-    "approximate aggregates per event_type: HyperLogLog++ distinct users "
-    "(rsd=0.01) and KLL-style approx p50/p95 — constant memory per group "
-    "at any scale; no oracle (estimates are engine-specific)",
-    None,
+    "approximate aggregates per event_type — HyperLogLog++ distinct "
+    "users (rsd=0.01) and KLL-style approx p50/p95 — converted (round "
+    "5) to a TOLERANCE-MODE oracle: the exact distinct count is "
+    "hash-compared against DuckDB, and each estimate is certified "
+    "in-plan against its error band. HLL must sit within 5% relative "
+    "of the exact distinct (5 sigma at rsd 0.01); each quantile "
+    "estimate is certified by RANK COUNTING — a second scan counts "
+    "values <= the estimate and the count must land inside the "
+    "±0.04-rank window — never by an exact percentile (which buffers "
+    "every group value and is exactly what sketches exist to avoid). "
+    "The oracle emits literal TRUE for the band booleans, so an "
+    "estimate leaving its bound hash-mismatches (measured: relerr <= "
+    "0.0067 and both rank counts mid-band at sf0.001/0.01/0.1)",
+    """
+    select event_type,
+           cast(count(distinct user_id) as bigint) as exact_users,
+           true as approx_users_ok,
+           true as p50_ok,
+           true as p95_ok
+    from events
+    group by event_type
+    order by event_type
+    """,
 )
 def sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _spread(_t(spark, sf_dir, "events"))
-    return ev.groupBy("event_type").agg(
+    # pass 1: sketches in one aggregation, the exact distinct in a
+    # SEPARATE one joined back on the 5-row key — mixing a distinct
+    # aggregate with sketch aggregates makes Spark plan the
+    # Expand-duplicate-every-row shape (measured 10.9 s vs 1.4 s + 0.9 s
+    # split at sf0.1). 5 result rows — eagerly checkpointed so the
+    # join-back and the output both read it without recomputing the
+    # sketch pass
+    sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
         F.percentile_approx("value", 0.95, 10_000).alias("approx_p95"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    s1 = sketches.join(F.broadcast(exact), "event_type").localCheckpoint(
+        eager=True
+    )
+    # pass 2: scan-bound rank counting against the estimates (broadcast
+    # 5-row threshold table; map-side partial agg)
+    ranks = (
+        ev.join(
+            F.broadcast(
+                s1.select("event_type", "approx_p50", "approx_p95")
+            ),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("approx_p50"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_le_p50"),
+            F.sum(F.when(F.col("value") <= F.col("approx_p95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_le_p95"),
+        )
+    )
+    return (
+        s1.join(F.broadcast(ranks), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users")) * 100
+                <= F.col("exact_users") * 5
+            ).alias("approx_users_ok"),
+            (F.col("n_le_p50") * 100).between(
+                F.col("n") * 46, F.col("n") * 54
+            ).alias("p50_ok"),
+            (F.col("n_le_p95") * 100).between(
+                F.col("n") * 91, F.col("n") * 99
+            ).alias("p95_ok"),
+        )
+        .orderBy("event_type")
     )
 
 

@@ -676,24 +676,70 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[flo
 
 @_register(
     "ann_ivf_topk",
-    "IVF approximate top-10: seeded k-means coarse quantizer, corpus "
-    "written cell-PARTITIONED once (operators.similarity.write_ivf_index),"
-    " probing nprobe=2 cells = directory pruning (PartitionFilters, "
-    "pinned in tests/test_plans.py), exact cosine over the probed cells "
-    "(ivf_index_topk). No SQL oracle: k-means training is iterative "
-    "(rows-only check)",
-    None,
+    "IVF approximate top-10 with a TOLERANCE-MODE oracle (round 5): "
+    "seeded k-means coarse quantizer, corpus written cell-PARTITIONED "
+    "once (operators.similarity.write_ivf_index), probing nprobe=6 of "
+    "16 cells = directory pruning (PartitionFilters), exact cosine over "
+    "the probed cells (ivf_index_topk). The trained quantizer is not "
+    "SQL-reproducible, so the oracle checks what IS exact: the "
+    "brute-force top-10 (count + min/max cosine, value-hash-compared "
+    "against DuckDB's identical sequential-double scan) plus a literal "
+    "TRUE recall floor — recall@10 >= 0.6 of the IVF set against brute "
+    "force, computed in-plan; below-floor recall hash-mismatches "
+    "(measured: 8/10 hits at sf0.001, sf0.01 and sf0.1)",
+    f"""
+    with q as (
+        select list_transform(embedding, x -> cast(x as double)) as qv
+        from embeddings where vec_id = 0
+    ),
+    scored as (
+        select vec_id,
+               {_sql_dot('embedding', 'qv')}
+               / ({_sql_l2('embedding')} * {_sql_l2('qv')}) as cosine
+        from embeddings, q
+    ),
+    brute as (
+        select vec_id, cosine from scored
+        order by cosine desc, vec_id limit 10
+    )
+    select 10 as k, 6 as nprobe,
+           cast(count(*) as bigint) as n_bf,
+           min(cosine) as bf_min_cosine,
+           max(cosine) as bf_max_cosine,
+           true as recall_ok
+    from brute
+    """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_path, cents = _ivf_index_for(spark, sf_dir)
-    qrow = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .first()
-    )
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     query = [float(x) for x in qrow["embedding"]]
-    return similarity.ivf_index_topk(spark, idx_path, cents, query, k=10, nprobe=2)
+    ivf = similarity.ivf_index_topk(
+        spark, idx_path, cents, query, k=10, nprobe=6
+    )
+    bf = similarity.cosine_topk(emb, query, k=10)
+    # both sides are 10-row results: the hit count attaches as a one-row
+    # broadcast scalar (bounded crossJoin, same pattern as the totals
+    # attaches elsewhere)
+    hits = (
+        bf.select("vec_id")
+        .intersect(ivf.select("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    bf_stats = bf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bf"),
+        F.min("cosine").alias("bf_min_cosine"),
+        F.max("cosine").alias("bf_max_cosine"),
+    )
+    return bf_stats.crossJoin(F.broadcast(hits)).select(
+        F.lit(10).alias("k"),
+        F.lit(6).alias("nprobe"),
+        "n_bf",
+        "bf_min_cosine",
+        "bf_max_cosine",
+        (F.col("n_hits") >= 6).alias("recall_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------

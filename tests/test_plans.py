@@ -104,15 +104,21 @@ def test_ivf_search_prunes_partitions(spark):
     the cell-partitioned index, not a filter over a full scan."""
     df = QUERIES["ann_ivf_topk"].build(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "ivf_cell" in plan.split(
-        "PartitionFilters"
-    )[1].split("]")[0]
+    # the INDEX scan carries the cell PartitionFilter (the brute-force
+    # comparison branch scans the raw embeddings with an empty filter
+    # list — inspect every occurrence)
+    assert any(
+        "ivf_cell" in seg.split("]")[0]
+        for seg in plan.split("PartitionFilters")[1:]
+    )
     # and the full corpus is NOT re-assigned at query time: no centroid
     # argmin math on the scan side
     assert "array_position" not in plan
+    # tolerance-mode report row: brute force found all 10, IVF recall
+    # cleared its floor (the oracle hash-checks the same values)
     rows = df.collect()
-    assert len(rows) == 10
-    assert rows[0]["vec_id"] == 0  # the query vector finds itself first
+    assert len(rows) == 1
+    assert rows[0]["n_bf"] == 10 and rows[0]["recall_ok"] is True
 
 
 def test_quality_deciles_no_corpus_window(spark):
