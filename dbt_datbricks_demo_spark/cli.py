@@ -83,6 +83,12 @@ def _parser() -> argparse.ArgumentParser:
         help="testdata dir (default sf0.01 — the driver's grading scale)",
     )
     verify.add_argument("queries", nargs="*", default=[])
+    verify.add_argument(
+        "--prefix",
+        action="store_true",
+        help="verify the 50-query GRADED_PREFIX (use with --sf "
+        "/root/testdata/sf0.1 for the above-driver-scale ceiling gate)",
+    )
     docs = sub.add_parser(
         "docs", help="print the model DAG; --artifacts writes manifest/catalog"
     )
@@ -143,7 +149,12 @@ def main(argv: list[str] | None = None) -> int:
             _sys.path.insert(0, repo_root)
         from tests.oracle_harness import run as oracle_run
 
-        return oracle_run(args.sf, args.queries or None)
+        names = args.queries or None
+        if args.prefix:
+            from dbt_datbricks_demo_spark.queries import GRADED_PREFIX
+
+            names = list(GRADED_PREFIX) + (args.queries or [])
+        return oracle_run(args.sf, names)
 
     spark = get_spark(app_name=f"engine-{args.verb}")
     spark.sparkContext.setLogLevel("ERROR")

@@ -34,6 +34,9 @@ HEADLINE = {
     "table_profile_report": "column profile: ONE scan, Expand multi-distinct, stack unpivot",
     "regression_trend_report": "closed-form OLS: broadcast dims, exact decimal sums, partial agg",
     "hard_negative_mining": "negative sampling: bounded anchor broadcast, WindowGroupLimit top-k",
+    "span_removal_report": "ExactSubstr removal: one codegen gram explode, combiner pre-agg, dup-bounded span expansion",
+    "domain_cap_report": "per-domain cap: WindowGroupLimit map-side top-K, broadcast totals join-back",
+    "domain_blocklist_report": "host blocklist: broadcast table join, map-side funnel agg",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
