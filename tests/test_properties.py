@@ -394,3 +394,34 @@ def test_chi_square_nonnegative_and_zero_iff_independent(spark, cells):
         .agg(F.sum("t")).first()[0]
     )
     assert chi2 == 0
+
+
+@settings(**SETTINGS)
+@given(st.lists(texts, min_size=1, max_size=10))
+def test_word_gram_rows_matches_array_form(spark, docs):
+    """The round-5 row-level codegen gram pass (text.word_gram_rows)
+    must produce exactly the multiset of (id, pos, gram) the interpreted
+    array form (word_ngrams_all + posexplode) produces — the rewrite is
+    a physical-plan change, never a semantic one."""
+    from dbt_datbricks_demo_spark.operators.text import (
+        tokens,
+        word_gram_rows,
+        word_ngrams_all,
+    )
+
+    n = 3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    rows = sorted(
+        (r["id"], r["p"], r["gram"])
+        for r in word_gram_rows(df, "doc_id", "text", n, pos_col="p").collect()
+    )
+    arr = sorted(
+        (r["doc_id"], r["p0"] + 1, r["gram"])
+        for r in df.select(
+            "doc_id",
+            F.posexplode(word_ngrams_all(tokens("text"), n)).alias(
+                "p0", "gram"
+            ),
+        ).collect()
+    )
+    assert rows == arr
