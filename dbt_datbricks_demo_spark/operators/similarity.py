@@ -279,6 +279,53 @@ def pairwise_dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def batch_cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact per-query top-k for a BATCH of query vectors — the
+    operational form of similarity search (an inference service scores a
+    request batch, a mining job scores an anchor set; the single-query
+    `cosine_topk` is the unit primitive).
+
+    Plan shape for 100 TB: the query batch is bounded and broadcast; the
+    corpus scans ONCE with a |batch|-way row expansion scored by pure
+    JVM expressions; the per-query ranking is row_number with an
+    immediate rank filter, which Spark compiles to WindowGroupLimit —
+    each map task forwards only its per-query top-k before the exchange,
+    so the shuffle carries |partitions| x |batch| x k short rows, never
+    the scored cross product. Self-matches are excluded. Returns
+    (q_id, vec_id, rank, cosine), rank 1-based.
+    """
+    from pyspark.sql.window import Window
+
+    scored = (
+        df.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            (
+                pairwise_dot(F.col(vec_col), F.col(q_vec_col))
+                / (_norm(F.col(vec_col)) * _norm(F.col(q_vec_col)))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank", "cosine")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     planes: int = 8,

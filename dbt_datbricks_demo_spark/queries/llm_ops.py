@@ -448,6 +448,49 @@ def _sql_l2(vec: str) -> str:
 
 
 @_register(
+    "ann_batch_topk",
+    "BATCH similarity search (operators.similarity.batch_cosine_topk): "
+    "every vec_id % 100 == 0 vector is a query; bounded batch "
+    "broadcast, ONE corpus scan with JVM-expression scoring, per-query "
+    "top-5 via row_number + immediate rank filter = WindowGroupLimit "
+    "(map-side per-query top-k before the exchange — the shuffle "
+    "carries partitions x batch x k short rows, never the scored cross "
+    "product); exact sequential-double cosines hash-match DuckDB",
+    f"""
+    with q as (
+        select vec_id as q_id,
+               list_transform(embedding, x -> cast(x as double)) as qv
+        from embeddings where vec_id % 100 = 0
+    ),
+    scored as (
+        select q.q_id, e.vec_id,
+               {_sql_dot('embedding', 'qv')}
+               / ({_sql_l2('embedding')} * {_sql_l2('qv')}) as cosine
+        from embeddings e, q
+        where e.vec_id <> q.q_id
+    ),
+    ranked as (
+        select q_id, vec_id, cosine,
+               row_number() over (partition by q_id
+                                  order by cosine desc, vec_id) as rank
+        from scored
+    )
+    select q_id, vec_id, cast(rank as int) as rank, cosine
+    from ranked where rank <= 5
+    order by q_id, rank
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.batch_cosine_topk(emb, queries, k=5).orderBy(
+        "q_id", "rank"
+    )
+
+
+@_register(
     "embedding_neardup_pairs",
     "embedding-cosine near-dup candidates: hyperplane-LSH bucket "
     "self-join, exact cosine >= 0.0 within bucket (operators.similarity."

@@ -421,3 +421,13 @@ def test_domain_blocklist_broadcasts_the_blocklist(spark):
     assert "SortMergeJoin" not in plan
     # final rollup keeps map-side combine
     assert "partial_" in plan
+
+
+def test_batch_ann_window_group_limit_one_scan(spark):
+    # batch similarity search: the per-query ranking must compile to
+    # WindowGroupLimit (map-side per-query top-k before the exchange)
+    # over ONE corpus scan joined to the broadcast query batch
+    plan = _plan(spark, "ann_batch_topk")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # bounded batch broadcast
+    assert "SortMergeJoin" not in plan
