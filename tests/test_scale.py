@@ -314,3 +314,38 @@ def test_minhash_index_lookup_matches_direct_band_join(spark, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert dedup.MINHASH_BUCKET_COL in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_minhash_index_append_mode_accumulates_ingests(spark, tmp_path):
+    """ADVICE r4: a second ingest must APPEND to the standing index, not
+    wipe it — write the corpus, append an admitted batch, and verify a
+    later probe sees candidates from BOTH generations."""
+    from pyspark.sql import functions as F
+
+    from dbt_datbricks_demo_spark.operators import dedup
+    from dbt_datbricks_demo_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    gen0 = docs.filter(F.col("doc_id") % 3 == 0)
+    gen1 = docs.filter(F.col("doc_id") % 3 == 1)
+    probe = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "mh_index")
+
+    dedup.write_minhash_index(gen0, path)
+    dedup.write_minhash_index(gen1, path, mode="append")
+
+    got = {
+        (r.batch_id, r.corpus_id)
+        for r in dedup.index_candidate_pairs(spark, path, probe).collect()
+    }
+    # reference: one index over the union of both generations
+    path_union = str(tmp_path / "mh_union")
+    dedup.write_minhash_index(gen0.unionByName(gen1), path_union)
+    expected = {
+        (r.batch_id, r.corpus_id)
+        for r in dedup.index_candidate_pairs(spark, path_union, probe).collect()
+    }
+    assert got == expected
+    assert any(c % 3 == 0 for _, c in got) and any(c % 3 == 1 for _, c in got), (
+        "probe must hit candidates from both ingest generations"
+    )
