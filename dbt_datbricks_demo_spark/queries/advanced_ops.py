@@ -61,39 +61,50 @@ def _sql_bands(hashed_cte: str) -> str:
 # fixed linear model over the engineered quality features. Weights are
 # part of the operator contract (a deployment trains its own); keeping
 # scores on the logit scale avoids exp()'s cross-engine low bits.
-_W = {"bias": -0.2, "n_tokens": 0.04, "avg_token_len": -0.45,
-      "punct_ratio": -12.0, "stopword_ratio": 8.0}
-
-_SQL_FEATURES = f"""
-    select doc_id, source,
-        len({_SQL_TOKENS}) as n_tokens,
-        list_sum(list_transform({_SQL_TOKENS}, x -> length(x))) * 1.0
-            / nullif(len({_SQL_TOKENS}), 0) as avg_token_len,
-        len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
-            / nullif(length(text), 0) as punct_ratio,
-        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) * 1.0
-            / nullif(len({_SQL_TOKENS}), 0) as stopword_ratio
-    from documents
-"""
-
-
+# Classifier weights, documented as x100 integer coefficients inside the
+# integer-exact logit (see quality_classifier_report): bias -0.2,
+# n_tokens 0.04, avg_token_len -0.45, punct_ratio -12.0,
+# stopword_ratio 8.0.
 @_register(
     "quality_classifier_report",
     "linear quality-classifier inference (fastText-style reduced to a "
     "fixed linear model over the §2.9 quality features): per-source "
     "doc counts, keep rate at logit>0, mean logit — scoring is a pure "
-    "narrow projection (zero shuffle before the 1-key agg); logits "
-    "travel as micro-ints so the mean is an exact integer ratio",
+    "narrow projection (zero shuffle before the 1-key agg). The logit "
+    "is INTEGER-EXACT end to end (round 5): each feature ratio "
+    "quantizes to micro-units with integer half-up rounding "
+    "((2a+b) div 2b), the x100-scaled integer weights combine in "
+    "bigint arithmetic, and the final /100 rounds via a positive-"
+    "offset integer div — no floating point anywhere, because the "
+    "sf0.1 ceiling gate caught 4 docs whose double logit landed "
+    "exactly on the .5-micro boundary and split by one engine ulp "
+    "(FMA/association differences between engines are unfixable; "
+    "integer arithmetic is)",
     f"""
-    with f as ({_SQL_FEATURES}),
+    with raw as (
+        select doc_id, source,
+            len({_SQL_TOKENS}) as n,
+            list_sum(list_transform({_SQL_TOKENS}, x -> length(x))) as suml,
+            len(regexp_extract_all(text, '[^\\w\\s]')) as p,
+            len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b'))
+                as s,
+            length(text) as c
+        from documents
+    ),
+    q as (
+        select doc_id, source, n,
+            (2 * suml * 1000000 + n) // (2 * n) as avg_micro,
+            case when c > 0 then (2 * p * 1000000 + c) // (2 * c) end
+                as punct_micro,
+            (2 * s * 1000000 + n) // (2 * n) as stop_micro
+        from raw
+    ),
     scored as (
         select source,
-               {_MICRO.format(x=f"{_W['bias']} + {_W['n_tokens']} * n_tokens "
-                                f"+ {_W['avg_token_len']} * avg_token_len "
-                                f"+ {_W['punct_ratio']} * punct_ratio "
-                                f"+ {_W['stopword_ratio']} * stopword_ratio")}
-                   as logit_micro
-        from f
+            ((-20000000 + 4000000 * n - 45 * avg_micro
+              - 1200 * punct_micro + 800 * stop_micro
+              + 50 + 100000000000) // 100) - 1000000000 as logit_micro
+        from q
     )
     select source,
            cast(count(*) as bigint) as n_docs,
@@ -108,18 +119,42 @@ _SQL_FEATURES = f"""
     """,
 )
 def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators.text import (
+        stopword_count,
+        tokens,
+    )
+
     docs = _spread(_t(spark, sf_dir, "documents"))
-    feats = text.quality_stats(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
+    toks = tokens("text")
+    raw = docs.select(
+        "source",
+        F.size(toks).cast("bigint").alias("n"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("suml"),
+        F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+        .cast("bigint")
+        .alias("p"),
+        stopword_count("text").cast("bigint").alias("s"),
+        F.length("text").cast("bigint").alias("c"),
     )
-    logit = (
-        F.lit(_W["bias"])
-        + F.lit(_W["n_tokens"]) * F.col("n_tokens")
-        + F.lit(_W["avg_token_len"]) * F.col("avg_token_len")
-        + F.lit(_W["punct_ratio"]) * F.col("punct_ratio")
-        + F.lit(_W["stopword_ratio"]) * F.col("stopword_ratio")
+
+    def half_up(num, den):
+        return F.expr(f"(2 * {num} * 1000000 + {den}) div (2 * {den})")
+
+    q = raw.select(
+        "source",
+        "n",
+        half_up("suml", "n").alias("avg_micro"),
+        F.when(F.col("c") > 0, half_up("p", "c")).alias("punct_micro"),
+        half_up("s", "n").alias("stop_micro"),
     )
-    scored = feats.select("source", _micro(logit).alias("logit_micro"))
+    logit_micro = F.expr(
+        "((-20000000 + 4000000 * n - 45 * avg_micro"
+        " - 1200 * punct_micro + 800 * stop_micro"
+        " + 50 + 100000000000) div 100) - 1000000000"
+    )
+    scored = q.select("source", logit_micro.alias("logit_micro"))
     keep = F.when(F.col("logit_micro") > 0, 1).otherwise(0)
     return (
         scored.groupBy("source")
