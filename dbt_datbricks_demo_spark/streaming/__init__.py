@@ -11,6 +11,7 @@ from dbt_datbricks_demo_spark.streaming.pipeline import (  # noqa: F401
 )
 from dbt_datbricks_demo_spark.streaming.stateful import (  # noqa: F401
     anomaly_streaks,
+    domain_quota_admission,
     novel_documents,
 )
 from dbt_datbricks_demo_spark.streaming.corpus import (  # noqa: F401

@@ -188,3 +188,63 @@ def novel_documents(docs_with_digest: DataFrame, ttl_ms: int | None = None) -> D
         outputMode="Append",
         timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-domain admission quota (the stateful form of
+# queries/curation_ops.domain_cap_report): a crawl stream is admitted
+# per-host until that host's standing cap is exhausted — RefinedWeb-style
+# domain balancing enforced AT INGEST instead of by a later batch sweep.
+# ---------------------------------------------------------------------------
+QUOTA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("admitted_rank", LongType()),
+    ]
+)
+
+# one counter per domain: documents admitted so far, across all batches
+QUOTA_STATE_SCHEMA = StructType([StructField("admitted", LongType())])
+
+
+def domain_quota_admission(docs: DataFrame, cap: int = 10) -> DataFrame:
+    """Admit at most `cap` documents per source across the whole stream.
+
+    State is ONE bigint per domain (admitted-so-far), so the state store
+    holds |domains| tiny records at any corpus scale — compare the batch
+    `domain_cap_report`, which re-ranks the full corpus per run. Within
+    a micro-batch, documents admit in doc_id order (deterministic
+    replay); once the counter reaches the cap the domain's remaining
+    documents drop, in this and every later batch. Emits
+    (source, doc_id, admitted_rank) with rank 1-based over the
+    domain's admission history."""
+
+    def admit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (admitted,) = state.get if state.exists else (0,)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            for doc_id in pdf.sort_values("doc_id")["doc_id"]:
+                if admitted >= cap:
+                    break
+                admitted += 1
+                out.append((key[0], int(doc_id), admitted))
+        state.update((admitted,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["source", "doc_id", "admitted_rank"]
+            )
+
+    return (
+        docs.select("source", "doc_id")
+        .groupBy("source")
+        .applyInPandasWithState(
+            admit,
+            outputStructType=QUOTA_OUTPUT_SCHEMA,
+            stateStructType=QUOTA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -598,3 +598,80 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     ids = {r["doc_id"] for r in spark.read.parquet(str(out_dir)).collect()}
     assert 4 in ids, f"re-sent content after horizon must re-admit; got {ids}"
     assert 2 not in ids
+
+
+def test_streaming_domain_quota_across_batches(spark, tmp_path):
+    """Per-domain admission quota holds ACROSS micro-batches: srcA's cap
+    of 3 is partly consumed by batch 1 and exhausted mid-batch-2; srcB
+    never reaches its cap. Ranks are contiguous per domain over the
+    whole admission history."""
+    import json
+
+    from dbt_datbricks_demo_spark.streaming import domain_quota_admission
+    from dbt_datbricks_demo_spark.streaming.corpus import DOC_SCHEMA
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(DOC_SCHEMA.fields) + [StructField("source", StringType())]
+    )
+    input_dir = tmp_path / "quota_in"
+    input_dir.mkdir()
+    out_dir = tmp_path / "quota_out"
+
+    def write_batch(name, rows):
+        (input_dir / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    def run_batch():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(input_dir))
+        )
+        q = (
+            domain_quota_admission(stream, cap=3)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "quota_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch(
+        "b1.jsonl",
+        [
+            {"doc_id": 2, "text": "a", "source": "srcA"},
+            {"doc_id": 1, "text": "b", "source": "srcA"},
+            {"doc_id": 3, "text": "c", "source": "srcB"},
+        ],
+    )
+    run_batch()
+    first = {
+        (r.source, r.doc_id): r.admitted_rank
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    # within-batch admission is doc_id-ordered
+    assert first == {("srcA", 1): 1, ("srcA", 2): 2, ("srcB", 3): 1}
+
+    write_batch(
+        "b2.jsonl",
+        [
+            {"doc_id": 4, "text": "d", "source": "srcA"},
+            {"doc_id": 5, "text": "e", "source": "srcA"},  # over cap: dropped
+            {"doc_id": 6, "text": "f", "source": "srcB"},
+        ],
+    )
+    run_batch()
+    rows = {
+        (r.source, r.doc_id): r.admitted_rank
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    # srcA admitted exactly cap=3 docs across both batches (doc 5 dropped)
+    assert rows == {
+        ("srcA", 1): 1, ("srcA", 2): 2, ("srcA", 4): 3,
+        ("srcB", 3): 1, ("srcB", 6): 2,
+    }
