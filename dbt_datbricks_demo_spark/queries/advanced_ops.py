@@ -442,6 +442,69 @@ def span_removal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Standing MinHash index lookup (round 5: the index path is now
+# ORACLE-GATED, not just pytest-gated — same cached-index pattern as
+# llm_ops._ivf_index_for)
+# ---------------------------------------------------------------------------
+def _minhash_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per testdata dir) a standing MinHash band index for
+    the corpus split (doc_id % 10 != 7), hive-partitioned by band-key
+    bucket. Keyed by the source parquet's path+mtime+size; signatures
+    are deterministic, so a rebuild reproduces the identical index."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    stamp = "|".join(
+        f"{p}:{os.stat(p).st_mtime_ns}:{os.stat(p).st_size}"
+        for p in sorted(glob.glob(src) + glob.glob(os.path.join(src, "*")))
+    )
+    key = hashlib.md5(f"{stamp}|k5h8b2|mod10ne7".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_mh_{key}", "index")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus = _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 7
+        )
+        dedup.write_minhash_index(corpus, path)
+    return path
+
+
+@_register(
+    "minhash_index_lookup",
+    "standing-index near-dup lookup: the corpus split's (id, band_key) "
+    "LSH postings live in a hive-partitioned standing index "
+    "(dedup.write_minhash_index, built once and cached per testdata "
+    "dir); the incoming batch (doc_id % 10 == 7) computes its own band "
+    "keys, prunes the index scan to its <= 32 bucket directories "
+    "(PartitionFilters), and equi-joins on band_key — candidate "
+    "(batch_id, corpus_id) pairs. The oracle recomputes the SAME "
+    "signatures from scratch and band-joins directly, proving the "
+    "standing index returns exactly the from-scratch candidate set",
+    f"""
+    with batch as (select * from documents where doc_id % 10 = 7),
+    corpus as (select * from documents where doc_id % 10 <> 7),
+    hb as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from batch),
+    hc as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from corpus),
+    bb as ({_sql_bands('hb')}),
+    bc as ({_sql_bands('hc')})
+    select distinct b.doc_id as batch_id, c.doc_id as corpus_id
+    from bb b join bc c using (band_key)
+    order by batch_id, corpus_id
+    """,
+)
+def minhash_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _minhash_index_for(spark, sf_dir)
+    batch = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 10 == 7
+    )
+    return dedup.index_candidate_pairs(spark, path, batch).orderBy(
+        "batch_id", "corpus_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental batch-vs-corpus deduplication
 # ---------------------------------------------------------------------------
 @_register(
