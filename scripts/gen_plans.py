@@ -37,6 +37,8 @@ HEADLINE = {
     "span_removal_report": "ExactSubstr removal: one codegen gram explode, combiner pre-agg, dup-bounded span expansion",
     "domain_cap_report": "per-domain cap: WindowGroupLimit map-side top-K, broadcast totals join-back",
     "domain_blocklist_report": "host blocklist: broadcast table join, map-side funnel agg",
+    "ann_batch_topk": "batch ANN: broadcast query batch, one corpus scan, WindowGroupLimit per-query top-k",
+    "minhash_index_lookup": "standing-index probe: bucket-pruned index scan + band-key equi-join",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
