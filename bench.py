@@ -181,6 +181,24 @@ def main() -> None:
         sorted(timings.items(), key=lambda kv: -kv[1])[:SLOWEST_TOP_N]
     )
 
+    # timing quantiles (nearest-rank) — a regression in a query OUTSIDE
+    # the top-15 is invisible in "slowest" but moves q50/q90/q99; these
+    # three scalars also live in the truncation-safe tail (round-5
+    # verdict ask).
+    def _q(sorted_vals: list[float], p: float) -> float:
+        if not sorted_vals:
+            return 0.0
+        idx = max(0, min(len(sorted_vals) - 1,
+                         int(p * len(sorted_vals) + 0.999999) - 1))
+        return sorted_vals[idx]
+
+    tvals = sorted(timings.values())
+    tq = {
+        "q50": _q(tvals, 0.50),
+        "q90": _q(tvals, 0.90),
+        "q99": _q(tvals, 0.99),
+    }
+
     # FIELD ORDER MATTERS: per-query maps first, headline scalars LAST —
     # tail-truncation must never eat wall time / counts / sf.
     payload: dict = {"queries": timings, "spread": spread}
@@ -189,6 +207,7 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
     payload["slowest"] = slowest
+    payload["tq"] = tq
     payload["metric"] = "operator-inventory wall time"
     payload["value"] = round(sum(timings.values()), 3)
     payload["unit"] = "sec"

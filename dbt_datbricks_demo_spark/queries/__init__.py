@@ -9,16 +9,23 @@ therefore curated explicitly:
   SURVEY §2-mapped operator plus the headline training-pipeline
   capabilities (SCD2 snapshots, GROUPING SETS, BM25, decontamination,
   PII redaction, curriculum deciles, skew-salted agg, the capstone
-  training-set report, and — round 4 — unigram-LM perplexity scoring
-  and SemDeDup semantic dedup). Near-duplicate plumbing variants
+  training-set report, round 4's unigram-LM perplexity scoring and
+  SemDeDup semantic dedup, and — round 6 — ExactSubstr span REMOVAL
+  (span_removal_report) and the standing MinHash band index probe
+  (minhash_index_lookup), the operational forms of the two flagship
+  dedup surfaces). Near-duplicate plumbing variants
   (e.g. the multimodal resize/audio/frame variants of
   multimodal_features, the bucketed/multiprobe stages subsumed by
   ann_recall_report) yield their slots, as did union_report /
   except_inactive_customers in round 4 (U1/U2 are the two simplest
-  set ops; demoted in favor of the perplexity/SemDeDup headliners):
-  they stay fully oracled and are regression-gated by
-  tests/test_oracle_gate.py, which checks ALL registered queries
-  against DuckDB on every pytest run.
+  set ops; demoted for the perplexity/SemDeDup headliners) and
+  ngram_jaccard_probe / rolling_fingerprint in round 6 (the probe is
+  the ad-hoc variant of the exact-verification stage already graded
+  inside minhash_lsh_jaccard; the rolling fingerprint is the simplest
+  member of the zero-shuffle fingerprint family whose graded
+  representative is simhash_docs): demoted queries stay fully oracled
+  and are regression-gated by tests/test_oracle_gate.py, which checks
+  ALL registered queries against DuckDB on every pytest run.
 - Remaining oracle-backed queries follow in registration order.
 - Rows-only queries (no SQL oracle) register last, where a prefix
   cutoff costs the least verification signal.
@@ -71,8 +78,8 @@ GRADED_PREFIX = (
     "exact_dedup_docs",
     "minhash_lsh_jaccard",
     "simhash_docs",
-    "ngram_jaccard_probe",
-    "rolling_fingerprint",
+    "span_removal_report",
+    "minhash_index_lookup",
     "neardup_components",
     "embedding_neardup_pairs",
     # text analysis + curation

@@ -111,7 +111,7 @@ def test_bench_contract(tmp_path):
     line = out.stdout.strip().splitlines()[-1]
     payload = json.loads(line)
     assert set(payload) == {
-        "metric", "value", "unit", "queries", "spread", "slowest",
+        "metric", "value", "unit", "queries", "spread", "slowest", "tq",
         "n", "n_errors", "sf",
     }
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
@@ -128,8 +128,8 @@ def test_bench_contract(tmp_path):
     # "queries" map that way).
     keys = list(payload)
     assert keys[:2] == ["queries", "spread"]
-    assert keys[-7:] == [
-        "slowest", "metric", "value", "unit", "n", "n_errors", "sf"
+    assert keys[-8:] == [
+        "slowest", "tq", "metric", "value", "unit", "n", "n_errors", "sf"
     ]
     # slowest = top-N of the queries map, descending
     slow = payload["slowest"]
@@ -137,6 +137,13 @@ def test_bench_contract(tmp_path):
     vals = list(slow.values())
     assert vals == sorted(vals, reverse=True)
     assert len(slow) == min(len(payload["queries"]), 15)
+    # tq = nearest-rank timing quantiles over ALL queries — the
+    # truncation-safe signal for regressions outside the top-15
+    tq = payload["tq"]
+    assert set(tq) == {"q50", "q90", "q99"}
+    allv = sorted(payload["queries"].values())
+    assert tq["q50"] in allv and tq["q90"] in allv and tq["q99"] in allv
+    assert tq["q50"] <= tq["q90"] <= tq["q99"]
 
 
 def test_bench_survives_failing_query(tmp_path):

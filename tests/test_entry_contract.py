@@ -71,6 +71,10 @@ def test_graded_prefix_carries_headline_capabilities():
         "scd2_snapshot", "grouping_sets_report", "bm25_search",
         "training_set_report", "quality_deciles", "salted_hot_key_agg",
         "decontam_report", "pii_redaction_report",
+        # round 6: the operational dedup headliners (span removal and
+        # the standing-index probe) replaced the subsumed
+        # ngram_jaccard_probe / rolling_fingerprint variants
+        "span_removal_report", "minhash_index_lookup",
     ):
         assert headline in names[:50], f"{headline} fell out of graded prefix"
     # every graded query is hash-verifiable

@@ -405,12 +405,13 @@ def test_span_removal_no_corpus_self_join_single_gram_explode(spark):
 def test_domain_cap_uses_window_group_limit(spark):
     # the per-domain cap must compile to WindowGroupLimit: each map task
     # forwards only its per-domain top-K before the exchange, so a hot
-    # domain never sorts corpus-wide; the tiny per-domain aggregate
-    # joins back broadcast
+    # domain never sorts corpus-wide. The totals⋈kept join strategy is
+    # deliberately UNPINNED: both sides are O(|domains|) post-aggregate
+    # relations (~1e8 rows at crawl scale — past the driver broadcast
+    # ceiling), so the query carries NO broadcast hint and AQE picks
+    # broadcast vs shuffle from measured sizes (round-5 verdict nit #1).
     plan = _plan(spark, "domain_cap_report")
     assert "WindowGroupLimit" in plan
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
 
 
 def test_domain_blocklist_broadcasts_the_blocklist(spark):
