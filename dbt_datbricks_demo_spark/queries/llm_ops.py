@@ -1091,15 +1091,34 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Grouped-map spectral analysis (applyInPandas) — rows-only (eigensolver)
+# Grouped-map spectral analysis (applyInPandas) — TOLERANCE-MODE oracle
+# (round 6, same pattern as sketch_report/ann_ivf_topk): no SQL engine
+# runs an eigensolver, but the eigenpair certifies its defining
+# properties in-plan — ‖Cov·v − λv‖ ≤ tol, ‖v‖ = 1, λ dominates every
+# coordinate variance, λ/trace ∈ [0,1], deterministic sign convention —
+# as booleans the oracle pins to literal TRUE, next to exact per-label
+# counts that hash-compare against DuckDB. A wrong eigenvector, a
+# non-extremal eigenvalue, or a broken covariance cannot hash-match.
 # ---------------------------------------------------------------------------
 @_register(
     "label_principal_directions",
     "per-label top principal component of the embedding cloud via "
     "applyInPandas grouped-map (operators.embeddings) — whole group as a "
     "matrix + eigensolver, the genuinely imperative per-group case; "
-    "rows-only (no SQL eigensolver)",
-    None,
+    "tolerance-mode oracle: exact per-label counts hash-compare, the "
+    "eigenpair certifies residual/orthonormality/top-ness/sign in-plan",
+    """
+    select cast(label as bigint) as label,
+           cast(count(*) as bigint) as n_vectors,
+           true as unit_norm_ok,
+           true as eigen_residual_ok,
+           true as lambda_is_top_ok,
+           true as ratio_in_unit_ok,
+           true as sign_ok
+    from embeddings
+    group by label
+    order by label
+    """,
 )
 def label_principal_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_datbricks_demo_spark.operators.embeddings import (
@@ -1107,4 +1126,12 @@ def label_principal_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    return per_group_principal_direction(emb, group_col="label")
+    return per_group_principal_direction(emb, group_col="label").select(
+        F.col("group").cast("bigint").alias("label"),
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        "unit_norm_ok",
+        "eigen_residual_ok",
+        "lambda_is_top_ok",
+        "ratio_in_unit_ok",
+        "sign_ok",
+    )

@@ -20,12 +20,12 @@ def test_queries_and_oracles_align():
     assert len(qs) >= 52
     # every oracle belongs to a registered query
     assert set(osql) <= set(qs)
-    # rows-only set is the documented pair, nothing accidental
+    # rows-only set is the documented singleton, nothing accidental
     # (ann_ivf_topk and sketch_report converted to tolerance-mode
-    # oracles in round 5 — only the eigensolver and zlib remain
-    # genuinely non-SQL-expressible)
+    # oracles in round 5; label_principal_directions in round 6 — its
+    # eigenpair certifies residual/orthonormality/top-ness in-plan.
+    # Only zlib remains genuinely non-SQL-expressible.)
     assert set(qs) - set(osql) == {
-        "label_principal_directions",
         "compression_quality_report",
     }
     assert all(callable(fn) for fn in qs.values())

@@ -434,6 +434,12 @@ def test_per_group_principal_direction(spark):
         assert math.isclose(sum(x * x for x in d), 1.0, rel_tol=1e-9)
         assert out[g]["explained_var_ratio"] > 0.9
         assert out[g]["n_vectors"] == 40
+        # round-6 in-plan certification booleans (tolerance oracle)
+        for check in (
+            "unit_norm_ok", "eigen_residual_ok", "lambda_is_top_ok",
+            "ratio_in_unit_ok", "sign_ok",
+        ):
+            assert out[g][check] is True, check
 
 
 
