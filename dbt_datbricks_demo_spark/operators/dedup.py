@@ -733,11 +733,86 @@ def with_winnowed_fingerprints(
     ).drop("_kg_hashes")
 
 
+# One window task per gram digest holds one row per DISTINCT DOC
+# containing that gram; above this doc-frequency the task is too wide
+# and the corpus-total pass must switch to the combiner-safe
+# groupBy(gh) + join-back shape (AQE skew-split eligible). 5M rows ×
+# ~16 B is a comfortably bounded task; real crawls have boilerplate
+# grams (cookie banners, license headers) in >10% of all pages, which
+# is exactly the regime the probe catches.
+HOT_GRAM_DOC_FREQ = 5_000_000
+
+
+def hot_gram_probe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: int,
+    fraction: float = 0.1,
+) -> bool:
+    """Sampled doc-frequency probe: does any word n-gram occur in more
+    than ``threshold`` distinct documents? Runs the row-level gram pass
+    over a seeded ``fraction`` sample of the corpus (one narrow extra
+    job, ~fraction of a gram scan), counts distinct docs per digest,
+    and scales the max back up by 1/fraction. A gram hot enough to
+    matter (doc-frequency ≥ millions) is unmissable in a 10% sample;
+    a borderline gram the sample misses keeps the window path, which
+    still bounds its task at ~threshold rows. At a scale where even
+    the sampled pass is too dear, persist the gram doc-frequency table
+    from the previous pipeline run and pass the decision explicitly
+    via ``hot_grams`` on the caller."""
+    from dbt_datbricks_demo_spark.operators.text import word_gram_rows
+
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    sampled = df.sample(fraction=fraction, seed=7)
+    top = (
+        word_gram_rows(sampled, id_col, text_col, n)
+        .select("id", gh.alias("gh"))
+        .dropDuplicates(["id", "gh"])
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("mx"))
+        .first()
+    )
+    mx = top["mx"] or 0
+    return mx / fraction > threshold
+
+
+def attach_gram_totals(
+    per_doc_gram: DataFrame, hot: bool
+) -> DataFrame:
+    """Attach the corpus-wide per-digest occurrence total to a
+    combiner-reduced (id, gh, cnt, ...) stream.
+
+    Healthy corpus (``hot=False``): ONE window over the digest — a
+    single exchange, each task bounded at one row per distinct doc per
+    gram. Hot corpus: a combiner-safe groupBy(gh) totals table joined
+    back on gh — the aggregate collapses the hot digest map-side and
+    the sort-merge join back is AQE skew-split eligible, at the cost
+    of the gram stream feeding two consumers (the shared exchange is
+    reused; on a real pipeline this intermediate is a stored table).
+    Both shapes produce IDENTICAL rows — pinned both ways by
+    tests/test_skew.py."""
+    if not hot:
+        return per_doc_gram.withColumn(
+            "total", F.sum("cnt").over(Window.partitionBy("gh"))
+        )
+    totals = per_doc_gram.groupBy("gh").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    return per_doc_gram.join(totals, "gh")
+
+
 def duplicate_gram_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    hot_gram_docs: int = HOT_GRAM_DOC_FREQ,
+    hot_grams: bool | None = None,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span measurement (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): a word
@@ -760,10 +835,12 @@ def duplicate_gram_stats(
     document. Three narrow shuffles, every aggregation
     partial-agg-absorbed. Residual skew bound: the window task for the
     hottest gram processes one row per DISTINCT DOC containing it (not
-    one per occurrence); for a corpus where a single gram spans a large
-    fraction of all documents, swap the window for a groupBy(gh) totals
-    table joined back (AQE skew-split eligible) at the cost of deriving
-    the gram stream twice.
+    one per occurrence); when a single gram spans more than
+    ``hot_gram_docs`` distinct documents (sampled probe — see
+    hot_gram_probe), the window is AUTOMATICALLY swapped for a
+    groupBy(gh) totals table joined back (AQE skew-split eligible;
+    attach_gram_totals). ``hot_grams`` overrides the probe both ways
+    (a pipeline with persisted gram stats decides without sampling).
 
     Returns (id, n_grams, n_dup_grams) — one row per document with at
     least one n-gram; callers left-join and zero-fill short docs.
@@ -777,9 +854,9 @@ def duplicate_gram_stats(
     per_doc_gram = ex.groupBy("id", "gh").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    counted = per_doc_gram.withColumn(
-        "total", F.sum("cnt").over(Window.partitionBy("gh"))
-    )
+    if hot_grams is None:
+        hot_grams = hot_gram_probe(df, id_col, text_col, n, hot_gram_docs)
+    counted = attach_gram_totals(per_doc_gram, hot_grams)
     return counted.groupBy("id").agg(
         F.sum("cnt").cast("bigint").alias("n_grams"),
         F.sum(F.when(F.col("total") >= 2, F.col("cnt")).otherwise(0))
@@ -886,9 +963,133 @@ def index_candidate_pairs(
         F.col(MINHASH_BUCKET_COL).isin(buckets)
     )
     probe = F.broadcast(bk) if use_broadcast else bk
+    idx = _without_tombstoned(spark, index_path, idx, id_col)
     return (
         idx.join(probe, "band_key")
         .filter(F.col("batch_id") != F.col(id_col))
         .select("batch_id", F.col(id_col).alias("corpus_id"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Standing-index lifecycle: tombstone deletes + per-bucket compaction
+# (round-6 verdict item 5). N ingest appends = N small-file generations
+# per bucket directory and no way to retire documents; these two ops
+# close the loop: delete records tombstones (logical delete, O(deleted)
+# bytes written), compact physically rewrites each bucket to one file
+# and drops the tombstoned postings. Probe results are IDENTICAL before
+# and after compaction — oracle-gated by minhash_index_maintenance and
+# pinned by tests/test_scale.py.
+# ---------------------------------------------------------------------------
+# tombstone sets are bounded by ops discipline (compact before the set
+# grows); above this the anti-join falls back from broadcast to shuffle
+TOMBSTONE_BROADCAST_LIMIT = 2_000_000
+
+
+def _tombstones_path(index_path: str) -> str:
+    # underscore prefix: Spark's file index treats "_*" as hidden, so
+    # the postings scan over index_path never reads the tombstone set
+    import os
+
+    return os.path.join(index_path, "_tombstones")
+
+
+def minhash_tombstones(spark, index_path: str) -> DataFrame | None:
+    """The tombstoned id set, or None when nothing was deleted."""
+    import os
+
+    tp = _tombstones_path(index_path)
+    if not os.path.exists(tp):
+        return None
+    return spark.read.parquet(tp).select("id").distinct()
+
+
+def _without_tombstoned(
+    spark, index_path: str, idx: DataFrame, id_col: str
+) -> DataFrame:
+    """Anti-join the postings stream against the tombstone set (no-op
+    when none exist). The tombstone set is counted and broadcast under
+    the limit — between compactions it is deleted-docs-sized, not
+    corpus-sized — with a shuffled anti-join fallback above it."""
+    tomb = minhash_tombstones(spark, index_path)
+    if tomb is None:
+        return idx
+    tomb = tomb.localCheckpoint(eager=True)
+    if tomb.count() <= TOMBSTONE_BROADCAST_LIMIT:
+        tomb = F.broadcast(tomb)
+    return idx.join(
+        tomb, idx[id_col] == tomb["id"], "left_anti"
+    )
+
+
+def delete_from_minhash_index(
+    spark, index_path: str, ids, id_col: str = "doc_id"
+) -> None:
+    """Logically delete documents from a standing MinHash index by
+    appending their ids to the tombstone set ({index}/_tombstones —
+    hidden from the postings scan). O(|deleted|) bytes written, no
+    postings rewrite; lookups anti-join the set until
+    compact_minhash_index retires the postings physically. ``ids`` is
+    a DataFrame with ``id_col`` or a plain id list."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    ids.select(F.col(id_col).cast("long").alias("id")).write.mode(
+        "append"
+    ).parquet(_tombstones_path(index_path))
+
+
+def compact_minhash_index(
+    spark, index_path: str, files_per_bucket: int = 1
+) -> dict:
+    """Physically compact a standing MinHash index: drop tombstoned
+    postings and rewrite every bucket directory to ``files_per_bucket``
+    files (N ingest appends otherwise leave N file generations per
+    bucket, and file-open overhead eventually dominates the pruned
+    probe scan). The rewrite shuffles postings by bucket (plus a salt
+    when files_per_bucket > 1 — at 100 TB one file per bucket is too
+    coarse; size files at ~1 GB), writes to a sibling directory, and
+    atomically swaps via two renames — the same swap discipline as
+    table materialization (plans/materialize.py). Offline maintenance
+    op, single writer, like VersionedTable.optimize. Tombstones are
+    cleared by the swap (they lived inside the old directory). Returns
+    before/after file and row counts."""
+    import os
+    import shutil
+
+    from dbt_datbricks_demo_spark.plans.bucketing import write_partitioned
+
+    postings = spark.read.parquet(index_path)
+    rows_before = postings.count()
+    kept = _without_tombstoned(spark, index_path, postings, "doc_id")
+    if files_per_bucket <= 1:
+        kept = kept.repartition(MINHASH_BUCKET_COL)
+    else:
+        kept = kept.repartition(
+            MINHASH_BUCKET_COL,
+            F.pmod(F.hash("doc_id"), F.lit(files_per_bucket)),
+        )
+    tmp = index_path.rstrip("/") + ".compacting"
+    old = index_path.rstrip("/") + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_partitioned(kept, tmp, MINHASH_BUCKET_COL)
+    rows_after = spark.read.parquet(tmp).count()
+
+    def _nfiles(p: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files_before, files_after = _nfiles(index_path), _nfiles(tmp)
+    os.rename(index_path, old)
+    os.rename(tmp, index_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

