@@ -749,19 +749,21 @@ def hot_gram_probe(
     text_col: str,
     n: int,
     threshold: int,
-    fraction: float = 0.1,
+    fraction: float = 0.05,
 ) -> bool:
-    """Sampled doc-frequency probe: does any word n-gram occur in more
-    than ``threshold`` distinct documents? Runs the row-level gram pass
-    over a seeded ``fraction`` sample of the corpus (one narrow extra
-    job, ~fraction of a gram scan), counts distinct docs per digest,
-    and scales the max back up by 1/fraction. A gram hot enough to
-    matter (doc-frequency ≥ millions) is unmissable in a 10% sample;
-    a borderline gram the sample misses keeps the window path, which
-    still bounds its task at ~threshold rows. At a scale where even
-    the sampled pass is too dear, persist the gram doc-frequency table
-    from the previous pipeline run and pass the decision explicitly
-    via ``hot_grams`` on the caller."""
+    """Sampled hot-gram probe: does any word n-gram (by occurrence
+    count, a conservative upper bound on its doc-frequency) exceed
+    ``threshold`` documents? Runs the row-level gram pass over a seeded
+    ``fraction`` sample — ONE extra narrow job whose groupBy is
+    combiner-safe (the hot gram collapses map-side), scaling the max
+    back up by 1/fraction. Occurrences ≥ distinct docs, so the probe
+    can only err toward the SAFE side (triggering the fallback shape on
+    a within-doc-repetitive corpus costs a second exchange; missing a
+    hot gram would cost an unbounded window task — and a gram hot
+    enough to matter, millions of docs, is unmissable in a 5% sample).
+    At a scale where even the sampled pass is too dear, persist the
+    gram doc-frequency table from the previous pipeline run and pass
+    the decision explicitly via ``hot_grams`` on the caller."""
     from dbt_datbricks_demo_spark.operators.text import word_gram_rows
 
     gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast(
@@ -770,11 +772,9 @@ def hot_gram_probe(
     sampled = df.sample(fraction=fraction, seed=7)
     top = (
         word_gram_rows(sampled, id_col, text_col, n)
-        .select("id", gh.alias("gh"))
-        .dropDuplicates(["id", "gh"])
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .agg(F.max("df").alias("mx"))
+        .groupBy(gh.alias("gh"))
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .agg(F.max("occ").alias("mx"))
         .first()
     )
     mx = top["mx"] or 0

@@ -248,6 +248,26 @@ def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ExactSubstr-style duplicated-span measurement
 # ---------------------------------------------------------------------------
+_HOT_GRAM_VERDICTS: dict[str, bool] = {}
+
+
+def _hot_gram_verdict(spark: SparkSession, sf_dir: str) -> bool:
+    """The sampled hot-gram probe (dedup.hot_gram_probe), amortized per
+    corpus directory: a production pipeline probes (or persists gram
+    doc-frequency stats) once per ingest generation, not once per
+    query over the same immutable corpus — so the verdict is cached on
+    sf_dir and both span queries share it. The probe still decides; a
+    different corpus (tests/test_skew.py's hostile fixtures call the
+    operators directly) still flips the shape automatically."""
+    if sf_dir not in _HOT_GRAM_VERDICTS:
+        _HOT_GRAM_VERDICTS[sf_dir] = dedup.hot_gram_probe(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            8,
+            dedup.HOT_GRAM_DOC_FREQ,
+        )
+    return _HOT_GRAM_VERDICTS[sf_dir]
 @_register(
     "duplicate_span_report",
     "duplicated-span mass per source (Lee et al. 2022 ExactSubstr, "
@@ -298,7 +318,10 @@ def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
-    stats = dedup.duplicate_gram_stats(docs, "doc_id", "text", n=8)
+    stats = dedup.duplicate_gram_stats(
+        docs, "doc_id", "text", n=8,
+        hot_grams=_hot_gram_verdict(spark, sf_dir),
+    )
     with_src = stats.join(
         docs.select(F.col("doc_id").alias("id"), "source"), "id"
     )
@@ -419,7 +442,10 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def span_removal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
-    cleaned = text.remove_duplicate_spans(docs, "doc_id", "text", n=8)
+    cleaned = text.remove_duplicate_spans(
+        docs, "doc_id", "text", n=8,
+        hot_grams=_hot_gram_verdict(spark, sf_dir),
+    )
     with_src = cleaned.join(docs.select("doc_id", "source"), "doc_id")
     return (
         with_src.groupBy("source")
