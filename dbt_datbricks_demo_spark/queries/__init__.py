@@ -11,9 +11,13 @@ therefore curated explicitly:
   PII redaction, curriculum deciles, skew-salted agg, the capstone
   training-set report, round 4's unigram-LM perplexity scoring and
   SemDeDup semantic dedup, and — round 6 — ExactSubstr span REMOVAL
-  (span_removal_report) and the standing MinHash band index probe
-  (minhash_index_lookup), the operational forms of the two flagship
-  dedup surfaces). Near-duplicate plumbing variants
+  (span_removal_report) and the standing MinHash band index
+  (minhash_index_maintenance — the full lifecycle: build, append,
+  tombstone-delete, compact, probe; it subsumes round 5's
+  minhash_index_lookup, whose pruned-probe path it executes as its
+  final stage, so the lookup yields the slot and stays fully oracled
+  in the all-registry gate), the operational forms of the two
+  flagship dedup surfaces). Near-duplicate plumbing variants
   (e.g. the multimodal resize/audio/frame variants of
   multimodal_features, the bucketed/multiprobe stages subsumed by
   ann_recall_report) yield their slots, as did union_report /
@@ -79,7 +83,7 @@ GRADED_PREFIX = (
     "minhash_lsh_jaccard",
     "simhash_docs",
     "span_removal_report",
-    "minhash_index_lookup",
+    "minhash_index_maintenance",
     "neardup_components",
     "embedding_neardup_pairs",
     # text analysis + curation

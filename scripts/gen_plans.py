@@ -39,6 +39,7 @@ HEADLINE = {
     "domain_blocklist_report": "host blocklist: broadcast table join, map-side funnel agg",
     "ann_batch_topk": "batch ANN: broadcast query batch, one corpus scan, WindowGroupLimit per-query top-k",
     "minhash_index_lookup": "standing-index probe: bucket-pruned index scan + band-key equi-join",
+    "minhash_index_maintenance": "standing-index lifecycle: post-compaction probe — same pruned scan over the rewritten one-file-per-bucket layout",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

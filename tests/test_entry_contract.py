@@ -72,9 +72,12 @@ def test_graded_prefix_carries_headline_capabilities():
         "training_set_report", "quality_deciles", "salted_hot_key_agg",
         "decontam_report", "pii_redaction_report",
         # round 6: the operational dedup headliners (span removal and
-        # the standing-index probe) replaced the subsumed
-        # ngram_jaccard_probe / rolling_fingerprint variants
-        "span_removal_report", "minhash_index_lookup",
+        # the standing-index LIFECYCLE — build/append/delete/compact/
+        # probe, which executes minhash_index_lookup's pruned-probe
+        # path as its final stage) replaced the subsumed
+        # ngram_jaccard_probe / rolling_fingerprint / plain-lookup
+        # variants
+        "span_removal_report", "minhash_index_maintenance",
     ):
         assert headline in names[:50], f"{headline} fell out of graded prefix"
     # every graded query is hash-verifiable
