@@ -987,6 +987,20 @@ def index_candidate_pairs(
 TOMBSTONE_BROADCAST_LIMIT = 2_000_000
 
 
+def minhash_index_exists(index_path: str) -> bool:
+    """Does a standing index live at this path? Checks for bucket
+    directories rather than the _SUCCESS marker — a dynamic-partition-
+    mode write commits without the root marker, and the bucket dirs ARE
+    the index. (Local-filesystem check, like the other path stamps in
+    this repo; a cluster deployment fronts this with its catalog.)"""
+    import os
+
+    return os.path.isdir(index_path) and any(
+        e.startswith(MINHASH_BUCKET_COL + "=")
+        for e in os.listdir(index_path)
+    )
+
+
 def _tombstones_path(index_path: str) -> str:
     # underscore prefix: Spark's file index treats "_*" as hidden, so
     # the postings scan over index_path never reads the tombstone set
@@ -1062,6 +1076,11 @@ def compact_minhash_index(
     postings = spark.read.parquet(index_path)
     rows_before = postings.count()
     kept = _without_tombstoned(spark, index_path, postings, "doc_id")
+    # (doc_id, band_key) is logically a SET: a replayed streaming batch
+    # may double-append postings (lookups are distinct-ed so results
+    # never change), and compaction is where the physical duplicates
+    # are retired
+    kept = kept.dropDuplicates(["doc_id", "band_key"])
     if files_per_bucket <= 1:
         kept = kept.repartition(MINHASH_BUCKET_COL)
     else:

@@ -219,12 +219,14 @@ def neardup_ingest_batch_fn(
         )
         survivors = staged.join(losers, on=id_col, how="left_anti")
 
-        # 3. idempotent batch-partitioned appends
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # 3. idempotent batch-partitioned appends (dynamic overwrite as
+        # a WRITER option — a session-level conf would leak into every
+        # later partitioned overwrite in this session)
         (
             survivors.select(id_col, text_col)
             .withColumn("_batch", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch")
             .parquet(corpus_dir)
         )
@@ -237,6 +239,7 @@ def neardup_ingest_batch_fn(
             )
             .withColumn("_batch", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch")
             .parquet(sig_store_dir)
         )
@@ -256,5 +259,175 @@ def write_corpus_neardup(
     return (
         stream.writeStream.foreachBatch(
             neardup_ingest_batch_fn(corpus_dir, sig_store_dir, **kwargs)
+        ).option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def index_ingest_batch_fn(
+    corpus_dir: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 2,
+    jaccard_threshold: float = 0.9,
+    compact_every: int = 0,
+):
+    """foreachBatch ingestion that maintains the STANDING MinHash band
+    index (operators/dedup.write_minhash_index layout) instead of a
+    private signature store — so batch jobs (minhash_index_lookup /
+    index_candidate_pairs) and the streaming ingest share ONE index,
+    and the round-6 lifecycle ops run inside the stream. Per
+    micro-batch:
+
+      1. within-batch near-dup: band-key self-join (id-ordered),
+         verified with exact Jaccard on the staged shingle-hash
+         arrays. Exact duplicates need no separate pass — identical
+         text shares every band key and verifies at Jaccard 1.0.
+      2. batch-vs-corpus: candidates from the PARTITION-PRUNED
+         standing-index probe (index_candidate_pairs — which also
+         honors tombstones), then verification recomputes shingle
+         arrays ONLY for the candidate corpus docs (candidate-bounded
+         join against the corpus table; the index stays short rows,
+         bodies are never indexed).
+      3. survivors append to the corpus partitioned by batch id
+         (dynamic overwrite — replays rewrite their own partition) and
+         their postings append to the index
+         (write_minhash_index mode='append'). A replayed batch may
+         double-append postings; lookups distinct their output, and
+         compaction retires the physical duplicates
+         (dropDuplicates on (doc_id, band_key)).
+      4. every ``compact_every`` batches (0 = never), the index is
+         compacted in-stream: foreachBatch runs sequentially, so the
+         atomic directory swap happens with no concurrent reader.
+
+    State model at scale: the only driver-side state is the ≤32-value
+    bucket list inside the probe; everything else is tables. The index
+    grows O(admitted docs × bands) short rows; compaction keeps the
+    per-bucket file count flat."""
+    from dbt_datbricks_demo_spark.operators.dedup import (
+        compact_minhash_index,
+        index_candidate_pairs,
+        lsh_band_keys,
+        minhash_index_exists,
+        with_minhash,
+        write_minhash_index,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rows_per_band = num_hashes // bands
+        staged = with_minhash(
+            batch_df, text_col, num_hashes, shingle_k,
+            sig_col="_sig", keep_hashes="_hs",
+        ).withColumn(
+            "_bands", lsh_band_keys(F.col("_sig"), bands, rows_per_band)
+        ).localCheckpoint(eager=True)
+
+        # 1. within-batch near-dup (higher id loses to a verified
+        # lower-id near-dup; covers exact dups at Jaccard 1.0)
+        younger = staged.select(
+            F.col(id_col).alias("_bid"),
+            F.col("_hs").alias("_bhs"),
+            F.explode("_bands").alias("band_key"),
+        )
+        older = staged.select(
+            F.col(id_col).alias("_oid"),
+            F.col("_hs").alias("_ohs"),
+            F.explode("_bands").alias("band_key"),
+        )
+        inter = F.size(F.array_intersect("_bhs", "_ohs"))
+        union = F.size("_bhs") + F.size("_ohs") - inter
+        within_losers = (
+            younger.join(older, "band_key")
+            .filter(F.col("_oid") < F.col("_bid"))
+            .withColumn("_j", inter / F.nullif(union, F.lit(0)))
+            .filter(F.col("_j") >= jaccard_threshold)
+            .select(F.col("_bid").alias(id_col))
+            .distinct()
+        )
+        batch_kept = staged.join(within_losers, id_col, "left_anti")
+
+        # 2. batch-vs-corpus via the standing index, candidate-bounded
+        # verification against the corpus table
+        if minhash_index_exists(index_path):
+            cands = index_candidate_pairs(
+                spark, index_path,
+                batch_kept.select(id_col, text_col),
+                id_col=id_col, text_col=text_col,
+                k=shingle_k, num_hashes=num_hashes, bands=bands,
+            ).localCheckpoint(eager=True)
+            if cands.count():
+                corpus = spark.read.parquet(corpus_dir)
+                cand_docs = corpus.join(
+                    cands.select(
+                        F.col("corpus_id").alias(id_col)
+                    ).distinct(),
+                    id_col,
+                )
+                cand_hs = with_minhash(
+                    cand_docs, text_col, num_hashes, shingle_k,
+                    sig_col="_sig", keep_hashes="_ohs",
+                ).select(F.col(id_col).alias("corpus_id"), "_ohs")
+                verified = (
+                    cands.join(cand_hs, "corpus_id")
+                    .join(
+                        batch_kept.select(
+                            F.col(id_col).alias("batch_id"),
+                            F.col("_hs").alias("_bhs"),
+                        ),
+                        "batch_id",
+                    )
+                    .withColumn("_j", inter / F.nullif(union, F.lit(0)))
+                    .filter(F.col("_j") >= jaccard_threshold)
+                    .select(F.col("batch_id").alias(id_col))
+                    .distinct()
+                )
+                batch_kept = batch_kept.join(verified, id_col, "left_anti")
+
+        survivors = batch_kept.localCheckpoint(eager=True)
+
+        # 3. idempotent corpus append + index postings append. The
+        # dynamic-overwrite mode is a WRITER option, not a session conf:
+        # a session-level setting leaks into the index write, whose
+        # dynamic-mode commit skips the root _SUCCESS marker (the bug
+        # the marker-independent minhash_index_exists guards against).
+        (
+            survivors.select(id_col, text_col)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(corpus_dir)
+        )
+        mode = "append" if minhash_index_exists(index_path) else "overwrite"
+        write_minhash_index(
+            survivors.select(id_col, text_col), index_path,
+            id_col=id_col, text_col=text_col,
+            k=shingle_k, num_hashes=num_hashes, bands=bands, mode=mode,
+        )
+
+        # 4. periodic in-stream compaction (sequential foreachBatch —
+        # no concurrent reader during the atomic swap)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_minhash_index(spark, index_path)
+
+    return process
+
+
+def write_corpus_index_ingest(
+    stream: DataFrame,
+    corpus_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Standing-index streaming sink: foreachBatch ingestion that keeps
+    the shared MinHash band index current (and compacted) as documents
+    stream in."""
+    return (
+        stream.writeStream.foreachBatch(
+            index_ingest_batch_fn(corpus_dir, index_path, **kwargs)
         ).option("checkpointLocation", checkpoint_dir)
     )

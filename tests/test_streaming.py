@@ -675,3 +675,88 @@ def test_streaming_domain_quota_across_batches(spark, tmp_path):
         ("srcA", 1): 1, ("srcA", 2): 2, ("srcA", 4): 3,
         ("srcB", 3): 1, ("srcB", 6): 2,
     }
+
+
+def test_streaming_index_ingest_maintains_standing_index(spark, tmp_path):
+    """Round-6 lifecycle in-stream: the ingest maintains the SHARED
+    standing MinHash index (write_minhash_index layout) — within-batch
+    and cross-batch near-dups verified via the partition-pruned index
+    probe, postings appended per admitted batch, periodic in-stream
+    compaction, and the same index remains probe-able by the BATCH API
+    (index_candidate_pairs), including after a tombstone delete."""
+    from dbt_datbricks_demo_spark.operators import dedup
+    from dbt_datbricks_demo_spark.streaming.corpus import (
+        corpus_stream_cleaned,
+        read_document_stream,
+        write_corpus_index_ingest,
+    )
+
+    input_dir = tmp_path / "ix_in"
+    input_dir.mkdir()
+    corpus = str(tmp_path / "ix_corpus")
+    index = str(tmp_path / "ix_index")
+    ckpt = str(tmp_path / "ix_ckpt")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the morning "
+        "sun rises slowly over the quiet green valley again today"
+    )
+    near = base.replace("quiet green valley", "quiet green valleys")
+    other = (
+        "completely different content about distributed query engines "
+        "and the columnar execution of analytical workloads at scale"
+    )
+
+    def run():
+        stream = corpus_stream_cleaned(
+            read_document_stream(spark, str(input_dir))
+        )
+        q = (
+            write_corpus_index_ingest(
+                stream, corpus, index, ckpt, compact_every=2
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (input_dir / "b1.jsonl").write_text(
+        f'{{"doc_id": 1, "text": "{base}"}}\n'
+        f'{{"doc_id": 2, "text": "{base}"}}\n'  # in-batch exact dup
+    )
+    run()
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1}
+
+    (input_dir / "b2.jsonl").write_text(
+        f'{{"doc_id": 3, "text": "{near}"}}\n'   # near-dup of admitted 1
+        f'{{"doc_id": 4, "text": "{other}"}}\n'  # genuinely new
+        f'{{"doc_id": 5, "text": "{base}"}}\n'   # exact cross-batch dup
+    )
+    run()
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 4}
+
+    # the standing index holds exactly the admitted docs' postings,
+    # compacted in-stream after batch 2 to one file per bucket dir
+    import os
+
+    postings = spark.read.parquet(index)
+    assert {r["doc_id"] for r in postings.select("doc_id").distinct().collect()} == {1, 4}
+    for d in os.listdir(index):
+        if d.startswith(dedup.MINHASH_BUCKET_COL):
+            files = [
+                f
+                for f in os.listdir(os.path.join(index, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (d, files)
+
+    # the BATCH API probes the stream-maintained index...
+    probe = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    got = {
+        (r.batch_id, r.corpus_id)
+        for r in dedup.index_candidate_pairs(spark, index, probe).collect()
+    }
+    assert got == {(10, 1)}
+    # ...and honors a tombstone delete without recompaction
+    dedup.delete_from_minhash_index(spark, index, [1])
+    assert dedup.index_candidate_pairs(spark, index, probe).count() == 0
