@@ -216,10 +216,15 @@ def main() -> None:
             for s in scales[1:]
         },
     }
-    out = os.path.join(REPO, "SCALE_RESULTS.json")
+    out = os.environ.get(
+        "WS_OUT", os.path.join(REPO, "SCALE_RESULTS.json")
+    )
     with open(out, "w") as fh:
         json.dump(result, fh, indent=1)
-    update_scale_md(render_markdown(scales, timings, runs))
+    # WS_UPDATE_MD=0 keeps SCALE.md's curated table (e.g. a breadth
+    # sweep that reports elsewhere)
+    if os.environ.get("WS_UPDATE_MD", "1") != "0":
+        update_scale_md(render_markdown(scales, timings, runs))
     print(json.dumps({k: result["ratios"].get(k) for k in result["ratios"]}))
     print(f"wrote {out} and updated SCALE.md")
 
