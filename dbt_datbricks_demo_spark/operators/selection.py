@@ -126,12 +126,16 @@ def dsir_scores(
         eager=True
     )
 
+    # the bucket model is read twice (log-ratio table + N totals): it is
+    # `buckets` rows by construction, so a second eager checkpoint here
+    # costs nothing and saves a full re-aggregation of the corpus-sized
+    # feature table for the totals branch
     model = tf.groupBy("bucket").agg(
         F.sum("tf").cast("bigint").alias("c_raw"),
         F.sum(F.when(F.col("_tgt"), F.col("tf")).otherwise(F.lit(0)))
         .cast("bigint")
         .alias("c_tgt"),
-    )
+    ).localCheckpoint(eager=True)
     totals = model.agg(
         F.sum("c_raw").cast("double").alias("_n_raw"),
         F.sum("c_tgt").cast("double").alias("_n_tgt"),

@@ -317,6 +317,10 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("nt") > 0)
         .withColumn("score_micro", F.expr("(1000000 * nd) div nt"))
+        # three branches read the scored relation (running sums, band
+        # totals, the budget scalar): materialize the tokenization once —
+        # |docs| narrow rows — instead of re-tokenizing per branch
+        .localCheckpoint(eager=True)
     )
     budget = scored.agg(F.expr("sum(nt) div 4").alias("budget"))
     sel = selection.budget_prefix_selection(

@@ -432,3 +432,49 @@ def test_batch_ann_window_group_limit_one_scan(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan  # bounded batch broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_dsir_model_broadcasts_and_topk_without_global_sort(spark):
+    # DSIR's per-bucket log-ratio model is a FIXED `buckets`-row table:
+    # the scoring join must be a broadcast hash probe (the corpus-sized
+    # feature table never shuffles to meet the model), the N totals a
+    # one-row broadcast cross join, and the top-25 a TakeOrderedAndProject
+    # (no global sort). The feature table is checkpointed once and read
+    # by both the model and scoring branches.
+    plan = _plan(spark, "dsir_importance_report")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row totals attach
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_filter_words(spark):
+    # the Bloom filter is bounded at m/32 rows BY CONSTRUCTION (not by
+    # data): the probe must hash-probe a broadcast of the words table so
+    # the corpus-sized position stream never shuffles to test bits, and
+    # the k-row-per-gram fold keeps map-side partial aggregation
+    plan = _plan(spark, "bloom_decontam_report")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+
+
+def test_token_budget_running_sum_is_band_partitioned(spark):
+    # the corpus-sized running sum must be windowed PER SCORE BAND (a
+    # global ORDER BY window with no partition key would collapse the
+    # corpus into one task); the band-offset window runs over the tiny
+    # aggregated band-total table and joins back by broadcast
+    plan = _plan(spark, "token_budget_selection")
+    assert "windowspecdefinition(_band" in plan
+    # both windows present: intra-band running sum + offset cumulation
+    assert plan.count("Window") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_leakage_split_checkpoints_edges_for_both_consumers(spark):
+    # the confirmed near-dup edge set is read twice (components + the
+    # cross-split certification count): one eager checkpoint feeds both
+    # branches, and the certification scalar attaches as a one-row
+    # broadcast cross join — never a corpus-sized cartesian
+    plan = _plan(spark, "leakage_safe_split")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Scan ExistingRDD") >= 2  # checkpointed edge reads
