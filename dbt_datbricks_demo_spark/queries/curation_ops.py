@@ -915,3 +915,208 @@ def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (frequent-token estimation)
+# ---------------------------------------------------------------------------
+_CM_D = 4       # sketch rows (independent hash functions)
+_CM_W = 1024    # buckets per row
+
+_SQL_CM_EXPAND = " union all ".join(
+    f"select token, cnt, {j} as j,"
+    f" ('0x' || substr(md5('{j}:' || token), 1, 8))::ubigint % {_CM_W}"
+    f" as bucket from vocab"
+    for j in range(_CM_D)
+)
+
+
+@_register(
+    "heavy_hitters_report",
+    "count-min-sketch heavy hitters: the corpus token stream folds into "
+    f"a FIXED {_CM_D}x{_CM_W} counter table (the O(1)-memory frequent-"
+    "items structure — Cormode & Muthukrishnan 2005); the exact top-20 "
+    "tokens are estimated back out of the sketch (min over rows) with "
+    "the overestimate measured in-result. The sketch is hash-"
+    "deterministic, so DuckDB reproduces every estimate EXACTLY — a "
+    "full value-hash oracle, no tolerance band needed",
+    f"""
+    with vocab as (
+        select t as token, count(*) as cnt
+        from (select unnest({_SQL_TOKENS}) as t from documents)
+        where t <> ''
+        group by t
+    ),
+    expanded as ({_SQL_CM_EXPAND}),
+    sketch as (
+        select j, bucket, sum(cnt) as c
+        from expanded
+        group by 1, 2
+    ),
+    top20 as (
+        select token, cnt from vocab
+        order by cnt desc, token asc limit 20
+    ),
+    est as (
+        select t.token, t.cnt, min(s.c) as cm_est
+        from ({_SQL_CM_EXPAND.replace('vocab', 'top20')}) t
+        join sketch s on s.j = t.j and s.bucket = t.bucket
+        group by t.token, t.cnt
+    )
+    select token,
+           cast(cnt as bigint)           as exact_cnt,
+           cast(cm_est as bigint)        as cm_est,
+           cast(cm_est - cnt as bigint)  as overestimate
+    from est
+    order by exact_cnt desc, token asc
+    """,
+)
+def heavy_hitters_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream.
+
+    Scale shape: the vocab aggregation is the only corpus-sized pass
+    (partial-agg-absorbed explode — the same shuffle vocabulary_report
+    pays); the sketch is built FROM the vocab counts (identical counters
+    to folding the raw stream, since addition is associative) and is
+    d×w rows by construction, so the estimate join broadcasts it. The
+    exact side exists to measure the sketch's overestimate in-result —
+    the production path at 100 TB keeps only the fixed-size sketch.
+    The top-20 relation is read twice (expansion + estimate join): it is
+    20 rows, eagerly checkpointed."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)  # read by sketch + top-20 branches
+    )
+
+    def expand(df: DataFrame) -> DataFrame:
+        rows = []
+        for j in range(_CM_D):
+            rows.append(
+                df.select(
+                    "token",
+                    "cnt",
+                    F.lit(j).alias("j"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{j}:"), F.col("token"))),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % _CM_W
+                    ).alias("bucket"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionAll(r)
+        return out
+
+    sketch = (
+        expand(vocab)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    top20 = (
+        vocab.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    est = (
+        expand(top20)
+        .join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("token", "cnt")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return est.select(
+        "token",
+        F.col("cnt").alias("exact_cnt"),
+        F.col("cm_est"),
+        (F.col("cm_est") - F.col("cnt")).cast("bigint").alias("overestimate"),
+    ).orderBy(F.desc("exact_cnt"), F.asc("token"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction per source
+# ---------------------------------------------------------------------------
+@_register(
+    "tfidf_keywords_report",
+    "per-source TF-IDF keyword extraction: source-level term counts x "
+    "smoothed idf over the source collection, top-5 keywords per source "
+    "by rounded score via a per-source row_number window (compiles to "
+    "WindowGroupLimit — map-side per-source top-k before the exchange)",
+    f"""
+    with tf as (
+        select source, t as token, count(*) as tf
+        from (select source, unnest({_SQL_TOKENS}) as t from documents)
+        where t <> ''
+        group by 1, 2
+    ),
+    s as (select count(distinct source) as n_sources from documents),
+    idf as (
+        select token, count(*) as df,
+               ln(cast((select n_sources from s) as double) / count(*))
+                   as idf
+        from tf group by token
+    ),
+    scored as (
+        select tf.source, tf.token, tf.tf,
+               round(tf.tf * idf.idf, 6) as score
+        from tf join idf using (token)
+    ),
+    ranked as (
+        select *, row_number() over (
+            partition by source order by score desc, token asc
+        ) as rn
+        from scored
+    )
+    select source, token, cast(tf as bigint) as tf, score, rn
+    from ranked where rn <= 5
+    order by source, rn
+    """,
+)
+def tfidf_keywords_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-before-rank discipline: the tf·idf double is rounded to
+    6 dp BEFORE the row_number window so both engines rank identical
+    values (token asc tie-break). The idf table is vocab-sized and
+    joins the tf table on token — AQE picks the strategy; the per-source
+    top-5 compiles to WindowGroupLimit, so each map task forwards at
+    most 5 rows per source to the exchange."""
+    from pyspark.sql.window import Window
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    n_sources = docs.agg(
+        F.countDistinct("source").cast("double").alias("n_sources")
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_sources))
+        .select("token", F.log(F.col("n_sources") / F.col("df")).alias("idf"))
+    )
+    scored = tf.join(idf, "token").select(
+        "source",
+        "token",
+        "tf",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "token", "tf", "score", "rn")
+        .orderBy("source", "rn")
+    )

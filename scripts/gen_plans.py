@@ -40,6 +40,10 @@ HEADLINE = {
     "ann_batch_topk": "batch ANN: broadcast query batch, one corpus scan, WindowGroupLimit per-query top-k",
     "minhash_index_lookup": "standing-index probe: bucket-pruned index scan + band-key equi-join",
     "minhash_index_maintenance": "standing-index lifecycle: post-compaction probe — same pruned scan over the rewritten one-file-per-bucket layout",
+    "dsir_importance_report": "DSIR: fixed-bucket model broadcast probe, one-row totals attach, TakeOrderedAndProject top-25",
+    "bloom_decontam_report": "Bloom probe: bounded (m/32)-row filter broadcast, k-bit fold with map-side combine",
+    "token_budget_selection": "budget prefix: band-partitioned running sum + tiny cumulated offset table, no global window",
+    "leakage_safe_split": "leakage-safe split: checkpointed edge set feeds components + the cross-split certification count",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -58,6 +58,9 @@ DEFAULT_QUERIES = [
     "sessionize_events",
     "domain_cap_report",
     "ann_batch_topk",
+    # round-6 selection surface (the two heaviest members)
+    "leakage_safe_split",
+    "bloom_decontam_report",
 ]
 
 MARK_BEGIN = "<!-- weak-scaling:begin (scripts/weak_scaling.py) -->"

@@ -478,3 +478,23 @@ def test_leakage_split_checkpoints_edges_for_both_consumers(spark):
     plan = _plan(spark, "leakage_safe_split")
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Scan ExistingRDD") >= 2  # checkpointed edge reads
+
+
+def test_heavy_hitters_sketch_broadcasts_and_checkpoints_vocab(spark):
+    # the d×w sketch is FIXED-SIZE by construction, so the estimate join
+    # must broadcast it; the vocab aggregate is eagerly checkpointed so
+    # the sketch and top-20 branches do not re-tokenize the corpus, and
+    # the corpus-sized token aggregation keeps map-side partial agg
+    plan = _plan(spark, "heavy_hitters_report")
+    assert "BroadcastExchange" in plan
+    assert "partial_" in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed vocab reads
+
+
+def test_tfidf_topk_is_window_group_limit(spark):
+    # the per-source top-5 must compile to WindowGroupLimit (map-side
+    # per-source top-k before the exchange) — a plain row_number over a
+    # full sort would shuffle the whole scored vocabulary; no Python
+    plan = _plan(spark, "tfidf_keywords_report")
+    assert "WindowGroupLimit" in plan
+    assert "pythonexec" not in plan.lower()
