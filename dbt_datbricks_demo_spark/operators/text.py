@@ -536,3 +536,119 @@ def remove_duplicate_spans(
             "chars_removed"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM with stupid backoff (held-out scoring)
+# ---------------------------------------------------------------------------
+def bigram_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Adjacent word-pair rows (w1, w2) per document, built by exploding
+    the POSITION sequence and indexing the token array per row — the
+    codegen-safe shape of word_gram_rows (no interpreted transform()
+    lambda on the corpus path). Docs with < 2 tokens yield no rows."""
+    t = tokens(text_col)
+    return (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            t.alias("_t"),
+        )
+        .filter(F.size("_t") >= 2)
+        .select(
+            id_col,
+            *keep_cols,
+            F.explode(
+                F.sequence(F.lit(1), F.size("_t") - 1)
+            ).alias("_i"),
+            F.col("_t"),
+        )
+        .select(
+            id_col,
+            *keep_cols,
+            F.element_at("_t", F.col("_i")).alias("w1"),
+            F.element_at("_t", F.col("_i") + 1).alias("w2"),
+        )
+    )
+
+
+def bigram_backoff_nll(
+    df: DataFrame,
+    is_train: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document NLL of HELD-OUT documents under a stupid-backoff
+    bigram LM (Brants et al. 2007) trained on the `is_train` rows:
+
+        S(w2 | w1) = c(w1 w2) / c(w1)                 if c(w1 w2) > 0
+                   = alpha * (c(w2) + 1) / (N + V)     otherwise
+
+    (the backoff leg is add-one smoothed so unseen w2 stays finite).
+    Train/score separation is what makes backoff real: a model trained
+    on the scored corpus itself never backs off.
+
+    Shape at scale: bigram + unigram models are partial-agg-absorbed
+    groupBys over the train split; scoring joins the held-out (doc,
+    w1, w2, tf) table to the bigram model on (w1, w2) and to the
+    unigram model on each side — vocabulary-sized join keys, AQE picks
+    broadcast only if the model fits; N+V attach as a one-row
+    broadcast. No driver-side model, no Python. Determinism: counts
+    are exact integers; ln() of identical IEEE quotients folds per doc
+    and rounds to 6 dp (module convention). Returns (id, keep_cols,
+    n_trans, n_backoff, avg_nll)."""
+    staged = df.withColumn("_train", is_train)
+    pairs = bigram_rows(
+        staged, text_col=text_col, id_col=id_col,
+        keep_cols=tuple(keep_cols) + ("_train",),
+    )
+    uni = (
+        staged.filter(F.col("_train"))
+        .select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_uni"))
+    )
+    tot = uni.agg(
+        F.sum("c_uni").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    big = (
+        pairs.filter(F.col("_train"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_big"))
+    )
+    tf = (
+        pairs.filter(~F.col("_train"))
+        .groupBy(id_col, *keep_cols, "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c_uni").alias("c_w1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c_uni").alias("c_w2"))
+    seen = F.col("c_big").isNotNull()
+    p_seen = F.col("c_big").cast("double") / F.col("c_w1").cast("double")
+    p_back = (
+        F.lit(float(alpha))
+        * ((F.coalesce(F.col("c_w2"), F.lit(0)) + F.lit(1)).cast("double")
+           / (F.col("_n") + F.col("_v")))
+    )
+    nll_term = -F.col("tf") * F.log(F.when(seen, p_seen).otherwise(p_back))
+    return (
+        tf.join(big, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col, *keep_cols)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_trans"),
+            F.sum(F.when(seen, F.lit(0)).otherwise(F.col("tf")))
+            .cast("bigint")
+            .alias("n_backoff"),
+            F.round(F.sum(nll_term) / F.sum("tf"), 6).alias("avg_nll"),
+        )
+    )

@@ -47,6 +47,7 @@ from dbt_datbricks_demo_spark.queries import tpch_gaps  # noqa: F401  (registers
 from dbt_datbricks_demo_spark.queries import analysis_ops  # noqa: F401  (registers into QUERIES)
 from dbt_datbricks_demo_spark.queries import training_ops  # noqa: F401  (registers into QUERIES)
 from dbt_datbricks_demo_spark.queries import selection_ops  # noqa: F401  (registers into QUERIES)
+from dbt_datbricks_demo_spark.queries import mining_ops  # noqa: F401  (registers into QUERIES)
 
 GRADED_PREFIX = (
     # relational core (SURVEY §2.1-§2.9 mappings)

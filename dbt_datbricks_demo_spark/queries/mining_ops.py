@@ -1,0 +1,490 @@
+"""Round-6 continuation: compressed-domain + representation mining ops.
+
+Four additions a training-data platform layers on the existing dedup /
+similarity / curation surface:
+
+  * ann_pq_adc_topk — product-quantization ANN (Jégou et al. 2011):
+    encode the corpus to M=8 4-bit codes (4 bytes vs 256 bytes of
+    float32 — the 64× scan-size reduction that makes exhaustive
+    compressed-domain search viable at 100 TB), then search by
+    asymmetric distance: M table lookups per candidate, no float vector
+    math at query time.
+  * random_projection_report — Johnson-Lindenstrauss ±1 sign projection
+    (Achlioptas 2003) 64→16 dims with a bounded all-pairs distortion
+    audit: the cheap-similarity backfill every embedding pipeline runs
+    before pair mining.
+  * ngram_diversity_report — corpus diversity (type/token ratio at n =
+    1/2/3) per source: the repetition/diversity health metric for
+    training mixes.
+  * bigram_lm_report — stupid-backoff bigram LM (Brants et al. 2007)
+    trained on the train split, scoring HELD-OUT documents: the
+    next-step-up from unigram perplexity filtering, with the backoff
+    rate (unseen-transition mass) measured per source.
+
+Shared determinism conventions (module docstrings of llm_ops /
+selection_ops): tokens are string_split_regex(trim(lower(text)),
+'\\s+') in both engines, corpus-string shuffle keys are first-15-md5-hex
+60-bit digests, ln()/double folds run in fixed sequential order and
+round to 6 dp, group means aggregate exact micro-unit integers, PQ/JL
+matrix literals are exact binary fractions (k/1024 or ±1.0) whose
+decimal spellings round-trip through both engines' parsers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_datbricks_demo_spark.operators import similarity, text
+from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
+from dbt_datbricks_demo_spark.queries.llm_ops import _SQL_TOKENS, _sql_dot
+from dbt_datbricks_demo_spark.queries.pipeline_ops import (
+    _sql_bucket,
+    _sql_ngram_list,
+)
+
+# ---------------------------------------------------------------------------
+# Product quantization: encode + ADC search
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_SUB, _PQ_K = 8, 8, 16
+_PQ_BOOKS = similarity.pq_codebooks(_PQ_M, _PQ_SUB, _PQ_K)
+
+
+def _dlit(x: float) -> str:
+    """Exact double literal for DuckDB: string→double cast is a
+    correctly-rounded strtod, so repr() round-trips bit-for-bit (a bare
+    decimal literal would detour through DECIMAL and can land 1 ulp
+    off for long fractions)."""
+    return f"cast('{x!r}' as double)"
+
+
+def _sql_pq() -> str:
+    sc_cols, qt_cols = [], []
+    for s, book in enumerate(_PQ_BOOKS):
+        off = s * _PQ_SUB
+        c2s = similarity._book_c2(book)
+        exprs, qexprs = [], []
+        for c, c2 in zip(book, c2s):
+            w = "[" + ", ".join(repr(x) for x in c) + "]"
+            dot = (
+                f"list_sum(list_transform(range(1, {_PQ_SUB + 1}), i -> "
+                f"cast(embedding[i + {off}] as double) * ({w})[i]))"
+            )
+            exprs.append(f"(-2.0 * {dot} + {_dlit(c2)})")
+            qdot = (
+                f"list_sum(list_transform(range(1, {_PQ_SUB + 1}), i -> "
+                f"qv[i + {off}] * ({w})[i]))"
+            )
+            qexprs.append(f"(-2.0 * {qdot} + {_dlit(c2)})")
+        sc_cols.append("[" + ",\n               ".join(exprs) + f"] as sc{s}")
+        qt_cols.append("[" + ",\n               ".join(qexprs) + f"] as t{s}")
+    codes = ",\n               ".join(
+        f"list_position(sc{s}, list_min(sc{s})) - 1 as c{s}"
+        for s in range(_PQ_M)
+    )
+    pack = "cast(c0 as bigint)"
+    for s in range(1, _PQ_M):
+        pack = f"({pack}*{_PQ_K} + c{s})"
+    adc = " + ".join(f"t{s}[c{s} + 1]" for s in range(_PQ_M))
+    self_dot = _sql_dot(
+        "embedding", "list_transform(embedding, x -> cast(x as double))"
+    )
+    return f"""
+    with q as (
+        select list_transform(embedding, x -> cast(x as double)) as qv
+        from embeddings where vec_id = 0
+    ),
+    enc as (
+        select vec_id,
+               {codes}
+        from (select vec_id,
+               {','.join(sc_cols)}
+              from embeddings)
+    ),
+    qt as (select {','.join(qt_cols)} from q),
+    brute as (
+        select vec_id
+        from (select vec_id,
+                     {_sql_dot('embedding', 'qv')}
+                     / (sqrt({self_dot}) * sqrt({_sql_dot('qv', 'qv')}))
+                         as cosine
+              from embeddings, q)
+        order by cosine desc, vec_id
+        limit 10
+    ),
+    scored as (
+        select vec_id,
+               cast({pack} as bigint) as pq_code,
+               round(cast(0.0 as double) + {adc}, 6) as adc_score
+        from enc, qt
+    )
+    select s.vec_id, s.pq_code, s.adc_score,
+           (b.vec_id is not null) as in_exact_top10
+    from scored s left join brute b using (vec_id)
+    order by adc_score asc, vec_id asc
+    limit 10
+    """
+
+
+@_register(
+    "ann_pq_adc_topk",
+    "product-quantization ANN: each vector encodes to 8 4-bit "
+    "per-subspace centroid ids (md5-derived fixed codebooks — 4 bytes "
+    "per vector vs 256 of float32), the query builds an 8x16 "
+    "asymmetric-distance table driver-side, and top-10 is M table "
+    "lookups per candidate — no float vector math at query time; the "
+    "in_exact_top10 column measures recall against the brute-force "
+    "top-10 in-result (operators.similarity.pq_encode/pq_adc_topk)",
+    _sql_pq(),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    top = similarity.pq_adc_topk(emb, _PQ_BOOKS, query, k=10)
+    # evaluation column: membership in the exact top-10 (the same brute
+    # scan ann_recall_report uses to certify the LSH path — a REPORT
+    # column; a production search serves from the codes alone)
+    brute = similarity.cosine_topk(emb, query, 10).select(
+        "vec_id", F.lit(True).alias("_hit")
+    )
+    return (
+        top.join(F.broadcast(brute), "vec_id", "left")
+        .select(
+            "vec_id",
+            "pq_code",
+            "adc_score",
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("in_exact_top10"),
+        )
+        .orderBy(F.col("adc_score").asc(), F.col("vec_id").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection + distortion audit
+# ---------------------------------------------------------------------------
+_JL_P = 16
+_JL_SIGNS = similarity.sign_matrix(_JL_P, 64)
+_JL_SAMPLE = 100
+
+
+def _sql_jl() -> str:
+    proj = []
+    for row in _JL_SIGNS:
+        w = "[" + ", ".join(f"{float(x)!r}" for x in row) + "]"
+        proj.append(
+            f"list_sum(list_transform(range(1, 65), i -> "
+            f"cast(embedding[i] as double) * ({w})[i]))"
+        )
+    y = "[" + ",\n               ".join(proj) + "]"
+    return f"""
+    with base as (
+        select vec_id, embedding,
+               {y} as y
+        from embeddings where vec_id < {_JL_SAMPLE}
+    ),
+    pairs as (
+        select a.vec_id as id_a, b.vec_id as id_b,
+               list_sum(list_transform(range(1, 65), i ->
+                   (cast(a.embedding[i] as double)
+                    - cast(b.embedding[i] as double))
+                 * (cast(a.embedding[i] as double)
+                    - cast(b.embedding[i] as double)))) as d2o,
+               list_sum(list_transform(range(1, {_JL_P + 1}), i ->
+                   (a.y[i] - b.y[i]) * (a.y[i] - b.y[i]))) as d2p
+        from base a join base b on a.vec_id < b.vec_id
+    ),
+    m as (
+        select id_a, id_b, d2p / (16.0 * d2o) as distortion
+        from pairs where d2o > 0
+    ),
+    mm as (
+        select *, cast(round(distortion * 1e6, 0) as bigint) as dist_micro
+        from m
+    )
+    select cast(floor(distortion * 10) as bigint)       as bucket,
+           cast(count(*) as bigint)                     as n_pairs,
+           cast(sum(dist_micro) as double) / count(*) / 1e6 as mean_distortion,
+           round(min(distortion), 6)                    as min_distortion,
+           round(max(distortion), 6)                    as max_distortion
+    from mm
+    group by 1
+    order by bucket
+    """
+
+
+@_register(
+    "random_projection_report",
+    "Johnson-Lindenstrauss ±1 sign projection 64→16 dims "
+    "(operators.similarity.sign_matrix/project_signs — one narrow "
+    "zero-shuffle backfill pass at corpus scale) with a distortion "
+    f"audit over the bounded all-pairs sample of the first {_JL_SAMPLE} "
+    "vectors: histogram of ||y_a−y_b||²/(P·||v_a−v_b||²) — the "
+    "JL estimator whose expectation is 1 — bucketed at 0.1 width; "
+    "group means aggregate exact micro-unit integers",
+    _sql_jl(),
+)
+def random_projection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    # the audit sample is FIXED-SIZE (first 100 ids → 4 950 pairs) no
+    # matter the corpus scale; the pair join is a bounded broadcast
+    # nested loop by construction
+    staged = (
+        emb.filter(F.col("vec_id") < _JL_SAMPLE)
+        .select(
+            "vec_id",
+            "embedding",
+            similarity.project_signs(F.col("embedding"), _JL_SIGNS).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = staged.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        F.col("y").alias("_ya"),
+    )
+    b = staged.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        F.col("y").alias("_yb"),
+    )
+    diff2 = lambda x, y: (x.cast("double") - y.cast("double")) * (  # noqa: E731
+        x.cast("double") - y.cast("double")
+    )
+    d2o = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), diff2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d2p = F.aggregate(
+        F.zip_with(F.col("_ya"), F.col("_yb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(d2o.alias("d2o"), d2p.alias("d2p"))
+        .filter(F.col("d2o") > 0)
+        .select((F.col("d2p") / (F.lit(16.0) * F.col("d2o"))).alias("distortion"))
+        .withColumn(
+            "dist_micro",
+            F.round(F.col("distortion") * 1e6, 0).cast("bigint"),
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.col("distortion") * 10).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (
+                F.sum("dist_micro").cast("double") / F.count(F.lit(1)) / F.lit(1e6)
+            ).alias("mean_distortion"),
+            F.round(F.min("distortion"), 6).alias("min_distortion"),
+            F.round(F.max("distortion"), 6).alias("max_distortion"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram diversity (type/token ratio per source)
+# ---------------------------------------------------------------------------
+_SQL_GH = "('0x' || substr(md5(g), 1, 15))::ubigint::bigint"
+
+
+def _sql_diversity() -> str:
+    def level(n: int) -> str:
+        src = (
+            "select source, unnest(t) as g from tok"
+            if n == 1
+            else f"select source, unnest({_sql_ngram_list('t', n)}) as g from tok"
+        )
+        return f"""
+    g{n} as (select source, {_SQL_GH} as gh from ({src})),
+    d{n} as (select source, gh, count(*) as c from g{n} group by 1, 2),
+    s{n} as (select source, sum(c) as total_{n}, count(*) as distinct_{n}
+             from d{n} group by 1)"""
+
+    return f"""
+    with tok as (select doc_id, source, {_SQL_TOKENS} as t from documents),
+    {','.join(level(n) for n in (1, 2, 3))}
+    select s1.source,
+           cast(total_1 as bigint)    as total_1,
+           cast(distinct_1 as bigint) as distinct_1,
+           round(cast(distinct_1 as double) / cast(total_1 as double), 6)
+               as ttr_1,
+           cast(total_2 as bigint)    as total_2,
+           cast(distinct_2 as bigint) as distinct_2,
+           round(cast(distinct_2 as double) / cast(total_2 as double), 6)
+               as ttr_2,
+           cast(total_3 as bigint)    as total_3,
+           cast(distinct_3 as bigint) as distinct_3,
+           round(cast(distinct_3 as double) / cast(total_3 as double), 6)
+               as ttr_3
+    from s1 join s2 using (source) join s3 using (source)
+    order by source
+    """
+
+
+@_register(
+    "ngram_diversity_report",
+    "per-source n-gram diversity (type/token ratio at n=1/2/3): the "
+    "corpus-health diversity metric for training mixes — each level is "
+    "a position-explode (codegen, no interpreted HOF) into a two-stage "
+    "digest aggregation (never count(*)+count(distinct) in one groupBy, "
+    "which plans the row-duplicating Expand); 60-bit gram digests keep "
+    "the shuffle narrow at corpus scale",
+    _sql_diversity(),
+)
+def ngram_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    # three gram levels read the tokenization: materialize it once
+    toks = docs.select(
+        "doc_id", "source", text.tokens("text").alias("_t")
+    ).localCheckpoint(eager=True)
+
+    def level(n: int) -> DataFrame:
+        if n == 1:
+            rows = toks.select("source", F.explode("_t").alias("g"))
+        else:
+            seq = F.when(
+                F.size("_t") >= n, F.sequence(F.lit(1), F.size("_t") - (n - 1))
+            ).otherwise(F.array().cast("array<int>"))
+            rows = toks.select(
+                "source", F.explode(seq).alias("_p"), "_t"
+            ).select(
+                "source",
+                F.concat_ws(" ", F.slice(F.col("_t"), F.col("_p"), n)).alias("g"),
+            )
+        gh = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+        per_digest = (
+            rows.select("source", gh.alias("gh"))
+            .groupBy("source", "gh")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return per_digest.groupBy("source").agg(
+            F.sum("c").cast("bigint").alias(f"total_{n}"),
+            F.count(F.lit(1)).cast("bigint").alias(f"distinct_{n}"),
+        )
+
+    out = level(1).join(level(2), "source").join(level(3), "source")
+    final = out.select(
+        "source",
+        *[
+            c
+            for n in (1, 2, 3)
+            for c in (
+                F.col(f"total_{n}"),
+                F.col(f"distinct_{n}"),
+                F.round(
+                    F.col(f"distinct_{n}").cast("double")
+                    / F.col(f"total_{n}").cast("double"),
+                    6,
+                ).alias(f"ttr_{n}"),
+            )
+        ],
+    )
+    return final.orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff bigram LM over held-out documents
+# ---------------------------------------------------------------------------
+def _sql_bigram_lm() -> str:
+    return f"""
+    with base as (
+        select doc_id, source, {_SQL_TOKENS} as t,
+               (source = 'src0') as is_train
+        from documents
+    ),
+    pairs as (
+        select doc_id, source, is_train, t[i] as w1, t[i + 1] as w2
+        from (select doc_id, source, is_train, t,
+                     unnest(range(1, len(t))) as i
+              from base where len(t) >= 2)
+    ),
+    uni as (
+        select term, count(*) as c_uni
+        from (select unnest(t) as term from base where is_train)
+        group by 1
+    ),
+    tot as (select cast(sum(c_uni) as double) as n,
+                   cast(count(*) as double) as v
+            from uni),
+    big as (select w1, w2, count(*) as c_big
+            from pairs where is_train group by 1, 2),
+    tf as (select doc_id, source, w1, w2, count(*) as tf
+           from pairs where not is_train group by 1, 2, 3, 4),
+    scored as (
+        select tf.doc_id, tf.source,
+               cast(sum(tf) as bigint) as n_trans,
+               cast(sum(case when b.c_big is null then tf else 0 end)
+                    as bigint) as n_backoff,
+               cast(round(round(sum(-tf * ln(
+                   case when b.c_big is not null
+                        then cast(b.c_big as double) / cast(u1.c_uni as double)
+                        else cast(0.4 as double)
+                             * (cast(coalesce(u2.c_uni, 0) + 1 as double)
+                                / (n + v))
+                   end)) / sum(tf), 6) * 1e6, 0) as bigint) as nll_micro
+        from tf
+        left join big b on b.w1 = tf.w1 and b.w2 = tf.w2
+        left join uni u1 on u1.term = tf.w1
+        left join uni u2 on u2.term = tf.w2, tot
+        group by tf.doc_id, tf.source
+    )
+    select source,
+           cast(count(*) as bigint)       as n_docs,
+           cast(sum(n_trans) as bigint)   as n_transitions,
+           cast(sum(n_backoff) as bigint) as n_backoff,
+           round(cast(sum(n_backoff) as double)
+                 / cast(sum(n_trans) as double), 6) as backoff_rate,
+           cast(sum(nll_micro) as double) / count(*) / 1e6 as mean_nll,
+           cast(max(nll_micro) as double) / 1e6            as max_nll
+    from scored
+    group by source
+    order by source
+    """
+
+
+@_register(
+    "bigram_lm_report",
+    "stupid-backoff bigram LM (Brants et al. 2007) trained on the "
+    "TARGET DOMAIN (source src0 — the DSIR-style target), scoring the "
+    "held-out sources: S(w2|w1) = c12/c1 when the transition was seen "
+    "in-domain, else 0.4·(c(w2)+1)/(N+V) — train/score separation is "
+    "what makes backoff real (a random 90% split of this corpus sees "
+    "every bigram and the backoff leg never fires); per-source NLL "
+    "stats over exact micro-nat integers plus the unseen-transition "
+    "(backoff) rate (operators.text.bigram_backoff_nll: partial-agg-"
+    "absorbed model passes, vocabulary-keyed joins, one-row totals "
+    "broadcast)",
+    _sql_bigram_lm(),
+)
+def bigram_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    is_train = F.col("source") == F.lit("src0")
+    per_doc = text.bigram_backoff_nll(
+        docs, is_train, keep_cols=("source",)
+    ).withColumn(
+        "nll_micro", F.round(F.col("avg_nll") * 1e6, 0).cast("bigint")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_trans").cast("bigint").alias("n_transitions"),
+            F.sum("n_backoff").cast("bigint").alias("n_backoff"),
+            F.round(
+                F.sum("n_backoff").cast("double")
+                / F.sum("n_trans").cast("double"),
+                6,
+            ).alias("backoff_rate"),
+            (
+                F.sum("nll_micro").cast("double") / F.count(F.lit(1)) / F.lit(1e6)
+            ).alias("mean_nll"),
+            (F.max("nll_micro").cast("double") / F.lit(1e6)).alias("max_nll"),
+        )
+        .orderBy("source")
+    )
