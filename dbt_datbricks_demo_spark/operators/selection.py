@@ -334,3 +334,65 @@ def budget_prefix_selection(
         .withColumn("selected", F.col("_running") <= F.col("budget"))
         .drop("_band", "_run_in_band", "_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (mirror descent on per-domain excess loss)
+# ---------------------------------------------------------------------------
+def doremi_weights(
+    per_domain: DataFrame,
+    iters: int = 3,
+    eta: float = 0.1,
+    loss_col: str = "l_micro",
+    weight_col: str = "w0",
+) -> DataFrame:
+    """Multiplicative-weights domain reweighting (the Group-DRO update at
+    the heart of DoReMi, Xie et al. 2023): starting from baseline
+    weights w0 (token shares), each step upweights domains whose loss
+    exceeds the current WEIGHTED mean loss:
+
+        w_d ← round( w_d · exp(eta · (L_d − L̄_t) / 1e6) )
+        L̄_t = round( Σ w_d L_d / Σ w_d )        (micro-nats, half-up)
+
+    The steps are genuinely sequential — L̄_t moves as the weights move —
+    and everything stays IN-PLAN on the aggregated per-domain table
+    (|domains| rows): each iteration is one tiny aggregate broadcast
+    back as a scalar, never a driver-side loop over collected rows.
+    Cross-engine exactness: losses and weights are micro-unit bigints
+    re-quantized after every step (order-free sums; the only doubles
+    are exp() of identical quotients and one multiply, floor(x+0.5)
+    half-up), so a SQL oracle unrolling the same CTEs hash-matches.
+    At 100 TB the per-domain table is at most ~1e8 rows (registered
+    hosts) and the scalar aggregates stay two-column — the corpus-sized
+    work is entirely in the upstream loss pass."""
+    cur = per_domain
+    w_prev = weight_col
+    for t in range(1, iters + 1):
+        bar = cur.agg(
+            F.sum(F.col(w_prev) * F.col(loss_col)).cast("bigint").alias("_num"),
+            F.sum(w_prev).cast("bigint").alias("_den"),
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(bar))
+            .withColumn(
+                f"_lbar{t}",
+                F.expr("(2 * _num + _den) div (2 * _den)").cast("bigint"),
+            )
+            .withColumn(
+                f"w{t}",
+                F.floor(
+                    F.col(w_prev).cast("double")
+                    * F.exp(
+                        F.lit(float(eta))
+                        * (
+                            (F.col(loss_col) - F.col(f"_lbar{t}")).cast("double")
+                            / F.lit(1e6)
+                        )
+                    )
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            )
+            .drop("_num", "_den")
+        )
+        w_prev = f"w{t}"
+    return cur

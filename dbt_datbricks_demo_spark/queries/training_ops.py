@@ -202,3 +202,128 @@ def temperature_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain-mixture reweighting
+# ---------------------------------------------------------------------------
+def _sql_doremi() -> str:
+    def lbar(b: str) -> str:
+        return f"((2 * {b}.num + {b}.den) // (2 * {b}.den))"
+
+    def step(t: int) -> str:
+        prev = f"w{t - 1}" if t > 1 else "w0"
+        src = f"u{t - 1}" if t > 1 else "d0"
+        return f"""
+    b{t} as (select cast(sum({prev} * l_micro) as bigint) as num,
+                    cast(sum({prev}) as bigint) as den from {src}),
+    u{t} as (select {src}.*,
+                    cast(floor(cast({prev} as double)
+                         * exp(cast(0.1 as double)
+                               * (cast(l_micro - {lbar(f'b{t}')} as double)
+                                  / 1e6))
+                         + 0.5) as bigint) as w{t}
+             from {src}, b{t})"""
+
+    return f"""
+    with tok as (
+        select doc_id, source, unnest({_SQL_TOKENS}) as term from documents
+    ),
+    model as (select term, count(*) as cnt from tok group by term),
+    tot as (select cast(sum(cnt) as double) as n,
+                   cast(count(*) as double) as v from model),
+    tf as (select doc_id, source, term, count(*) as tf
+           from tok group by 1, 2, 3),
+    per_doc as (
+        select doc_id, source,
+               cast(sum(tf) as bigint) as n_tok,
+               cast(round(round(sum(-tf * ln((cnt + 1) / (n + v)))
+                                / sum(tf), 6) * 1e6, 0) as bigint)
+                   as nll_micro
+        from tf join model using (term), tot
+        group by doc_id, source
+    ),
+    dom as (
+        select source, count(*) as n_docs,
+               cast(sum(nll_micro) as bigint) as sum_micro,
+               cast(sum(n_tok) as bigint) as toks
+        from per_doc group by source
+    ),
+    dtot as (select cast(sum(toks) as bigint) as all_toks from dom),
+    d0 as (
+        select source, n_docs,
+               (2 * sum_micro + n_docs) // (2 * n_docs) as l_micro,
+               (2 * toks * 1000000 + all_toks) // (2 * all_toks) as w0
+        from dom, dtot
+    ),
+    {','.join(step(t) for t in (1, 2, 3))},
+    ws as (select cast(sum(w3) as bigint) as wsum from u3)
+    select source,
+           cast(n_docs as bigint)              as n_docs,
+           round(cast(w0 as double) / 1e6, 6)  as token_share,
+           cast(l_micro as double) / 1e6       as mean_nll,
+           round(cast(w3 as double) / cast(wsum as double), 6)
+               as doremi_weight
+    from u3, ws
+    order by source
+    """
+
+
+@_register(
+    "doremi_mixture_report",
+    "DoReMi-style domain-mixture reweighting (Xie et al. 2023): 3 "
+    "mirror-descent steps upweight domains whose unigram-LM loss "
+    "exceeds the current WEIGHTED mean — the steps are genuinely "
+    "sequential (the mean moves with the weights) yet stay entirely "
+    "in-plan on the per-domain aggregate, micro-int re-quantized each "
+    "step so the unrolled-CTE oracle hash-matches "
+    "(operators.selection.doremi_weights)",
+    _sql_doremi(),
+)
+def doremi_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators import selection, text
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    per_doc = text.unigram_doc_nll(
+        docs, keep_cols=("source",)
+    ).withColumn("nll_micro", F.round(F.col("avg_nll") * 1e6, 0).cast("bigint"))
+    dom = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nll_micro").cast("bigint").alias("sum_micro"),
+        F.sum("n_tok").cast("bigint").alias("toks"),
+    )
+    dtot = dom.agg(F.sum("toks").cast("bigint").alias("all_toks"))
+    d0 = (
+        dom.crossJoin(F.broadcast(dtot))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(2 * sum_micro + n_docs) div (2 * n_docs)")
+            .cast("bigint")
+            .alias("l_micro"),
+            F.expr("(2 * toks * 1000000 + all_toks) div (2 * all_toks)")
+            .cast("bigint")
+            .alias("w0"),
+        )
+        # every iteration's mean-loss aggregate (and the final select)
+        # re-reads this relation: one eager checkpoint of the |domains|-row
+        # table stops each step from re-deriving the corpus LM pass
+        .localCheckpoint(eager=True)
+    )
+    u3 = selection.doremi_weights(d0, iters=3, eta=0.1)
+    ws = u3.agg(F.sum("w3").cast("bigint").alias("wsum"))
+    return (
+        u3.crossJoin(F.broadcast(ws))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(F.col("w0").cast("double") / F.lit(1e6), 6).alias(
+                "token_share"
+            ),
+            (F.col("l_micro").cast("double") / F.lit(1e6)).alias("mean_nll"),
+            F.round(
+                F.col("w3").cast("double") / F.col("wsum").cast("double"), 6
+            ).alias("doremi_weight"),
+        )
+        .orderBy("source")
+    )

@@ -61,6 +61,11 @@ DEFAULT_QUERIES = [
     # round-6 selection surface (the two heaviest members)
     "leakage_safe_split",
     "bloom_decontam_report",
+    # round-6 continuation mining surface
+    "ann_pq_adc_topk",
+    "ngram_diversity_report",
+    "bigram_lm_report",
+    "doremi_mixture_report",
 ]
 
 MARK_BEGIN = "<!-- weak-scaling:begin (scripts/weak_scaling.py) -->"
