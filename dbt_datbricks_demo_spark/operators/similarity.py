@@ -544,7 +544,12 @@ def bucketed_ann_topk(
 # Product quantization (PQ): compressed-domain ANN
 # ---------------------------------------------------------------------------
 def pq_codebooks(
-    m: int, sub_dim: int, k: int = 16, half: int = 512, denom: int = 1024
+    m: int,
+    sub_dim: int,
+    k: int = 16,
+    half: int = 512,
+    denom: int = 1024,
+    prefix: str = "pq",
 ) -> list[list[list[float]]]:
     """Deterministic md5-derived PQ codebooks: M per-subspace codebooks of
     K sub_dim-dimensional centroids, component (s, j, d) =
@@ -565,7 +570,10 @@ def pq_codebooks(
             row = []
             for d in range(sub_dim):
                 h = int(
-                    hashlib.md5(f"pq{s}c{j}d{d}".encode()).hexdigest()[:8], 16
+                    hashlib.md5(
+                        f"{prefix}{s}c{j}d{d}".encode()
+                    ).hexdigest()[:8],
+                    16,
                 )
                 row.append((h % (2 * half + 1) - half) / float(denom))
             book.append(row)
@@ -726,3 +734,75 @@ def project_signs(vec_col: Column, signs: list[list[int]]) -> Column:
         return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
     return F.transform(smat, coord)
+
+
+IVFPQ_CELL_COL = "ivf_cell"
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    coarse: list[list[float]],
+    books: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the composed IVF-PQ index (the FAISS IndexIVFPQ
+    architecture, sans residual re-encoding — documented simplification:
+    codes quantize the raw vector, not the cell residual): rows become
+    (id, 4-bit-code array, packed code) hive-partitioned by nearest
+    coarse cell. This is the full 100-TB search stack in one layout —
+    a probe reads nprobe/|cells| of the data via PLANNER partition
+    pruning, and what it reads is 4-byte codes instead of 256-byte
+    float vectors (the 64× scan reduction on top of the pruning).
+    Encoding is one narrow zero-shuffle codegen pass."""
+    from dbt_datbricks_demo_spark.plans.bucketing import write_partitioned
+
+    cell = ivf_assign(F.col(vec_col), coarse)
+    codes = pq_encode(F.col(vec_col), books)
+    staged = df.select(
+        F.col(id_col),
+        codes.alias("pq_codes"),
+        pq_pack(codes, len(books[0])).alias("pq_code"),
+        cell.alias(IVFPQ_CELL_COL),
+    )
+    write_partitioned(staged, path, IVFPQ_CELL_COL)
+
+
+def ivfpq_index_topk(
+    spark,
+    index_path: str,
+    coarse: list[list[float]],
+    books: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search against a write_ivfpq_index layout: route the query
+    to its nprobe nearest cells driver-side (bit-exact centroid_scores
+    fold), prune to those cell DIRECTORIES (PartitionFilters), then
+    ADC-score the stored codes — M lookups into the driver-built
+    query-distance table per candidate, no float vector math. Returns
+    (id, cell, pq_code, adc_score) ascending."""
+    cells = probe_cells_by_score(coarse, query, nprobe)
+    table = pq_adc_table(query, books)
+    tlit = F.lit(table)
+    indexed = spark.read.parquet(index_path)
+    adc = F.lit(0.0)
+    for s in range(len(books)):
+        adc = adc + F.element_at(
+            F.element_at(tlit, s + 1),
+            F.element_at(F.col("pq_codes"), s + 1) + 1,
+        )
+    return (
+        indexed.filter(F.col(IVFPQ_CELL_COL).isin(cells))
+        .select(
+            F.col(id_col),
+            F.col(IVFPQ_CELL_COL).cast("int").alias("cell"),
+            F.col("pq_code"),
+            F.round(adc, 6).alias("adc_score"),
+        )
+        .orderBy(F.col("adc_score").asc(), F.col(id_col))
+        .limit(k)
+    )

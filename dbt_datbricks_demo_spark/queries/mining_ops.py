@@ -58,7 +58,11 @@ def _dlit(x: float) -> str:
     return f"cast('{x!r}' as double)"
 
 
-def _sql_pq() -> str:
+def _pq_parts() -> tuple[list[str], list[str]]:
+    """Per-subspace SQL pieces shared by the PQ and IVF-PQ oracles:
+    sc{s} = the 16 corpus-side assignment scores of subspace s, t{s} =
+    the 16 query-side ADC table entries (computed from the stored query
+    vector, mirroring pq_adc_table's driver fold bit-for-bit)."""
     sc_cols, qt_cols = [], []
     for s, book in enumerate(_PQ_BOOKS):
         off = s * _PQ_SUB
@@ -78,14 +82,32 @@ def _sql_pq() -> str:
             qexprs.append(f"(-2.0 * {qdot} + {_dlit(c2)})")
         sc_cols.append("[" + ",\n               ".join(exprs) + f"] as sc{s}")
         qt_cols.append("[" + ",\n               ".join(qexprs) + f"] as t{s}")
-    codes = ",\n               ".join(
+    return sc_cols, qt_cols
+
+
+def _pq_codes_sql() -> str:
+    return ",\n               ".join(
         f"list_position(sc{s}, list_min(sc{s})) - 1 as c{s}"
         for s in range(_PQ_M)
     )
+
+
+def _pq_pack_sql() -> str:
     pack = "cast(c0 as bigint)"
     for s in range(1, _PQ_M):
         pack = f"({pack}*{_PQ_K} + c{s})"
-    adc = " + ".join(f"t{s}[c{s} + 1]" for s in range(_PQ_M))
+    return pack
+
+
+def _pq_adc_sql() -> str:
+    return " + ".join(f"t{s}[c{s} + 1]" for s in range(_PQ_M))
+
+
+def _sql_pq() -> str:
+    sc_cols, qt_cols = _pq_parts()
+    codes = _pq_codes_sql()
+    pack = _pq_pack_sql()
+    adc = _pq_adc_sql()
     self_dot = _sql_dot(
         "embedding", "list_transform(embedding, x -> cast(x as double))"
     )
@@ -487,4 +509,112 @@ def bigram_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("nll_micro").cast("double") / F.lit(1e6)).alias("max_nll"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed scale-path index (pruned cells × compressed codes)
+# ---------------------------------------------------------------------------
+_IVFPQ_CELLS = 16
+_IVFPQ_NPROBE = 4
+_IVFPQ_COARSE = similarity.pq_codebooks(
+    1, 64, k=_IVFPQ_CELLS, prefix="ivfq"
+)[0]
+
+
+def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and locate the IVF-PQ index for a testdata dir —
+    the stamp-key cache discipline of _ivf_index_for (llm_ops): keyed
+    by the source parquet's path+mtime+size, so a regenerated table
+    invalidates; the quantizers are fixed, so a rebuild reproduces the
+    identical index."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    stamp = "|".join(
+        f"{p}:{os.stat(p).st_mtime_ns}:{os.stat(p).st_size}"
+        for p in sorted(glob.glob(src) + glob.glob(os.path.join(src, "*")))
+    )
+    key = hashlib.md5(
+        f"{stamp}|ivfpq|cells{_IVFPQ_CELLS}|m{_PQ_M}|k{_PQ_K}".encode()
+    ).hexdigest()[:12]
+    idx_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivfpq_{key}", "index"
+    )
+    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        similarity.write_ivfpq_index(
+            _spread(_t(spark, sf_dir, "embeddings")),
+            _IVFPQ_COARSE,
+            _PQ_BOOKS,
+            idx_path,
+        )
+    return idx_path
+
+
+def _sql_ivfpq() -> str:
+    sc_cols, qt_cols = _pq_parts()
+    coarse_c2 = similarity._book_c2(_IVFPQ_COARSE)
+    csc, qcsc = [], []
+    for c, c2 in zip(_IVFPQ_COARSE, coarse_c2):
+        csc.append(f"(-2.0 * {_sql_dot('embedding', c)} + {_dlit(c2)})")
+        qcsc.append(f"(-2.0 * {_sql_dot('qv', c)} + {_dlit(c2)})")
+    return f"""
+    with q as (
+        select list_transform(embedding, x -> cast(x as double)) as qv
+        from embeddings where vec_id = 0
+    ),
+    enc as (
+        select vec_id,
+               list_position(csc, list_min(csc)) - 1 as cell,
+               {_pq_codes_sql()}
+        from (select vec_id,
+               [{','.join(csc)}] as csc,
+               {','.join(sc_cols)}
+              from embeddings)
+    ),
+    qt as (select {','.join(qt_cols)} from q),
+    qroute as (
+        select i - 1 as cell from (
+            select unnest(qsc) as s, generate_subscripts(qsc, 1) as i
+            from (select [{','.join(qcsc)}] as qsc from q)
+        ) order by s, i limit {_IVFPQ_NPROBE}
+    )
+    select e.vec_id, e.cell,
+           {_pq_pack_sql()} as pq_code,
+           round(cast(0.0 as double) + {_pq_adc_sql()}, 6) as adc_score
+    from enc e join qroute using (cell), qt
+    order by adc_score asc, vec_id asc
+    limit 10
+    """
+
+
+@_register(
+    "ann_ivfpq_topk",
+    "IVF-PQ composed index (the FAISS IndexIVFPQ architecture, raw-"
+    "vector codes — no residual re-encoding, documented): the corpus is "
+    "written ONCE hive-partitioned by fixed-coarse-quantizer cell with "
+    "4-byte PQ codes as the payload; a query probes nprobe=4 of 16 cell "
+    "DIRECTORIES (planner partition pruning) and ADC-scores only the "
+    "codes it reads — the two scale levers (nprobe/|cells| data read, "
+    "64× smaller rows) composed in one layout (operators.similarity."
+    "write_ivfpq_index/ivfpq_index_topk); every stage value-hash-exact "
+    "vs the oracle's from-scratch assignment + routing + table lookups",
+    _sql_ivfpq(),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx_path = _ivfpq_index_for(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return similarity.ivfpq_index_topk(
+        spark,
+        idx_path,
+        _IVFPQ_COARSE,
+        _PQ_BOOKS,
+        query,
+        k=10,
+        nprobe=_IVFPQ_NPROBE,
     )

@@ -121,6 +121,38 @@ def test_ivf_search_prunes_partitions(spark):
     assert rows[0]["n_bf"] == 10 and rows[0]["recall_ok"] is True
 
 
+def test_ivfpq_search_prunes_partitions_and_reads_codes(spark):
+    """The composed IVF-PQ claim: the probe is directory pruning on the
+    cell-partitioned index AND the scan reads the 4-byte codes, never
+    the float vectors (the raw embeddings appear only in the bounded
+    driver-side query fetch, which is not part of this plan)."""
+    df = QUERIES["ann_ivfpq_topk"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "ivf_cell" in seg.split("]")[0]
+        for seg in plan.split("PartitionFilters")[1:]
+    )
+    # no re-encoding at query time: the scan projects stored codes only
+    assert "embedding" not in plan
+    rows = df.collect()
+    assert len(rows) == 10
+    # ADC scores ascend and every row comes from a probed cell
+    scores = [r["adc_score"] for r in rows]
+    assert scores == sorted(scores)
+    from dbt_datbricks_demo_spark.operators import similarity
+    from dbt_datbricks_demo_spark.queries.mining_ops import (
+        _IVFPQ_COARSE,
+        _IVFPQ_NPROBE,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    cells = set(
+        similarity.probe_cells_by_score(_IVFPQ_COARSE, q, _IVFPQ_NPROBE)
+    )
+    assert {r["cell"] for r in rows} <= cells
+
+
 def test_quality_deciles_no_corpus_window(spark):
     """VERDICT r1 #4: the decile report must not funnel corpus rows
     through a global ntile window — all single-partition movement sits
