@@ -327,3 +327,96 @@ def doremi_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length bucketed batching (padding-waste accounting)
+# ---------------------------------------------------------------------------
+_BATCH_DOCS = 8
+_LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _sql_len_bucket() -> str:
+    cases = " ".join(
+        f"when nt <= {b} then {b}" for b in _LEN_BUCKETS
+    )
+    return f"case {cases} else {_LEN_BUCKETS[-1] * 2} end"
+
+
+@_register(
+    "length_bucket_batching_report",
+    "sequence-length bucketed batching: documents bin into power-of-2 "
+    "length buckets (the standard padding-efficiency trick — batching "
+    f"similar lengths together; batch size {_BATCH_DOCS} docs), with "
+    "per-bucket batch counts and the padding fraction each bucket pays "
+    "(intra-doc pad to the bucket length + last-batch remainder) — all "
+    "exact integer arithmetic on one aggregation pass; the CASE ladder "
+    "is deterministic where a float log2 would wobble at exact powers",
+    f"""
+    with s as (
+        select doc_id, len({_SQL_TOKENS}) as nt from documents
+    ),
+    b as (
+        select {_sql_len_bucket()} as bucket_len, nt
+        from s where nt > 0
+    ),
+    agg as (
+        select bucket_len,
+               count(*) as n_docs,
+               cast(sum(nt) as bigint) as total_tokens
+        from b group by bucket_len
+    )
+    select bucket_len,
+           cast(n_docs as bigint) as n_docs,
+           total_tokens,
+           (n_docs + {_BATCH_DOCS - 1}) // {_BATCH_DOCS} as n_batches,
+           cast(((n_docs + {_BATCH_DOCS - 1}) // {_BATCH_DOCS})
+                * {_BATCH_DOCS} * bucket_len - total_tokens as bigint)
+               as padded_tokens,
+           round(1.0 - cast(total_tokens as double)
+                 / cast(((n_docs + {_BATCH_DOCS - 1}) // {_BATCH_DOCS})
+                        * {_BATCH_DOCS} * bucket_len as double), 6)
+               as pad_frac
+    from agg
+    order by bucket_len
+    """,
+)
+def length_bucket_batching_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators import text
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    nt = F.size(text.tokens("text"))
+    bucket = F.lit(_LEN_BUCKETS[-1] * 2)
+    for b in reversed(_LEN_BUCKETS):
+        bucket = F.when(F.col("nt") <= b, F.lit(b)).otherwise(bucket)
+    agg = (
+        docs.select(nt.alias("nt"))
+        .filter(F.col("nt") > 0)
+        .select(bucket.alias("bucket_len"), "nt")
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+        )
+    )
+    n_batches = F.expr(
+        f"(n_docs + {_BATCH_DOCS - 1}) div {_BATCH_DOCS}"
+    ).cast("bigint")
+    cap = n_batches * F.lit(_BATCH_DOCS) * F.col("bucket_len")
+    return (
+        agg.select(
+            "bucket_len",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "total_tokens",
+            n_batches.alias("n_batches"),
+            (cap - F.col("total_tokens")).cast("bigint").alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("total_tokens").cast("double") / cap.cast("double"),
+                6,
+            ).alias("pad_frac"),
+        )
+        .orderBy("bucket_len")
+    )

@@ -78,6 +78,11 @@ def test_graded_prefix_carries_headline_capabilities():
         # ngram_jaccard_probe / rolling_fingerprint / plain-lookup
         # variants
         "span_removal_report", "minhash_index_maintenance",
+        # round-6 continuation: the leakage-safe split (the operational
+        # downstream form of the dedup surface) and the composed IVF-PQ
+        # index replaced the empty-at-sf0.01 range-join row and the
+        # simplest set op (INTERSECT)
+        "leakage_safe_split", "ann_ivfpq_topk",
     ):
         assert headline in names[:50], f"{headline} fell out of graded prefix"
     # every graded query is hash-verifiable
