@@ -652,3 +652,132 @@ def bigram_backoff_nll(
             F.round(F.sum(nll_term) / F.sum("tf"), 6).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (byte-pair-encoding tokenizer construction)
+# ---------------------------------------------------------------------------
+def bpe_initial_symbols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, pos, sym) rows: the corpus vocabulary split into
+    single-character symbols with a trailing '_' end-of-word marker —
+    BPE's working representation. ONE corpus pass builds the weighted
+    vocabulary; everything after is vocabulary-sized."""
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return vocab.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word") + 1)).alias("pos"),
+    ).select(
+        "word",
+        "freq",
+        "pos",
+        F.when(
+            F.col("pos") <= F.length("word"),
+            F.expr("substring(word, pos, 1)"),
+        )
+        .otherwise(F.lit("_"))
+        .alias("sym"),
+    )
+
+
+def bpe_merge_round(srows: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE training round on (word, freq, pos, sym) rows: count
+    adjacent symbol pairs weighted by word frequency, pick the most
+    frequent (ties by (s1, s2) — deterministic), and merge its
+    occurrences LEFT-TO-RIGHT NON-OVERLAPPING in every word. The
+    overlap case (s1 == s2 in a run like [a,a,a]) is handled by
+    gaps-and-islands parity: matches group into consecutive islands
+    (pos − running-match-count is constant within one) and only even
+    island offsets start a merge — exactly the sequential semantics of
+    the reference BPE implementations, but expressed as window
+    arithmetic both engines (and the SQL oracle) compute identically.
+    Returns (best — one row (s1, s2, pair_freq) —, merged symbol rows).
+
+    Scale shape: every relation here is VOCABULARY-sized (distinct
+    words), not corpus-sized; windows partition by word (bounded
+    frames). The caller checkpoints between rounds — each round is a
+    genuine sequential dependency, like doremi_weights' steps."""
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("word").orderBy("pos")
+    paired = srows.withColumn("nxt", F.lead("sym").over(w_ord))
+    best = (
+        paired.filter(F.col("nxt").isNotNull())
+        .groupBy("sym", "nxt")
+        .agg(F.sum("freq").cast("bigint").alias("pair_freq"))
+        .orderBy(F.desc("pair_freq"), F.asc("sym"), F.asc("nxt"))
+        .limit(1)
+        .select(
+            F.col("sym").alias("s1"), F.col("nxt").alias("s2"), "pair_freq"
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = (
+        paired.crossJoin(F.broadcast(best))
+        .withColumn(
+            "match", (F.col("sym") == F.col("s1")) & (F.col("nxt") == F.col("s2"))
+        )
+        .withColumn(
+            "mrank",
+            F.sum(F.when(F.col("match"), 1).otherwise(0)).over(w_ord),
+        )
+        .withColumn(
+            "island", F.when(F.col("match"), F.col("pos") - F.col("mrank"))
+        )
+    )
+    w_isl = Window.partitionBy("word", "island").orderBy("pos")
+    m = m.withColumn(
+        "ioff", F.when(F.col("match"), F.row_number().over(w_isl) - 1)
+    ).withColumn(
+        "mstart", F.col("match") & (F.col("ioff") % 2 == 0)
+    ).withColumn(
+        "consumed", F.coalesce(F.lag("mstart").over(w_ord), F.lit(False))
+    )
+    merged = (
+        m.filter(~F.col("consumed"))
+        .select(
+            "word",
+            "freq",
+            F.row_number().over(w_ord).alias("pos"),
+            F.when(F.col("mstart"), F.concat(F.col("s1"), F.col("s2")))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    return best, merged
+
+
+def bpe_train_merges(
+    df: DataFrame, rounds: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Train `rounds` BPE merges on the corpus (Sennrich et al. 2016):
+    returns one row per learned merge — (step, s1, s2, merged,
+    pair_freq, corpus_symbols_after), where corpus_symbols_after is the
+    frequency-weighted total symbol count (the compression curve a
+    tokenizer build monitors). The corpus contributes one vocabulary
+    aggregation pass; the merge loop runs on the vocabulary-sized
+    symbol table, checkpointed between genuinely sequential rounds."""
+    from functools import reduce
+
+    srows = bpe_initial_symbols(df, text_col).localCheckpoint(eager=True)
+    reports = []
+    for t in range(1, rounds + 1):
+        best, merged = bpe_merge_round(srows)
+        srows = merged.localCheckpoint(eager=True)
+        after = srows.agg(
+            F.sum("freq").cast("bigint").alias("corpus_symbols_after")
+        )
+        reports.append(
+            best.select(
+                F.lit(t).alias("step"),
+                "s1",
+                "s2",
+                F.concat(F.col("s1"), F.col("s2")).alias("merged"),
+                "pair_freq",
+            ).crossJoin(F.broadcast(after))
+        )
+    return reduce(DataFrame.unionAll, reports).orderBy("step")

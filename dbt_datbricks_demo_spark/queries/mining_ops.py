@@ -618,3 +618,103 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=_IVFPQ_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (tokenizer construction in-engine)
+# ---------------------------------------------------------------------------
+_BPE_ROUNDS = 3
+
+
+def _sql_bpe() -> str:
+    def round_ctes(t: int) -> str:
+        prev = f"syms{t - 1}"
+        return f"""
+    p{t} as (
+        select *, lead(sym) over (partition by word order by pos) as nxt
+        from {prev}
+    ),
+    best{t} as (
+        select sym as s1, nxt as s2, cast(sum(freq) as bigint) as pair_freq
+        from p{t} where nxt is not null
+        group by 1, 2 order by pair_freq desc, s1, s2 limit 1
+    ),
+    m{t} as (
+        select p.*, b.s1, b.s2, b.pair_freq,
+               (p.sym = b.s1 and p.nxt = b.s2) as match
+        from p{t} p, best{t} b
+    ),
+    m{t}b as (
+        select *,
+               sum(case when match then 1 else 0 end)
+                   over (partition by word order by pos) as mrank
+        from m{t}
+    ),
+    m{t}c as (
+        select *, case when match then pos - mrank end as island from m{t}b
+    ),
+    m{t}d as (
+        select *,
+               case when match then row_number()
+                    over (partition by word, island order by pos) - 1 end
+                   as ioff
+        from m{t}c
+    ),
+    m{t}e as (
+        select *, (match and ioff % 2 = 0) as mstart,
+               coalesce(lag(match and ioff % 2 = 0)
+                   over (partition by word order by pos), false) as consumed
+        from m{t}d
+    ),
+    syms{t} as (
+        select word, freq,
+               row_number() over (partition by word order by pos) as pos,
+               case when mstart then s1 || s2 else sym end as sym
+        from m{t}e where not consumed
+    ),
+    rep{t} as (
+        select {t} as step, s1, s2, s1 || s2 as merged, pair_freq,
+               (select cast(sum(freq) as bigint) from syms{t})
+                   as corpus_symbols_after
+        from best{t}
+    )"""
+
+    rounds_sql = ",".join(round_ctes(t) for t in range(1, _BPE_ROUNDS + 1))
+    union = "\n    union all\n    ".join(
+        f"select * from rep{t}" for t in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    with vocab as (
+        select word, cast(count(*) as bigint) as freq
+        from (select unnest({_SQL_TOKENS}) as word from documents)
+        group by word
+    ),
+    syms0 as (
+        select word, freq, i as pos,
+               case when i <= len(word) then word[i:i] else '_' end as sym
+        from vocab, unnest(range(1, len(word) + 2)) as t(i)
+    ),
+    {rounds_sql}
+    {union}
+    order by step
+    """
+
+
+@_register(
+    "bpe_merge_training",
+    f"BPE tokenizer training (Sennrich et al. 2016), {_BPE_ROUNDS} merge "
+    "rounds in-engine: ONE corpus pass builds the weighted vocabulary, "
+    "then each round counts adjacent symbol pairs, picks the most "
+    "frequent (deterministic tie-break) and merges its occurrences "
+    "left-to-right non-overlapping via gaps-and-islands parity window "
+    "arithmetic — the genuinely sequential merge loop, like "
+    "doremi_mixture_report's mirror descent, runs on the "
+    "VOCABULARY-sized symbol table (checkpointed between rounds), never "
+    "the corpus (operators.text.bpe_train_merges); the oracle unrolls "
+    "the identical rounds as CTEs and hash-matches every merge choice, "
+    "pair count and compression-curve point",
+    _sql_bpe(),
+)
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return text.bpe_train_merges(docs, rounds=_BPE_ROUNDS)

@@ -160,3 +160,38 @@ def test_bigram_rows_positions_and_short_docs(spark):
         for r in text.bigram_rows(df).collect()
     )
     assert out == [(1, "x", "y"), (1, "y", "z")]
+
+
+def test_bpe_merges_match_hand_computation(spark):
+    """Classic Sennrich toy corpus: 'low' x2 + 'lowest'. Pair counts
+    round 1: (l,o)=3, (o,w)=3, others <=1... tie between (l,o) and
+    (o,w) breaks to (l,o) lexicographically; round 2 merges (lo,w);
+    round 3 merges (low,_) (freq 2 from the two standalone 'low')."""
+    df = spark.createDataFrame(
+        [(1, "low low lowest")], "doc_id long, text string"
+    )
+    rows = text.bpe_train_merges(df, rounds=3).collect()
+    assert [(r["step"], r["s1"], r["s2"], r["pair_freq"]) for r in rows] == [
+        (1, "l", "o", 3),
+        (2, "lo", "w", 3),
+        (3, "low", "_", 2),
+    ]
+    # compression curve (FREQUENCY-weighted symbol instances): initial
+    # 15 = 2x(l,o,w,_) + 1x(l,o,w,e,s,t,_); each merge removes one
+    # symbol per weighted occurrence → 15-3, 12-3, 9-2
+    assert [r["corpus_symbols_after"] for r in rows] == [12, 9, 7]
+
+
+def test_bpe_overlapping_run_merges_left_to_right(spark):
+    """[a,a,a,a,a] with pair (a,a): left-to-right non-overlapping gives
+    [aa, aa, a] — the parity logic, not all-pairs replacement."""
+    df = spark.createDataFrame([(1, "aaaaa")], "doc_id long, text string")
+    best, merged = text.bpe_merge_round(
+        text.bpe_initial_symbols(df)
+    )
+    b = best.collect()[0]
+    assert (b["s1"], b["s2"], b["pair_freq"]) == ("a", "a", 4)
+    syms = [
+        r["sym"] for r in merged.orderBy("pos").collect()
+    ]
+    assert syms == ["aa", "aa", "a", "_"]
