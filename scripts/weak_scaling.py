@@ -66,6 +66,9 @@ DEFAULT_QUERIES = [
     "ngram_diversity_report",
     "bigram_lm_report",
     "doremi_mixture_report",
+    "ann_ivfpq_topk",
+    "bpe_merge_training",
+    "length_bucket_batching_report",
 ]
 
 MARK_BEGIN = "<!-- weak-scaling:begin (scripts/weak_scaling.py) -->"
@@ -211,6 +214,26 @@ def main() -> None:
         )
     spark.stop()
 
+    # a WS_QUERIES subset run MERGES into the existing results (the
+    # published table covers the whole default list; replacing it with
+    # a 3-row subset destroyed committed evidence once — never again)
+    out = os.environ.get(
+        "WS_OUT", os.path.join(REPO, "SCALE_RESULTS.json")
+    )
+    if sel and os.path.exists(out):
+        try:
+            with open(out) as fh:
+                prior = json.load(fh)
+            if prior.get("scales") == scales:
+                for s_key, tmap in prior.get("timings", {}).items():
+                    sc = int(s_key)
+                    if sc in timings:
+                        merged = dict(tmap)
+                        merged.update(timings[sc])
+                        timings[sc] = merged
+        except Exception as e:  # noqa: BLE001
+            print(f"merge with prior results failed: {e}", file=sys.stderr)
+
     result = {
         "scales": scales,
         "runs": runs,
@@ -224,9 +247,6 @@ def main() -> None:
             for s in scales[1:]
         },
     }
-    out = os.environ.get(
-        "WS_OUT", os.path.join(REPO, "SCALE_RESULTS.json")
-    )
     with open(out, "w") as fh:
         json.dump(result, fh, indent=1)
     # WS_UPDATE_MD=0 keeps SCALE.md's curated table (e.g. a breadth
