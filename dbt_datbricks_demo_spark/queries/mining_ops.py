@@ -1,6 +1,6 @@
 """Round-6 continuation: compressed-domain + representation mining ops.
 
-Four additions a training-data platform layers on the existing dedup /
+Additions a training-data platform layers on the existing dedup /
 similarity / curation surface:
 
   * ann_pq_adc_topk — product-quantization ANN (Jégou et al. 2011):
@@ -9,6 +9,10 @@ similarity / curation surface:
     compressed-domain search viable at 100 TB), then search by
     asymmetric distance: M table lookups per candidate, no float vector
     math at query time.
+  * ann_ivfpq_topk — the COMPOSED IVF-PQ index (FAISS IndexIVFPQ):
+    hive-partitioned coarse cells × PQ code payloads — probes prune to
+    nprobe/|cells| of the data via the planner and ADC-score only the
+    4-byte codes they read.
   * random_projection_report — Johnson-Lindenstrauss ±1 sign projection
     (Achlioptas 2003) 64→16 dims with a bounded all-pairs distortion
     audit: the cheap-similarity backfill every embedding pipeline runs
@@ -17,9 +21,13 @@ similarity / curation surface:
     1/2/3) per source: the repetition/diversity health metric for
     training mixes.
   * bigram_lm_report — stupid-backoff bigram LM (Brants et al. 2007)
-    trained on the train split, scoring HELD-OUT documents: the
+    trained on the target domain, scoring HELD-OUT sources: the
     next-step-up from unigram perplexity filtering, with the backoff
     rate (unseen-transition mass) measured per source.
+  * bpe_merge_training — BPE tokenizer training (Sennrich et al. 2016)
+    in-engine: sequential merge rounds on the vocabulary-sized symbol
+    table, left-to-right non-overlapping merges via gaps-and-islands
+    parity windows, hash-matched by an unrolled-CTE oracle.
 
 Shared determinism conventions (module docstrings of llm_ops /
 selection_ops): tokens are string_split_regex(trim(lower(text)),
