@@ -604,10 +604,13 @@ def bigram_backoff_nll(
     and rounds to 6 dp (module convention). Returns (id, keep_cols,
     n_trans, n_backoff, avg_nll)."""
     staged = df.withColumn("_train", is_train)
+    # the pair stream feeds BOTH model training (train side) and
+    # held-out scoring: materialize the tokenization/explode once —
+    # narrow (id, keep, w1, w2) rows — instead of re-deriving per branch
     pairs = bigram_rows(
         staged, text_col=text_col, id_col=id_col,
         keep_cols=tuple(keep_cols) + ("_train",),
-    )
+    ).localCheckpoint(eager=True)
     uni = (
         staged.filter(F.col("_train"))
         .select(F.explode(tokens(text_col)).alias("term"))
