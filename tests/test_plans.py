@@ -121,6 +121,24 @@ def test_ivf_search_prunes_partitions(spark):
     assert rows[0]["n_bf"] == 10 and rows[0]["recall_ok"] is True
 
 
+def test_pq_adc_ranking_is_scan_project_takeordered(spark):
+    """The flat-PQ claim: the ADC ranking path is one scan + projection
+    (encode + constant-folded table lookups) into per-partition top-k
+    heaps — no shuffle, no window, no Python on the scored path. The
+    only join attaches the 10-row brute-force evaluation column."""
+    df = QUERIES["ann_pq_adc_topk"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) == 10
+    scores = [r["adc_score"] for r in rows]
+    assert scores == sorted(scores)
+    # codes pack into 32 bits: 8 subspaces x 4 bits
+    assert all(0 <= r["pq_code"] < 16 ** 8 for r in rows)
+
+
 def test_ivfpq_search_prunes_partitions_and_reads_codes(spark):
     """The composed IVF-PQ claim: the probe is directory pruning on the
     cell-partitioned index AND the scan reads the 4-byte codes, never
