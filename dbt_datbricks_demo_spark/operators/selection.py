@@ -35,7 +35,6 @@ the standard selection stage of LLM data pipelines.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F

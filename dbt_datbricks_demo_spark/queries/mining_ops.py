@@ -46,10 +46,7 @@ from pyspark.sql import functions as F
 from dbt_datbricks_demo_spark.operators import similarity, text
 from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
 from dbt_datbricks_demo_spark.queries.llm_ops import _SQL_TOKENS, _sql_dot
-from dbt_datbricks_demo_spark.queries.pipeline_ops import (
-    _sql_bucket,
-    _sql_ngram_list,
-)
+from dbt_datbricks_demo_spark.queries.pipeline_ops import _sql_ngram_list
 
 # ---------------------------------------------------------------------------
 # Product quantization: encode + ADC search
