@@ -1657,3 +1657,329 @@ def dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("slice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continuation-2: corpus-statistics additions
+# ---------------------------------------------------------------------------
+_SQL_TOKENS_C2 = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@_register(
+    "zipf_fit_report",
+    "per-source Zipf fit: OLS of ln(freq) on ln(rank) over the top-100 "
+    "terms (WindowGroupLimit-bounded fit set) — the corpus-health "
+    "diagnostic for unnaturally flat/steep token distributions. "
+    "ln values quantize to micro-units BEFORE the normal-equation sums "
+    "(order-free bigint arithmetic; the engines' native regr_slope "
+    "merges order-dependent partial states), one double division at "
+    "the end, slope ≈ -1 for natural text",
+    f"""
+    with tf as (
+        select source, term, count(*) as freq
+        from (select source, unnest({_SQL_TOKENS_C2}) as term
+              from documents)
+        group by 1, 2
+    ),
+    ranked as (
+        select source, term, freq,
+               row_number() over (partition by source
+                                  order by freq desc, term asc) as rnk
+        from tf
+    ),
+    pts as (
+        select source,
+               cast(round(ln(cast(rnk as double)) * 1e6, 0) as bigint) as x,
+               cast(round(ln(cast(freq as double)) * 1e6, 0) as bigint) as y
+        from ranked where rnk <= 100
+    ),
+    fit as (
+        select source,
+               cast(count(*) as bigint) as n,
+               cast(sum(x) as bigint) as sx,
+               cast(sum(y) as bigint) as sy,
+               cast(sum(x * x) as bigint) as sxx,
+               cast(sum(x * y) as bigint) as sxy
+        from pts group by source
+    )
+    select source, n as n_terms,
+           round(cast(n * sxy - sx * sy as double)
+                 / cast(n * sxx - sx * sx as double), 6) as zipf_slope,
+           round((cast(sy as double)
+                  - round(cast(n * sxy - sx * sy as double)
+                          / cast(n * sxx - sx * sx as double), 6)
+                    * cast(sx as double)) / cast(n as double) / 1e6, 6)
+               as zipf_intercept
+    from fit
+    order by source
+    """,
+)
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dbt_datbricks_demo_spark.operators import text
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("source", F.explode(text.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("freq"), F.asc("term")
+    )
+    pts = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select(
+            "source",
+            F.round(F.log(F.col("rnk").cast("double")) * 1e6, 0)
+            .cast("bigint")
+            .alias("x"),
+            F.round(F.log(F.col("freq").cast("double")) * 1e6, 0)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    fit = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = F.round(num / den, 6)
+    return (
+        fit.select(
+            "source",
+            F.col("n").alias("n_terms"),
+            slope.alias("zipf_slope"),
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("zipf_intercept"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "source_overlap_matrix",
+    "inter-source duplication heatmap: for every source pair, the "
+    "count of shared DISTINCT word-8-gram digests and their Jaccard — "
+    "the cross-domain contamination view of the dedup surface. Shape: "
+    "distinct (digest, source) rows shuffle once; the per-digest "
+    "self-join expands to at most |sources|² rows per digest "
+    "(20 sources → bounded), and the pair aggregation absorbs "
+    "map-side; document bodies never shuffle",
+    f"""
+    with grams as (
+        select distinct source,
+               ('0x' || substr(md5(g), 1, 15))::ubigint::bigint as gh
+        from (
+            select source,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                   || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                   || ' ' || t[i+7] as g
+            from (select source, {_SQL_TOKENS_C2} as t,
+                         unnest(range(1, greatest(len({_SQL_TOKENS_C2}) - 7, 0) + 1)) as i
+                  from documents)
+        )
+    ),
+    sizes as (select source, cast(count(*) as bigint) as n_grams
+              from grams group by source),
+    shared as (
+        select a.source as source_a, b.source as source_b,
+               cast(count(*) as bigint) as shared_grams
+        from grams a join grams b
+          on a.gh = b.gh and a.source < b.source
+        group by 1, 2
+    )
+    select s.source_a, s.source_b,
+           na.n_grams as grams_a, nb.n_grams as grams_b, s.shared_grams,
+           round(cast(s.shared_grams as double)
+                 / cast(na.n_grams + nb.n_grams - s.shared_grams as double),
+                 6) as jaccard
+    from shared s
+    join sizes na on na.source = s.source_a
+    join sizes nb on nb.source = s.source_b
+    order by source_a, source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.operators import text
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    n = 8
+    toks = docs.select("source", text.tokens("text").alias("_t"))
+    seq = F.when(
+        F.size("_t") >= n, F.sequence(F.lit(1), F.size("_t") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        toks.select("source", F.explode(seq).alias("_p"), "_t")
+        .select(
+            "source",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(F.col("_t"), F.col("_p"), n))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("gh"),
+        )
+        .distinct()
+        # the distinct (source, digest) relation is read three times
+        # (sizes + both join sides): one eager materialization
+        .localCheckpoint(eager=True)
+    )
+    sizes = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    a = grams.select(F.col("source").alias("source_a"), "gh")
+    b = grams.select(F.col("source").alias("source_b"), "gh")
+    shared = (
+        a.join(b, "gh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )
+    na = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    nb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        shared.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "grams_a",
+            "grams_b",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams").cast("double")
+                / (
+                    F.col("grams_a") + F.col("grams_b") - F.col("shared_grams")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@_register(
+    "quality_threshold_curve",
+    "filter-threshold yield curve: documents score by integer lexical "
+    "diversity ((1e6·distinct)÷tokens — the token_budget_selection "
+    "metric); for each of 10 candidate thresholds, the docs/tokens "
+    "surviving the filter — computed as ONE aggregation over 10 score "
+    "buckets plus a suffix-cumulative window over the ≤10-row bucket "
+    "table (never 10 corpus passes); the curve a curation run reads to "
+    "pick its operating point",
+    f"""
+    with s as (
+        select doc_id, len(t) as nt, len(list_distinct(t)) as nd
+        from (select doc_id, {_SQL_TOKENS_C2} as t from documents)
+        where len(t) > 0
+    ),
+    scored as (
+        select *, least((1000000 * nd) // nt // 100000, 9) as bucket
+        from s
+    ),
+    buckets as (
+        select bucket, cast(count(*) as bigint) as n_docs,
+               cast(sum(nt) as bigint) as n_tokens
+        from scored group by bucket
+    ),
+    tot as (select cast(sum(n_docs) as bigint) as all_docs,
+                   cast(sum(n_tokens) as bigint) as all_tokens
+            from buckets),
+    curve as (
+        select bucket * 100000 as threshold_micro,
+               sum(n_docs) over (order by bucket desc
+                                 rows between unbounded preceding
+                                 and current row) as docs_ge,
+               sum(n_tokens) over (order by bucket desc
+                                   rows between unbounded preceding
+                                   and current row) as tokens_ge
+        from buckets
+    )
+    select threshold_micro,
+           cast(docs_ge as bigint)   as docs_kept,
+           cast(tokens_ge as bigint) as tokens_kept,
+           round(cast(docs_ge as double) / cast(all_docs as double), 6)
+               as doc_frac,
+           round(cast(tokens_ge as double) / cast(all_tokens as double), 6)
+               as token_frac
+    from curve, tot
+    order by threshold_micro
+    """,
+)
+def quality_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dbt_datbricks_demo_spark.operators import text
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = text.tokens("text")
+    scored = (
+        docs.select(
+            F.size(toks).cast("bigint").alias("nt"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("nd"),
+        )
+        .filter(F.col("nt") > 0)
+        .select(
+            F.least(
+                F.expr("(1000000 * nd) div nt div 100000"), F.lit(9)
+            ).alias("bucket"),
+            "nt",
+        )
+    )
+    buckets = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    tot = buckets.agg(
+        F.sum("n_docs").cast("bigint").alias("all_docs"),
+        F.sum("n_tokens").cast("bigint").alias("all_tokens"),
+    )
+    # the bucket table is <= 10 rows: the suffix-cumulative window is
+    # a bounded single-partition frame by construction
+    w = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = buckets.select(
+        (F.col("bucket") * 100000).alias("threshold_micro"),
+        F.sum("n_docs").over(w).alias("docs_ge"),
+        F.sum("n_tokens").over(w).alias("tokens_ge"),
+    )
+    return (
+        curve.crossJoin(F.broadcast(tot))
+        .select(
+            "threshold_micro",
+            F.col("docs_ge").cast("bigint").alias("docs_kept"),
+            F.col("tokens_ge").cast("bigint").alias("tokens_kept"),
+            F.round(
+                F.col("docs_ge").cast("double") / F.col("all_docs").cast("double"),
+                6,
+            ).alias("doc_frac"),
+            F.round(
+                F.col("tokens_ge").cast("double")
+                / F.col("all_tokens").cast("double"),
+                6,
+            ).alias("token_frac"),
+        )
+        .orderBy("threshold_micro")
+    )
