@@ -660,16 +660,10 @@ def bigram_backoff_nll(
 # ---------------------------------------------------------------------------
 # BPE merge training (byte-pair-encoding tokenizer construction)
 # ---------------------------------------------------------------------------
-def bpe_initial_symbols(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, freq, pos, sym) rows: the corpus vocabulary split into
+def bpe_symbols_from_vocab(vocab: DataFrame) -> DataFrame:
+    """(word, freq, pos, sym) rows from a (word, freq) vocabulary:
     single-character symbols with a trailing '_' end-of-word marker —
-    BPE's working representation. ONE corpus pass builds the weighted
-    vocabulary; everything after is vocabulary-sized."""
-    vocab = (
-        df.select(F.explode(tokens(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-    )
+    BPE's working representation. Vocabulary-sized."""
     return vocab.select(
         "word",
         "freq",
@@ -687,7 +681,20 @@ def bpe_initial_symbols(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_merge_round(srows: DataFrame) -> tuple[DataFrame, DataFrame]:
+def bpe_initial_symbols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """bpe_symbols_from_vocab over the corpus vocabulary — ONE corpus
+    aggregation pass; everything after is vocabulary-sized."""
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return bpe_symbols_from_vocab(vocab)
+
+
+def bpe_merge_round(
+    srows: DataFrame, checkpoint_best: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """One BPE training round on (word, freq, pos, sym) rows: count
     adjacent symbol pairs weighted by word frequency, pick the most
     frequent (ties by (s1, s2) — deterministic), and merge its
@@ -717,8 +724,13 @@ def bpe_merge_round(srows: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select(
             F.col("sym").alias("s1"), F.col("nxt").alias("s2"), "pair_freq"
         )
-        .localCheckpoint(eager=True)
     )
+    # training reads `best` twice (merge + report row) → checkpoint;
+    # application reads it once — the eager checkpoint there is a pure
+    # job-round-trip cost on a 1-row relation (measured ~0.5-1.5 s/round
+    # of the encode query's wall time)
+    if checkpoint_best:
+        best = best.localCheckpoint(eager=True)
     m = (
         paired.crossJoin(F.broadcast(best))
         .withColumn(
@@ -784,3 +796,30 @@ def bpe_train_merges(
             ).crossJoin(F.broadcast(after))
         )
     return reduce(DataFrame.unionAll, reports).orderBy("step")
+
+
+def bpe_apply(
+    df: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Apply `rounds` of trained BPE merges: re-runs the training loop
+    (deterministic, so train-then-apply equals train+apply — the same
+    property the standing-index queries rely on) and returns the final
+    per-word segmentation as (word, freq, n_syms) — the vocabulary-
+    sized table a corpus join consumes to measure realized compression.
+    In production the merge table persists and application is a lookup;
+    here the loop re-derives it to stay self-contained. Pass `vocab`
+    (a (word, freq) DataFrame) when the caller already aggregated the
+    corpus — application then adds ZERO corpus passes of its own."""
+    if vocab is not None:
+        srows = bpe_symbols_from_vocab(vocab).localCheckpoint(eager=True)
+    else:
+        srows = bpe_initial_symbols(df, text_col).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        _best, merged = bpe_merge_round(srows, checkpoint_best=False)
+        srows = merged.localCheckpoint(eager=True)
+    return srows.groupBy("word", "freq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_syms")
+    )

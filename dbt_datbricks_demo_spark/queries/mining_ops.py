@@ -631,10 +631,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
-def _sql_bpe() -> str:
-    def round_ctes(t: int) -> str:
-        prev = f"syms{t - 1}"
-        return f"""
+def _bpe_round_ctes(t: int) -> str:
+    prev = f"syms{t - 1}"
+    return f"""
     p{t} as (
         select *, lead(sym) over (partition by word order by pos) as nxt
         from {prev}
@@ -684,11 +683,7 @@ def _sql_bpe() -> str:
         from best{t}
     )"""
 
-    rounds_sql = ",".join(round_ctes(t) for t in range(1, _BPE_ROUNDS + 1))
-    union = "\n    union all\n    ".join(
-        f"select * from rep{t}" for t in range(1, _BPE_ROUNDS + 1)
-    )
-    return f"""
+_SQL_BPE_VOCAB = f"""
     with vocab as (
         select word, cast(count(*) as bigint) as freq
         from (select unnest({_SQL_TOKENS}) as word from documents)
@@ -698,7 +693,17 @@ def _sql_bpe() -> str:
         select word, freq, i as pos,
                case when i <= len(word) then word[i:i] else '_' end as sym
         from vocab, unnest(range(1, len(word) + 2)) as t(i)
-    ),
+    ),"""
+
+
+def _sql_bpe() -> str:
+    rounds_sql = ",".join(
+        _bpe_round_ctes(t) for t in range(1, _BPE_ROUNDS + 1)
+    )
+    union = "\n    union all\n    ".join(
+        f"select * from rep{t}" for t in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""{_SQL_BPE_VOCAB}
     {rounds_sql}
     {union}
     order by step
@@ -723,3 +728,80 @@ def _sql_bpe() -> str:
 def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
     return text.bpe_train_merges(docs, rounds=_BPE_ROUNDS)
+
+
+def _sql_bpe_encode() -> str:
+    rounds_sql = ",".join(
+        _bpe_round_ctes(t) for t in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""{_SQL_BPE_VOCAB}
+    {rounds_sql},
+    final as (
+        select word, cast(count(*) as bigint) as n_syms
+        from syms{_BPE_ROUNDS} group by word
+    ),
+    psw as (
+        select source, word, count(*) as c
+        from (select source, unnest({_SQL_TOKENS}) as word from documents)
+        group by 1, 2
+    )
+    select source,
+           cast(sum(c) as bigint) as n_tokens,
+           cast(sum(c * (len(word) + 1)) as bigint) as symbols_before,
+           cast(sum(c * n_syms) as bigint) as symbols_after,
+           round(cast(sum(c * n_syms) as double)
+                 / cast(sum(c * (len(word) + 1)) as double), 6)
+               as compression_ratio
+    from psw join final using (word)
+    group by source
+    order by source
+    """
+
+
+@_register(
+    "bpe_encode_report",
+    "BPE application (the operational complement of bpe_merge_training, "
+    f"the same train/apply pairing as the standing indexes): the "
+    f"{_BPE_ROUNDS} learned merges re-segment every word and each "
+    "source reports its realized compression — per-source token counts, "
+    "character+marker symbols before, BPE symbols after "
+    "(operators.text.bpe_apply: deterministic training makes "
+    "train-then-apply ≡ train+apply; application joins the corpus "
+    "(source, word) counts to the VOCABULARY-sized segmentation table, "
+    "so the corpus contributes two aggregation passes and no reruns)",
+    _sql_bpe_encode(),
+)
+def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    # ONE corpus tokenization: the (source, word) counts feed both the
+    # realized-compression rollup and (re-aggregated by word) the
+    # training vocabulary — bpe_apply then adds zero corpus passes
+    psw = (
+        docs.select("source", F.explode(text.tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = psw.groupBy("word").agg(
+        F.sum("c").cast("bigint").alias("freq")
+    )
+    seg = text.bpe_apply(docs, rounds=_BPE_ROUNDS, vocab=vocab)
+    joined = psw.join(seg.select("word", "n_syms"), "word")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * (F.length("word") + 1))
+            .cast("bigint")
+            .alias("symbols_before"),
+            F.sum(F.col("c") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("symbols_after"),
+            F.round(
+                F.sum(F.col("c") * F.col("n_syms")).cast("double")
+                / F.sum(F.col("c") * (F.length("word") + 1)).cast("double"),
+                6,
+            ).alias("compression_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -69,6 +69,9 @@ DEFAULT_QUERIES = [
     "ann_ivfpq_topk",
     "bpe_merge_training",
     "length_bucket_batching_report",
+    "zipf_fit_report",
+    "source_overlap_matrix",
+    "quality_threshold_curve",
 ]
 
 MARK_BEGIN = "<!-- weak-scaling:begin (scripts/weak_scaling.py) -->"
