@@ -72,6 +72,7 @@ DEFAULT_QUERIES = [
     "zipf_fit_report",
     "source_overlap_matrix",
     "quality_threshold_curve",
+    "bpe_encode_report",
 ]
 
 MARK_BEGIN = "<!-- weak-scaling:begin (scripts/weak_scaling.py) -->"
