@@ -805,3 +805,102 @@ def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-truncation recall (matryoshka-style dimension ablation)
+# ---------------------------------------------------------------------------
+_TRUNC_DIMS = (8, 16, 32)
+
+
+def _sql_trunc() -> str:
+    def dot(vec: str, d: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {d + 1}), "
+            f"i -> cast({vec}[i] as double) * qv[i]))"
+        )
+
+    def l2(vec: str, d: int) -> str:
+        return (
+            f"sqrt(list_sum(list_transform(range(1, {d + 1}), "
+            f"i -> cast({vec}[i] as double) * cast({vec}[i] as double))))"
+        )
+
+    branches = []
+    for d in list(_TRUNC_DIMS) + [64]:
+        branches.append(f"""
+    top{d} as (
+        select vec_id from (
+            select vec_id,
+                   {dot('embedding', d)} / ({l2('embedding', d)} * qn{d})
+                       as cosine
+            from embeddings, q
+        ) order by cosine desc, vec_id limit 10
+    )""")
+    hits = "\n    union all\n    ".join(
+        f"select {d} as dim, cast(count(*) as bigint) as n_hits "
+        f"from top{d} join top64 using (vec_id)"
+        for d in _TRUNC_DIMS
+    )
+    qns = ", ".join(
+        f"sqrt(list_sum(list_transform(range(1, {d + 1}), "
+        f"i -> qv0[i] * qv0[i]))) as qn{d}"
+        for d in list(_TRUNC_DIMS) + [64]
+    )
+    return f"""
+    with q0 as (
+        select list_transform(embedding, x -> cast(x as double)) as qv0
+        from embeddings where vec_id = 0
+    ),
+    q as (select qv0 as qv, {qns} from q0),
+    {','.join(branches)}
+    select dim, n_hits, round(cast(n_hits as double) / 10.0, 6) as recall
+    from ({hits})
+    order by dim
+    """
+
+
+@_register(
+    "truncated_embedding_recall",
+    "matryoshka-style truncation ablation: exact cosine top-10 under "
+    "the first 8/16/32 dims vs the full 64-dim top-10, with recall@10 "
+    "per truncation — the measurement behind serving embeddings at "
+    "reduced dimension (one bounded scan per dim over the same staged "
+    "relation; every cosine is the shared sequential fold, so the "
+    "report is value-hash exact)",
+    _sql_trunc(),
+)
+def truncated_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    emb = _spread(_t(spark, sf_dir, "embeddings")).localCheckpoint(eager=True)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qfull = [float(x) for x in qrow["embedding"]]
+
+    def topk(d: int) -> DataFrame:
+        vec = F.slice(F.col("embedding"), 1, d)
+        return (
+            emb.select(
+                "vec_id",
+                similarity.cosine_to_query(vec, qfull[:d]).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            .limit(10)
+        )
+
+    full = topk(64).select("vec_id").localCheckpoint(eager=True)
+    reports = []
+    for d in _TRUNC_DIMS:
+        hits = topk(d).select("vec_id").join(full, "vec_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        reports.append(
+            hits.select(
+                F.lit(d).alias("dim"),
+                "n_hits",
+                F.round(F.col("n_hits").cast("double") / F.lit(10.0), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    return reduce(DataFrame.unionAll, reports).orderBy("dim")
