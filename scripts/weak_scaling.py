@@ -73,6 +73,7 @@ DEFAULT_QUERIES = [
     "source_overlap_matrix",
     "quality_threshold_curve",
     "bpe_encode_report",
+    "truncated_embedding_recall",
 ]
 
 MARK_BEGIN = "<!-- weak-scaling:begin (scripts/weak_scaling.py) -->"
