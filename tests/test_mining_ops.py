@@ -195,3 +195,17 @@ def test_bpe_overlapping_run_merges_left_to_right(spark):
         r["sym"] for r in merged.orderBy("pos").collect()
     ]
     assert syms == ["aa", "aa", "a", "_"]
+
+
+def test_bpe_apply_segmentation_matches_training(spark):
+    """Applying the 3 learned merges to the Sennrich toy corpus yields
+    the segmentation training ends on: 'low' collapses to the single
+    'low_' symbol, 'lowest' to [low, e, s, t, _]."""
+    df = spark.createDataFrame(
+        [(1, "low low lowest")], "doc_id long, text string"
+    )
+    seg = {
+        r["word"]: (r["freq"], r["n_syms"])
+        for r in text.bpe_apply(df, rounds=3).collect()
+    }
+    assert seg == {"low": (2, 1), "lowest": (1, 5)}
