@@ -40,6 +40,17 @@ SPREAD_FLAG_MIN_SEC = 0.5
 # how many per-query timings are repeated in the truncation-safe tail
 SLOWEST_TOP_N = 15
 
+# DRIFT CANARY (round-6 verdict): unchanged-code queries drifted up to
+# 1.43x between round artifacts from environment alone, and the artifact
+# could not distinguish that from a plan regression. pricing_summary is
+# code-frozen since round 1, mid-weight, and plan-pinned — its timing
+# here (always CANARY_RUNS runs, regardless of BENCH_QUERIES subsets) is
+# the fixed reference any future artifact can drift-normalize against:
+# divide a suspect query's ratio-to-last-round by the canary's ratio
+# before calling it a regression.
+CANARY_QUERY = "pricing_summary"
+CANARY_RUNS = 3
+
 
 def _unpersist_all(spark) -> None:
     """Drop cached/localCheckpointed blocks left behind by a finished
@@ -167,6 +178,28 @@ def main() -> None:
         if s > SPREAD_FLAG_RATIO and timings[n] >= SPREAD_FLAG_MIN_SEC
     )
 
+    # drift canary: timed AFTER the full sweep (same thermal/heap state
+    # the late queries saw), best-effort fault-isolated like the sweep
+    canary: dict = {"query": CANARY_QUERY, "runs_n": CANARY_RUNS}
+    try:
+        cruns: list[float] = []
+        for _ in range(CANARY_RUNS):
+            t0 = time.perf_counter()
+            QUERIES[CANARY_QUERY].build(spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            cruns.append(round(time.perf_counter() - t0, 3))
+            try:
+                _unpersist_all(spark)
+            except Exception:  # noqa: BLE001
+                pass
+            _gc_quiesce(spark)
+        canary["runs"] = cruns
+        canary["best"] = min(cruns)
+        canary["median"] = sorted(cruns)[len(cruns) // 2]
+    except Exception as e:  # noqa: BLE001
+        canary["error"] = f"{type(e).__name__}: {e}"[:200]
+
     # orderly shutdown BEFORE the result line: an exiting JVM with
     # in-flight task-completion events logs spurious DAGScheduler
     # errors into stderr (seen in round 1's recorded tail)
@@ -208,6 +241,7 @@ def main() -> None:
         payload["errors"] = errors
     payload["slowest"] = slowest
     payload["tq"] = tq
+    payload["canary"] = canary
     payload["metric"] = "operator-inventory wall time"
     payload["value"] = round(sum(timings.values()), 3)
     payload["unit"] = "sec"

@@ -112,7 +112,7 @@ def test_bench_contract(tmp_path):
     payload = json.loads(line)
     assert set(payload) == {
         "metric", "value", "unit", "queries", "spread", "slowest", "tq",
-        "n", "n_errors", "sf",
+        "canary", "n", "n_errors", "sf",
     }
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
     assert set(payload["queries"]) == {"union_report", "topk_orders"}
@@ -128,9 +128,19 @@ def test_bench_contract(tmp_path):
     # "queries" map that way).
     keys = list(payload)
     assert keys[:2] == ["queries", "spread"]
-    assert keys[-8:] == [
-        "slowest", "tq", "metric", "value", "unit", "n", "n_errors", "sf"
+    assert keys[-9:] == [
+        "slowest", "tq", "canary", "metric", "value", "unit", "n",
+        "n_errors", "sf"
     ]
+    # drift canary (round-6 verdict): a fixed code-frozen query timed
+    # every bench run — the cross-round environmental-drift reference.
+    # Runs even when BENCH_QUERIES selects a subset, lives in the
+    # truncation-safe tail next to tq.
+    canary = payload["canary"]
+    assert canary["query"] == "pricing_summary"
+    assert canary["runs_n"] == 3 and len(canary["runs"]) == 3
+    assert canary["best"] == min(canary["runs"]) > 0
+    assert canary["median"] in canary["runs"]
     # slowest = top-N of the queries map, descending
     slow = payload["slowest"]
     assert set(slow) <= set(payload["queries"])

@@ -57,6 +57,17 @@ def test_coverage_doc_counts_match_registry():
     oracled = sum(1 for s in QUERIES.values() if s.oracle is not None)
     assert f"{len(QUERIES)} registered queries" in text
     assert f"{oracled} have oracles" in text
+    # per-row oracle-mode labels must track the registry too: a query
+    # labeled "(rows-only" in the coverage map must actually carry no
+    # SQL oracle (round-6 verdict caught ann_ivf_topk / sketch_report
+    # still wearing stale rows-only labels two rounds after both became
+    # tolerance-mode oracles)
+    import re
+
+    for name in re.findall(r"`(\w+)` \(rows-only", text):
+        assert QUERIES[name].oracle is None, (
+            f"COVERAGE.md labels {name} rows-only but it has an oracle"
+        )
 
 
 def test_graded_prefix_carries_headline_capabilities():
