@@ -61,6 +61,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _t_rowcount(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet footers (pyarrow metadata) —
+    no Spark job. The local stand-in for what a production engine reads
+    from the metastore/Delta-log stats; operators that size themselves
+    from a counted corpus (semdedup's adaptive quantizer, broadcast
+    guards) take this instead of paying a count() scan per query."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition a narrow input up to the cluster's parallelism. The
     testdata tables are single-row-group parquet files → one scan

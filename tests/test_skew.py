@@ -289,3 +289,34 @@ def test_hot_bucket_grid_triggers_and_matches_plain(spark, constant_cloud):
     # evals across 16 cells — it must never be slower than the
     # one-task join (generous jitter allowance)
     assert t_salted <= t_plain * 1.5 + 1.0, (t_salted, t_plain)
+
+
+def test_semdedup_adaptive_quantizer_hot_cell_still_fires(spark, constant_cloud):
+    """The round-7 ADAPTIVE quantizer (cell count ∝ counted corpus)
+    must not defuse the hot-cell defense: a near-constant cloud shares
+    every hyperplane sign, so no number of sub-split planes can break
+    it apart — the whole cloud lands in ONE cell and the sampled S×S
+    grid is still the (only) bound. Asserts (a) the adaptive plane
+    count is engaged (>0 at n=2000/width=16), (b) the cloud collapses
+    to one cell, (c) the grid branch is in the plan, and (d) flags are
+    identical to the unsalted reference."""
+    from dbt_datbricks_demo_spark.operators import similarity
+
+    cents = [
+        [x / 8000.0 for x in row]
+        for row in similarity.ivf_fixed_centroids(16, 64)
+    ]
+    assert similarity.adaptive_planes(2000, 16, target_cell_width=16) > 0
+
+    kw = dict(
+        threshold=0.999999, target_cell_width=16, hot_bucket_width=256
+    )
+    plain = similarity.semdedup(constant_cloud, cents, block_salts=1, **kw)
+    salted = similarity.semdedup(constant_cloud, cents, block_salts=4, **kw)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan  # grid branch engaged
+
+    want = {(r["vec_id"], r["cell"], r["kept"]) for r in plain.collect()}
+    got = {(r["vec_id"], r["cell"], r["kept"]) for r in salted.collect()}
+    assert got == want and len(got) == 2000
+    assert len({c for _, c, _ in got}) == 1  # one hot cell despite planes>0
