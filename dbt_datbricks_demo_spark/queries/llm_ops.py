@@ -448,14 +448,19 @@ def _sql_l2(vec: str) -> str:
 
 
 @_register(
-    "ann_batch_topk",
-    "BATCH similarity search (operators.similarity.batch_cosine_topk): "
-    "every vec_id % 100 == 0 vector is a query; bounded batch "
-    "broadcast, ONE corpus scan with JVM-expression scoring, per-query "
-    "top-5 via row_number + immediate rank filter = WindowGroupLimit "
-    "(map-side per-query top-k before the exchange — the shuffle "
-    "carries partitions x batch x k short rows, never the scored cross "
-    "product); exact sequential-double cosines hash-match DuckDB",
+    "ann_batch_brute_topk",
+    "BATCH similarity search, brute EXACT baseline (operators."
+    "similarity.batch_cosine_topk): every vec_id % 100 == 0 vector is "
+    "a query; bounded batch broadcast, ONE corpus scan with "
+    "JVM-expression scoring, per-query top-5 via row_number + "
+    "immediate rank filter = WindowGroupLimit (map-side per-query "
+    "top-k before the exchange — the shuffle carries partitions x "
+    "batch x k short rows, never the scored cross product); exact "
+    "sequential-double cosines hash-match DuckDB. This is the bounded "
+    "AD-HOC form — work is |corpus| x |batch|, so the operational "
+    "ann_batch_topk routes through the standing IVF-PQ index above a "
+    "counted corpus-size threshold (round 7) and this baseline serves "
+    "small corpora and recall certification",
     f"""
     with q as (
         select vec_id as q_id,
@@ -480,7 +485,7 @@ def _sql_l2(vec: str) -> str:
     order by q_id, rank
     """,
 )
-def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_batch_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")

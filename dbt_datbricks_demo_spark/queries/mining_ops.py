@@ -626,6 +626,349 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BATCH ANN through the standing index (round-7 verdict item 1): the
+# operational form of batch similarity search. The brute baseline
+# (ann_batch_brute_topk) is |corpus| x |batch| work — measured 4.6-8.3x
+# wall at 10x data in round 6; this one is one O(N) codes-only scan for
+# the whole batch + O(batch x width) scored candidates, width held
+# ~constant by the adaptive sub-bucket plane count.
+# ---------------------------------------------------------------------------
+_BATCH_NPROBE = 4        # coarse cells probed per query (score-ranked)
+_BATCH_SUBPROBES = 4     # multiprobe sub-buckets (own + low-|margin| flips)
+_BATCH_WIDTH = 16        # target (cell, sub_bucket) width
+_BATCH_MAX_PLANES = 20
+_BATCH_K = 5
+# fixed-SIZE certification subset (q_ids 0,100,...,700 — never grows
+# with the corpus, so the same-scorer full-scan reference stays O(N))
+_BATCH_CERT_MAX = 800
+# counted guard: at/below this corpus size the brute exact scan is both
+# faster and better — the index path needs the build amortized
+_BATCH_BRUTE_MAX = 256
+_BATCH_PLANES_W = similarity.hyperplane_weights(
+    _BATCH_MAX_PLANES, 64, prefix="bq"
+)
+
+
+def _batch_index_for(spark: SparkSession, sf_dir: str, planes: int) -> str:
+    """Build (once) and locate the batch IVF-PQ index for a testdata
+    dir — the _ivfpq_index_for stamp-cache discipline, keyed also by
+    the adaptive plane count so a corpus-size change invalidates."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    stamp = "|".join(
+        f"{p}:{os.stat(p).st_mtime_ns}:{os.stat(p).st_size}"
+        for p in sorted(glob.glob(src) + glob.glob(os.path.join(src, "*")))
+    )
+    key = hashlib.md5(
+        f"{stamp}|bqidx|pl{planes}|cells{_IVFPQ_CELLS}|m{_PQ_M}|k{_PQ_K}".encode()
+    ).hexdigest()[:12]
+    idx_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bqidx_{key}", "index"
+    )
+    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        similarity.write_batch_ivfpq_index(
+            _spread(_t(spark, sf_dir, "embeddings")),
+            _IVFPQ_COARSE,
+            _PQ_BOOKS,
+            planes,
+            idx_path,
+        )
+    return idx_path
+
+
+def _sql_batch_planes() -> str:
+    """adaptive_planes(n, 16, width=16) as an integer CASE chain over
+    count(*) — same thresholds as the Spark-side loop."""
+    branches = " ".join(
+        f"when n <= {(_IVFPQ_CELLS * _BATCH_WIDTH) << p} then {p}"
+        for p in range(_BATCH_MAX_PLANES)
+    )
+    return f"(case {branches} else {_BATCH_MAX_PLANES} end)"
+
+
+def _sql_batch() -> str:
+    """Oracle for the index-routed batch ANN: re-derives the WHOLE
+    stack from the embeddings table — adaptive plane count from its own
+    count(*), per-row (cell, sub_bucket, PQ codes), per-query coarse
+    routing / multiprobe sub-buckets / ADC tables, the (cell, sub)
+    candidate join, per-query ADC top-k, and the fixed-subset
+    same-scorer certification. All literal weight matrices are HOISTED
+    into a one-row CTE (inline lists inside lambdas are rebuilt per
+    element — measured 124x slower) and the shared per-row encodings
+    are MATERIALIZED once."""
+    # --- hoisted literal CTE: coarse centroids, bq planes, PQ books
+    wcols = []
+    csc_corpus, csc_query = [], []
+    coarse_c2 = similarity._book_c2(_IVFPQ_COARSE)
+    for i, (c, c2) in enumerate(zip(_IVFPQ_COARSE, coarse_c2)):
+        wcols.append("[" + ", ".join(f"{x!r}::double" for x in c) + f"] as g{i}")
+        dot_e = (
+            f"list_sum(list_transform(range(1, 65), i -> "
+            f"cast(embedding[i] as double) * g{i}[i]))"
+        )
+        dot_q = (
+            f"list_sum(list_transform(range(1, 65), i -> qv[i] * g{i}[i]))"
+        )
+        csc_corpus.append(f"(-2.0 * {dot_e} + {_dlit(c2)})")
+        csc_query.append(f"(-2.0 * {dot_q} + {_dlit(c2)})")
+    mg_terms = []
+    for p, row in enumerate(_BATCH_PLANES_W):
+        wcols.append(
+            "[" + ", ".join(f"{float(x)!r}::double" for x in row) + f"] as sp{p}"
+        )
+        mg_terms.append(
+            f"list_sum(list_transform(range(1, 65), i -> qv[i] * sp{p}[i]))"
+        )
+    sub_bits_e = []
+    for p in range(_BATCH_MAX_PLANES):
+        dot_e = (
+            f"list_sum(list_transform(range(1, 65), i -> "
+            f"cast(embedding[i] as double) * sp{p}[i]))"
+        )
+        sub_bits_e.append(
+            f"(case when {p} < planes and {dot_e} >= 0 "
+            f"then {1 << p}::bigint else 0::bigint end)"
+        )
+    sc_cols, qt_cols = [], []
+    for s, book in enumerate(_PQ_BOOKS):
+        off = s * _PQ_SUB
+        c2s = similarity._book_c2(book)
+        exprs, qexprs = [], []
+        for j, (c, c2) in enumerate(zip(book, c2s)):
+            wcols.append(
+                "[" + ", ".join(repr(x) for x in c) + f"] as b{s}_{j}"
+            )
+            dot = (
+                f"list_sum(list_transform(range(1, {_PQ_SUB + 1}), i -> "
+                f"cast(embedding[i + {off}] as double) * b{s}_{j}[i]))"
+            )
+            exprs.append(f"(-2.0 * {dot} + {_dlit(c2)})")
+            qdot = (
+                f"list_sum(list_transform(range(1, {_PQ_SUB + 1}), i -> "
+                f"qv[i + {off}] * b{s}_{j}[i]))"
+            )
+            qexprs.append(f"(-2.0 * {qdot} + {_dlit(c2)})")
+        sc_cols.append("[" + ",\n               ".join(exprs) + f"] as sc{s}")
+        qt_cols.append("[" + ",\n               ".join(qexprs) + f"] as t{s}")
+    adc = " + ".join(f"t{s}[c{s} + 1]" for s in range(_PQ_M))
+    qbase_bits = " + ".join(
+        f"(case when {p} < planes and m[{p + 1}] >= 0 "
+        f"then {1 << p}::bigint else 0::bigint end)"
+        for p in range(_BATCH_MAX_PLANES)
+    )
+    return f"""
+    with pl as (
+        select {_sql_batch_planes()} as planes
+        from (select count(*) as n from embeddings)
+    ),
+    w as (select {', '.join(wcols)}),
+    enc as materialized (
+        select vec_id,
+               list_position(csc, list_min(csc)) - 1 as cell,
+               sub,
+               {_pq_codes_sql()}
+        from (select vec_id,
+               [{','.join(csc_corpus)}] as csc,
+               {','.join(sc_cols)},
+               ({' + '.join(sub_bits_e)}) as sub
+              from embeddings, pl, w) q0
+    ),
+    qm as materialized (
+        select q_id,
+               [{','.join(csc_query)}] as qsc,
+               [{','.join(mg_terms)}] as m,
+               planes,
+               {','.join(qt_cols)}
+        from (select vec_id as q_id,
+                     list_transform(embedding, x -> cast(x as double)) as qv
+              from embeddings where vec_id % 100 = 0), pl, w
+    ),
+    qb as (
+        select q_id, ({qbase_bits}) as base
+        from qm
+    ),
+    routes as (
+        select q_id, i - 1 as cell from (
+            select q_id, s, i,
+                   row_number() over (partition by q_id
+                                      order by s, i) as rn
+            from (select q_id, unnest(qsc) as s,
+                         generate_subscripts(qsc, 1) as i
+                  from qm)
+        ) where rn <= {_BATCH_NPROBE}
+    ),
+    qsubs as (
+        select q_id, base as sub from qb
+        union all
+        select q_id, sub from (
+            select f.q_id, xor(b.base, (1::bigint << f.p)) as sub,
+                   row_number() over (
+                       partition by f.q_id order by abs(f.mv), f.p
+                   ) as rn
+            from (
+                select q_id, unnest(m) as mv,
+                       generate_subscripts(m, 1) - 1 as p, planes
+                from qm
+            ) f join qb b using (q_id)
+            where f.p < f.planes
+        ) where rn <= {_BATCH_SUBPROBES - 1}
+    ),
+    cand as (
+        select r.q_id, e.vec_id, e.cell,
+               {','.join(f'e.c{s} as c{s}' for s in range(_PQ_M))}
+        from enc e
+        join routes r on e.cell = r.cell
+        join qsubs s on s.q_id = r.q_id and e.sub = s.sub
+        where e.vec_id <> r.q_id
+    ),
+    scored as (
+        select c.q_id, c.vec_id,
+               round(cast(0.0 as double) + {adc}, 6) as score
+        from cand c join qm using (q_id)
+    ),
+    ranked as (
+        select q_id, vec_id, score,
+               row_number() over (partition by q_id
+                                  order by score asc, vec_id) as rank
+        from scored
+    ),
+    refq as (
+        select e.vec_id, q.q_id,
+               round(cast(0.0 as double) + {adc}, 6) as score
+        from enc e, (select * from qm where q_id < {_BATCH_CERT_MAX}) q
+        where e.vec_id <> q.q_id
+    ),
+    refhits as (
+        select q_id, vec_id, true as hit from (
+            select q_id, vec_id,
+                   row_number() over (partition by q_id
+                                      order by score asc, vec_id) as rank
+            from refq
+        ) where rank <= {_BATCH_K}
+    )
+    select r.q_id, r.vec_id, cast(r.rank as int) as rank, r.score,
+           cast(case when r.q_id < {_BATCH_CERT_MAX}
+                     then coalesce(h.hit, false)::int
+                     else -1 end as int) as cert_hit
+    from ranked r left join refhits h using (q_id, vec_id)
+    where r.rank <= {_BATCH_K}
+    order by r.q_id, r.rank
+    """
+
+
+@_register(
+    "ann_batch_topk",
+    "BATCH similarity search through the STANDING index (round 7 — "
+    "operators.similarity.write_batch_ivfpq_index/batch_ivfpq_index_"
+    "topk): above a counted corpus-size guard the batch is served from "
+    "the IVF-PQ layout — per-query coarse routing (score-ranked "
+    "nprobe=4 cells), multiprobe sub-buckets (own + 3 lowest-|margin| "
+    "bit flips, plane count ADAPTIVE to the counted corpus so "
+    "(cell,sub) width stays ~16), driver-routed bounded-batch ADC tables, one "
+    "codes-only scan for the whole batch, WindowGroupLimit per-query "
+    "top-5 — O(N) total vs the brute baseline's |corpus|x|batch| "
+    "(measured 4.6-8.3x at 10x in round 6; ann_batch_brute_topk "
+    "retains that baseline for bounded ad-hoc corpora). Recall is "
+    "certified IN-RESULT on a fixed-size query subset against the "
+    "same-scorer full-scan reference (cert_hit: 1/0 on the certified subset, -1 otherwise); every stage "
+    "value-hash-exact vs the oracle's from-scratch derivation",
+    _sql_batch(),
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.queries.inventory import _t_rowcount
+
+    n = _t_rowcount(sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    if n <= _BATCH_BRUTE_MAX:
+        # bounded ad-hoc corpus: the exact brute scan is optimal and
+        # exact — same schema, score = exact cosine (rank descending),
+        # certification trivially true (it IS the reference)
+        top = similarity.batch_cosine_topk(emb, queries, k=_BATCH_K)
+        return top.select(
+            "q_id",
+            "vec_id",
+            "rank",
+            F.round(F.col("cosine"), 6).alias("score"),
+            F.when(F.col("q_id") < _BATCH_CERT_MAX, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("int")
+            .alias("cert_hit"),
+        ).orderBy("q_id", "rank")
+    planes = similarity.adaptive_planes(
+        n, _IVFPQ_CELLS, _BATCH_WIDTH, _BATCH_MAX_PLANES
+    )
+    idx_path = _batch_index_for(spark, sf_dir, planes)
+    top = similarity.batch_ivfpq_index_topk(
+        spark,
+        idx_path,
+        _IVFPQ_COARSE,
+        _PQ_BOOKS,
+        planes,
+        queries,
+        k=_BATCH_K,
+        nprobe=_BATCH_NPROBE,
+        probes_sub=_BATCH_SUBPROBES,
+    ).withColumnRenamed("adc_score", "score")
+    # same-scorer certification reference: full-scan ADC top-5 for the
+    # FIXED-size cert subset, over the same stored codes (O(N), never
+    # O(N x batch)) — isolates the routing loss from the PQ
+    # quantization loss (the latter is certified corpus-wide by
+    # ann_pq_adc_topk's in_exact_top10). The <=8 cert queries get
+    # driver-built ADC tables (pq_adc_table — the oracle-matched fold).
+    cert_rows = [
+        (r["q_id"], similarity.pq_adc_table(
+            [float(x) for x in r["q_vec"]], _PQ_BOOKS))
+        for r in queries.filter(F.col("q_id") < _BATCH_CERT_MAX).collect()
+    ]
+    certq = spark.createDataFrame(
+        cert_rows, "q_id long, _t array<array<double>>"
+    )
+    idxdf = spark.read.parquet(idx_path)
+    ref_adc = F.lit(0.0)
+    for s in range(_PQ_M):
+        ref_adc = ref_adc + F.element_at(
+            F.element_at(F.col("_t"), s + 1),
+            F.element_at(F.col("pq_codes"), s + 1) + 1,
+        )
+    from pyspark.sql.window import Window
+
+    refwin = Window.partitionBy("q_id").orderBy(
+        F.col("_ref_score").asc(), F.col("vec_id")
+    )
+    refhits = (
+        idxdf.join(F.broadcast(certq), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(ref_adc, 6).alias("_ref_score"))
+        .withColumn("_rn", F.row_number().over(refwin))
+        .filter(F.col("_rn") <= _BATCH_K)
+        .select("q_id", "vec_id", F.lit(True).alias("_hit"))
+    )
+    return (
+        top.join(refhits, ["q_id", "vec_id"], "left")
+        .select(
+            "q_id",
+            "vec_id",
+            "rank",
+            "score",
+            F.when(
+                F.col("q_id") < _BATCH_CERT_MAX,
+                F.coalesce(F.col("_hit"), F.lit(False)).cast("int"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("int")
+            .alias("cert_hit"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE merge training (tokenizer construction in-engine)
 # ---------------------------------------------------------------------------
 _BPE_ROUNDS = 3

@@ -605,6 +605,125 @@ def test_semdedup_drops_higher_id_within_cell(spark):
     assert out[1]["cell"] == 0 and out[2]["cell"] == 0 and out[3]["cell"] == 1
 
 
+def test_batch_ann_index_finds_planted_neighbors(spark, tmp_path):
+    """The batch IVF-PQ index path must find REAL near neighbors: on the
+    structureless random testdata its measured routing recall is the
+    honest LSH trade (0.52-0.96, certified in-result by ann_batch_topk),
+    but on clustered data — the case ANN exists for — sign buckets and
+    coarse cells agree for genuinely-close vectors. Plant 4 tight
+    clusters (cosine ~0.999) in a random background and require the
+    index path to return planted cluster-mates as top neighbors."""
+    import random
+
+    from dbt_datbricks_demo_spark.queries.mining_ops import (
+        _IVFPQ_COARSE,
+        _PQ_BOOKS,
+    )
+
+    rng = random.Random(7)
+
+    def unit(v):
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    rows = []
+    # 4 planted clusters of 6 vectors each: anchor ids 0,100,200,300
+    for a in range(4):
+        anchor = unit([rng.gauss(0, 1) for _ in range(64)])
+        for j in range(6):
+            vec = unit([x + rng.gauss(0, 0.01) for x in anchor])
+            rows.append((a * 100 + j, vec))
+    # random background fills the id space (no multiples of 100)
+    next_id = 1000
+    for _ in range(1000):
+        rows.append((next_id, unit([rng.gauss(0, 1) for _ in range(64)])))
+        next_id += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    n = len(rows)
+    planes = similarity.adaptive_planes(n, 16, target_cell_width=16)
+    assert planes > 0  # the adaptive sub-split is engaged
+    path = str(tmp_path / "bidx")
+    similarity.write_batch_ivfpq_index(
+        emb, _IVFPQ_COARSE, _PQ_BOOKS, planes, path
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = similarity.batch_ivfpq_index_topk(
+        spark, path, _IVFPQ_COARSE, _PQ_BOOKS, planes, queries, k=5
+    ).collect()
+    per_q = {}
+    for r in top:
+        per_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    # every anchor's top-5 is dominated by its planted cluster-mates
+    for a in range(4):
+        got = per_q[a * 100]
+        mates = {a * 100 + j for j in range(1, 6)}
+        assert len(mates & set(got)) >= 4, (a, got)
+
+
+def test_ann_batch_topk_brute_guard_below_threshold(spark, tmp_path):
+    """Below the counted corpus-size guard ann_batch_topk serves the
+    EXACT brute path with the same schema: score = 6-dp cosine ranked
+    descending, cert_hit = 1 on the certified subset (it IS the
+    reference), -1 elsewhere."""
+    import random
+
+    from dbt_datbricks_demo_spark.queries import QUERIES
+    from dbt_datbricks_demo_spark.queries.mining_ops import _BATCH_BRUTE_MAX
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)])
+        for i in range(_BATCH_BRUTE_MAX // 2)
+    ]
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(str(sf_dir / "embeddings.parquet"))
+    out = QUERIES["ann_batch_topk"].build(spark, str(sf_dir)).collect()
+    assert out[0].asDict().keys() == {
+        "q_id", "vec_id", "rank", "score", "cert_hit"
+    }
+    # q_ids 0 and 100 exist; each gets exactly k=5 exact rows
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert set(per_q) == {0, 100}
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for q_id, got in per_q.items():
+        qv = [float(x) for x in rows[q_id][1]]
+        want = [
+            r["vec_id"]
+            for r in similarity.cosine_topk(
+                emb.filter(F.col("vec_id") != q_id), qv, k=5
+            ).collect()
+        ]
+        assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])] == want
+        assert all(r["cert_hit"] == 1 for r in got)  # q_id < cert max
+
+
+def test_ann_batch_topk_cert_recall_floor_on_testdata(spark):
+    """The in-result certification column must show the measured routing
+    recall on the random testdata (0.88 at sf0.001 when written) — pin
+    a generous floor so a silent routing regression (wrong probe set,
+    broken sub-bucket match) fails loudly, and pin the -1 sentinel on
+    non-certified rows."""
+    from dbt_datbricks_demo_spark.queries import QUERIES
+
+    out = QUERIES["ann_batch_topk"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    cert = [r for r in out if r["q_id"] < 800]
+    assert cert and all(r["cert_hit"] in (0, 1) for r in cert)
+    assert all(r["cert_hit"] == -1 for r in out if r["q_id"] >= 800)
+    hits = sum(r["cert_hit"] for r in cert)
+    assert hits >= len(cert) // 2, (hits, len(cert))
+
+
 def test_semdedup_misses_cross_cell_pairs_by_design(spark):
     # two identical vectors pushed into DIFFERENT cells by the quantizer
     # are not compared — the documented recall trade of cluster-scoped
