@@ -949,8 +949,11 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= _BATCH_K)
         .select("q_id", "vec_id", F.lit(True).alias("_hit"))
     )
+    # refhits is k x |cert| rows BY CONSTRUCTION (<= 40): broadcast it
+    # so the final certification attach never sort-merge-shuffles the
+    # ranked results
     return (
-        top.join(refhits, ["q_id", "vec_id"], "left")
+        top.join(F.broadcast(refhits), ["q_id", "vec_id"], "left")
         .select(
             "q_id",
             "vec_id",

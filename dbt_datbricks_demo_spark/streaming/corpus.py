@@ -154,6 +154,10 @@ def neardup_ingest_batch_fn(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # restart safety: repair any crashed compaction swap before
+        # touching the index (rolls back to the pre-compaction state
+        # if the crash landed between the two renames)
+        recover_minhash_index(index_path)
         rows_per_band = num_hashes // bands
 
         staged = with_minhash(
@@ -273,6 +277,7 @@ def index_ingest_batch_fn(
     bands: int = 2,
     jaccard_threshold: float = 0.9,
     compact_every: int = 0,
+    compact_files_per_bucket: int = 0,
 ):
     """foreachBatch ingestion that maintains the STANDING MinHash band
     index (operators/dedup.write_minhash_index layout) instead of a
@@ -298,9 +303,18 @@ def index_ingest_batch_fn(
          double-append postings; lookups distinct their output, and
          compaction retires the physical duplicates
          (dropDuplicates on (doc_id, band_key)).
-      4. every ``compact_every`` batches (0 = never), the index is
-         compacted in-stream: foreachBatch runs sequentially, so the
-         atomic directory swap happens with no concurrent reader.
+      4. compaction cadence (round 7 — both knobs are config, not ad
+         hoc): every ``compact_every`` batches (0 = never), AND/OR
+         whenever any bucket directory exceeds
+         ``compact_files_per_bucket`` parquet-file generations (0 =
+         never; the file-count trigger is what a production table
+         service keys on — appends grow generations, probes pay per
+         file open). foreachBatch runs sequentially, so the atomic
+         directory swap happens with no concurrent reader. Every batch
+         FIRST runs recover_minhash_index, so a restart that killed a
+         previous compaction at any point of the swap (including
+         between the two renames) finds a readable index and
+         converges — pytest-gated in tests/test_streaming.py.
 
     State model at scale: the only driver-side state is the ≤32-value
     bucket list inside the probe; everything else is tables. The index
@@ -311,12 +325,18 @@ def index_ingest_batch_fn(
         index_candidate_pairs,
         lsh_band_keys,
         minhash_index_exists,
+        minhash_index_max_files_per_bucket,
+        recover_minhash_index,
         with_minhash,
         write_minhash_index,
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # restart safety: repair any crashed compaction swap before
+        # touching the index (rolls back to the pre-compaction state
+        # if the crash landed between the two renames)
+        recover_minhash_index(index_path)
         rows_per_band = num_hashes // bands
         staged = with_minhash(
             batch_df, text_col, num_hashes, shingle_k,
@@ -408,9 +428,16 @@ def index_ingest_batch_fn(
             k=shingle_k, num_hashes=num_hashes, bands=bands, mode=mode,
         )
 
-        # 4. periodic in-stream compaction (sequential foreachBatch —
-        # no concurrent reader during the atomic swap)
-        if compact_every and (batch_id + 1) % compact_every == 0:
+        # 4. in-stream compaction (sequential foreachBatch — no
+        # concurrent reader during the atomic swap): batch-count
+        # cadence and/or file-generation threshold
+        due = compact_every and (batch_id + 1) % compact_every == 0
+        if not due and compact_files_per_bucket:
+            due = (
+                minhash_index_max_files_per_bucket(index_path)
+                > compact_files_per_bucket
+            )
+        if due:
             compact_minhash_index(spark, index_path)
 
     return process

@@ -145,7 +145,10 @@ def render_markdown(
     ]
     for name in sorted(base, key=lambda n: -base[n]):
         t1 = base[name]
-        cells = [f"{timings[s].get(name, float('nan')):.2f}" for s in scales]
+        cells = [
+            f"{timings[s][name]:.2f}" if name in timings[s] else "—"
+            for s in scales
+        ]
         ratios = [
             (
                 f"{timings[s][name] / t1:.1f}"
@@ -157,12 +160,30 @@ def render_markdown(
         lines.append(
             f"| `{name}` | " + " | ".join(cells) + " | " + " | ".join(ratios) + " |"
         )
-    tot = [sum(timings[s].values()) for s in scales]
+    # each total-column sums the queries measured at that scale; each
+    # ratio divides by the MATCHED-subset base sum, so a scale column
+    # covering only the slowest queries (e.g. the 30x point) gets an
+    # honest like-for-like ratio instead of skewing the headline
+    tot_cells, ratio_cells = [], []
+    for s in scales:
+        names_s = [n for n in timings[s] if n in base]
+        tot_cells.append(
+            f"**{sum(timings[s][n] for n in names_s):.1f}**"
+            + ("" if len(names_s) == len(base) else f" ({len(names_s)}q)")
+        )
+    for s in others:
+        names_s = [n for n in timings[s] if n in base]
+        bsum = sum(base[n] for n in names_s)
+        ratio_cells.append(
+            f"**{sum(timings[s][n] for n in names_s) / bsum:.1f}**"
+            if bsum > 0
+            else "—"
+        )
     lines.append(
-        f"| **total** | "
-        + " | ".join(f"**{t:.1f}**" for t in tot)
+        "| **total (matched)** | "
+        + " | ".join(tot_cells)
         + " | "
-        + " | ".join(f"**{tot[i + 1] / tot[0]:.1f}**" for i in range(len(others)))
+        + " | ".join(ratio_cells)
         + " |"
     )
     lines += ["", MARK_END]
@@ -229,13 +250,20 @@ def main() -> None:
         try:
             with open(out) as fh:
                 prior = json.load(fh)
-            if prior.get("scales") == scales:
-                for s_key, tmap in prior.get("timings", {}).items():
-                    sc = int(s_key)
-                    if sc in timings:
-                        merged = dict(tmap)
-                        merged.update(timings[sc])
-                        timings[sc] = merged
+            # per-scale union merge: prior timings survive for every
+            # scale; fresh numbers win where re-measured. A subset run
+            # may also ADD a scale column (e.g. a 30x point for the
+            # slowest queries) — the published table keeps prior scales
+            # and renders missing (query, scale) cells as "—".
+            prior_t = {
+                int(k): dict(v)
+                for k, v in prior.get("timings", {}).items()
+            }
+            for sc, tmap in prior_t.items():
+                merged = dict(tmap)
+                merged.update(timings.get(sc, {}))
+                timings[sc] = merged
+            scales = sorted(set(scales) | set(prior_t))
         except Exception as e:  # noqa: BLE001
             print(f"merge with prior results failed: {e}", file=sys.stderr)
 

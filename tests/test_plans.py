@@ -475,10 +475,27 @@ def test_domain_blocklist_broadcasts_the_blocklist(spark):
 
 
 def test_batch_ann_window_group_limit_one_scan(spark):
-    # batch similarity search: the per-query ranking must compile to
-    # WindowGroupLimit (map-side per-query top-k before the exchange)
-    # over ONE corpus scan joined to the broadcast query batch
+    # batch similarity search through the STANDING index (round 7): the
+    # per-query ranking must compile to WindowGroupLimit (map-side
+    # per-query top-k before the exchange); the candidate join must be
+    # a broadcast HASH probe of the (cell, sub_bucket) grid — the
+    # codes-only index scan never shuffles; the cert leg's fixed-size
+    # reference attaches by broadcast too — no SortMergeJoin anywhere
     plan = _plan(spark, "ann_batch_topk")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan  # (cell, sub) grid probe
+    assert "SortMergeJoin" not in plan
+    # the probe/scoring scans read CODES, never float vectors: no
+    # index FileScan lists the embedding column
+    for line in plan.splitlines():
+        if "FileScan" in line and "spark_graft_bqidx" in line:
+            assert "embedding" not in line, line
+
+
+def test_batch_ann_brute_baseline_plan(spark):
+    # the retained exact baseline: one corpus scan cross-joined to the
+    # bounded broadcast batch, WindowGroupLimit per-query top-k
+    plan = _plan(spark, "ann_batch_brute_topk")
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan  # bounded batch broadcast
     assert "SortMergeJoin" not in plan

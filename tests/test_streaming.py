@@ -6,6 +6,7 @@ from __future__ import annotations
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from dbt_datbricks_demo_spark.config import RunConfig
 from dbt_datbricks_demo_spark.models.staging import stg_devices
@@ -760,3 +761,120 @@ def test_streaming_index_ingest_maintains_standing_index(spark, tmp_path):
     # ...and honors a tombstone delete without recompaction
     dedup.delete_from_minhash_index(spark, index, [1])
     assert dedup.index_candidate_pairs(spark, index, probe).count() == 0
+
+
+def test_index_compaction_crash_recovery_all_windows(spark, tmp_path):
+    """Round-7 verdict item 6: a restart that killed a compaction at ANY
+    point of the directory swap must find a readable index. The
+    two-rename discipline alone does NOT cover a crash BETWEEN the
+    renames (index_path is absent in that window) — recover_minhash_
+    index rolls back to the always-valid pre-compaction state, and a
+    re-run compaction converges. All three crash windows simulated."""
+    import os
+    import shutil
+
+    from dbt_datbricks_demo_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared shingle text {i % 3}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    index = str(tmp_path / "rx_index")
+    dedup.write_minhash_index(docs, index)
+    want = sorted(
+        (r["doc_id"], r["band_key"])
+        for r in spark.read.parquet(index).collect()
+    )
+
+    def readable_and_equal():
+        got = sorted(
+            (r["doc_id"], r["band_key"])
+            for r in spark.read.parquet(index).collect()
+        )
+        assert got == want
+
+    # window 1: crash mid-write of .compacting (index untouched)
+    os.makedirs(index + ".compacting/partial", exist_ok=True)
+    assert dedup.recover_minhash_index(index) == "cleaned_tmp"
+    assert not os.path.exists(index + ".compacting")
+    readable_and_equal()
+
+    # window 2: crash BETWEEN the two renames — index_path is GONE;
+    # .old holds the pre-compaction state, .compacting the new one
+    shutil.copytree(index, index + ".compacting")
+    os.rename(index, index + ".old")
+    assert not dedup.minhash_index_exists(index)
+    assert dedup.recover_minhash_index(index) == "rolled_back"
+    readable_and_equal()
+    assert not os.path.exists(index + ".old")
+    assert not os.path.exists(index + ".compacting")
+
+    # window 3: crash after the swap, before the .old cleanup
+    shutil.copytree(index, index + ".old")
+    assert dedup.recover_minhash_index(index) == "cleaned_old"
+    readable_and_equal()
+
+    # a fresh compaction over the recovered index converges
+    stats = dedup.compact_minhash_index(spark, index)
+    assert stats["rows_after"] == len(want)
+    readable_and_equal()
+    # and the streaming ingest's per-batch recovery call makes the
+    # RESTART path concrete: simulate the between-renames crash again,
+    # then run one ingest batch — it must repair, then ingest
+    shutil.copytree(index, index + ".compacting")
+    os.rename(index, index + ".old")
+    corpus = str(tmp_path / "rx_corpus")
+    docs.select("doc_id", "text").withColumn(
+        "_batch", F.lit(0)
+    ).write.partitionBy("_batch").parquet(corpus)
+    from dbt_datbricks_demo_spark.streaming.corpus import (
+        index_ingest_batch_fn,
+    )
+
+    fn = index_ingest_batch_fn(corpus, index)
+    newdoc = spark.createDataFrame(
+        [(100, "a genuinely novel document about columnar engines")],
+        "doc_id long, text string",
+    )
+    fn(newdoc, 1)
+    post = spark.read.parquet(index)
+    assert 100 in {r["doc_id"] for r in post.select("doc_id").collect()}
+    readable_subset = {
+        (r["doc_id"], r["band_key"])
+        for r in post.filter(F.col("doc_id") != 100).collect()
+    }
+    assert readable_subset == set(want)
+
+
+def test_index_compaction_file_count_cadence(spark, tmp_path):
+    """The file-generation trigger: with compact_files_per_bucket=1,
+    every append that leaves a second file generation in any bucket is
+    followed by an in-stream compaction — file counts stay flat while
+    batch-count-only cadence would let them grow per append."""
+    from dbt_datbricks_demo_spark.operators import dedup
+    from dbt_datbricks_demo_spark.streaming.corpus import (
+        index_ingest_batch_fn,
+    )
+
+    corpus = str(tmp_path / "fc_corpus")
+    index = str(tmp_path / "fc_index")
+    fn = index_ingest_batch_fn(
+        corpus, index, compact_every=0, compact_files_per_bucket=1
+    )
+    texts = [
+        "alpha document about streaming ingestion and band indexes",
+        "beta document covering partition pruned probe scans today",
+        "gamma document on atomic directory swap compaction rules",
+    ]
+    for i, t in enumerate(texts):
+        fn(
+            spark.createDataFrame([(i, t)], "doc_id long, text string"),
+            i,
+        )
+        assert dedup.minhash_index_max_files_per_bucket(index) <= 1, i
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(index).select("doc_id").distinct().collect()
+    }
+    assert got == {0, 1, 2}
