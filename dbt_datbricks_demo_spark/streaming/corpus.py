@@ -154,10 +154,6 @@ def neardup_ingest_batch_fn(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # restart safety: repair any crashed compaction swap before
-        # touching the index (rolls back to the pre-compaction state
-        # if the crash landed between the two renames)
-        recover_minhash_index(index_path)
         rows_per_band = num_hashes // bands
 
         staged = with_minhash(
