@@ -1001,6 +1001,32 @@ def minhash_index_exists(index_path: str) -> bool:
     )
 
 
+def adaptive_rows_per_band(
+    n: int,
+    num_hashes: int = 16,
+    base_rows: int = 4,
+    base_n: int = 1000,
+    scale_step: int = 20,
+) -> int:
+    """Band SPECIFICITY scaled to the counted corpus — the LSH analog of
+    semdedup's adaptive cell count (round-7 30× measurement: with the
+    band geometry FIXED, random band collisions grow faster than the
+    corpus, and the minhash family drifted 1.2–1.5× above linear).
+    Expected false-candidate pairs ≈ bands · N² · q^r for per-row
+    collision probability q, so holding it flat needs r ∝ log N —
+    Broder's classic tuning. This demo schedule doubles r every
+    scale_step× corpus growth starting from (base_rows, base_n), capped
+    at num_hashes (one band): pure integer comparisons, so a SQL CASE
+    chain over count(*) derives the identical r. The true-duplicate
+    recall cost of a larger r is the documented trade — production
+    picks (num_hashes, r) from the target Jaccard threshold curve."""
+    r, t = base_rows, base_n
+    while r * 2 <= num_hashes and n > t:
+        r *= 2
+        t *= scale_step
+    return r
+
+
 def recover_minhash_index(index_path: str) -> str:
     """Repair a standing index after a crash at ANY point of the
     compaction swap (round-7 verdict item: the two-rename discipline

@@ -43,9 +43,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbt_datbricks_demo_spark.operators import similarity, text
+from dbt_datbricks_demo_spark.operators import dedup, similarity, text
 from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
-from dbt_datbricks_demo_spark.queries.llm_ops import _SQL_TOKENS, _sql_dot
+from dbt_datbricks_demo_spark.queries.llm_ops import (
+    _SQL_SHINGLE_HASHES,
+    _SQL_TOKENS,
+    _sql_dot,
+    _sql_minhash_cols,
+)
 from dbt_datbricks_demo_spark.queries.pipeline_ops import _sql_ngram_list
 
 # ---------------------------------------------------------------------------
@@ -1250,3 +1255,125 @@ def truncated_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionAll, reports).orderBy("dim")
+
+# ---------------------------------------------------------------------------
+# Adaptive LSH banding (round 7): the executed form of the SCALE.md
+# 30x root-cause note — band specificity scaled to the counted corpus
+# ---------------------------------------------------------------------------
+_AB_HASHES = 16
+_AB_JACCARD = 0.8
+
+
+def _sql_adaptive_band() -> str:
+    """Oracle re-deriving the adaptive geometry from its own count(*):
+    r = adaptive_rows_per_band's CASE chain; band keys for ALL three
+    geometries are written statically and the chosen one selected by
+    joining the geometry scalar (same masking discipline as the
+    semdedup plane count)."""
+    sig_cols = ", ".join(_sql_minhash_cols(_AB_HASHES))
+    blocks = []
+    for r in (4, 8, 16):
+        nb = _AB_HASHES // r
+        for b in range(nb):
+            hs = ", ".join(f"h{b * r + i}" for i in range(r))
+            blocks.append(
+                f"select doc_id, md5(concat_ws('-', '{b}', {hs})) as band_key,"
+                f" {r} as r from sigs"
+            )
+    bands_union = "\n        union all\n        ".join(blocks)
+    return f"""
+    with geo as (
+        select (case when n <= 1000 then 4
+                     when n <= 20000 then 8
+                     else 16 end) as r,
+               cast(n as bigint) as n_docs
+        from (select count(*) as n from documents)
+    ),
+    hashed as materialized (
+        select doc_id, {_SQL_SHINGLE_HASHES} as hs from documents
+    ),
+    sigs as materialized (select doc_id, {sig_cols} from hashed),
+    bands as (
+        select b.doc_id, b.band_key from (
+        {bands_union}
+        ) b join geo g on b.r = g.r
+    ),
+    pairs as materialized (
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from bands a join bands b
+          on a.band_key = b.band_key and a.doc_id < b.doc_id
+    ),
+    sh as (select doc_id, unnest(hs) as sh from hashed),
+    sizes as (select doc_id, count(*) as set_size from sh group by doc_id),
+    inter as (
+        select p.id_a, p.id_b, count(*) as n_common
+        from pairs p
+        join sh a on a.doc_id = p.id_a
+        join sh b on b.doc_id = p.id_b and b.sh = a.sh
+        group by p.id_a, p.id_b
+    ),
+    verified as (
+        select i.id_a
+        from inter i
+        join sizes sa on sa.doc_id = i.id_a
+        join sizes sb on sb.doc_id = i.id_b
+        where i.n_common * 1.0
+              / (sa.set_size + sb.set_size - i.n_common) >= {_AB_JACCARD}
+    )
+    select g.n_docs,
+           cast({_AB_HASHES} as int) as n_hashes,
+           cast(g.r as int) as rows_per_band,
+           cast({_AB_HASHES} / g.r as int) as n_bands,
+           (select cast(count(*) as bigint) from pairs) as n_candidates,
+           (select cast(count(*) as bigint) from verified) as n_verified
+    from geo g
+    """
+
+
+@_register(
+    "adaptive_band_dedup_report",
+    "MinHash near-dup with ADAPTIVE band specificity (round 7 — "
+    "operators.dedup.adaptive_rows_per_band): the 30x weak-scaling "
+    "point showed the fixed-geometry minhash family drifting 1.2-1.5x "
+    "above linear from banded FALSE-candidate growth; here "
+    "rows-per-band grows with the counted corpus (4 -> 8 -> 16 of 16 "
+    "hashes; expected false pairs ~ bands*N^2*q^r, so r ~ log N holds "
+    "them flat — Broder's tuning), candidates verify with exact "
+    "shingle Jaccard, and the one-row report carries the derived "
+    "geometry + candidate/verified counts so the oracle re-derives "
+    "the SAME geometry from its own count(*)",
+    _sql_adaptive_band(),
+)
+def adaptive_band_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.queries.inventory import _t_rowcount
+
+    n = _t_rowcount(sf_dir, "documents")
+    r = dedup.adaptive_rows_per_band(n, num_hashes=_AB_HASHES)
+    bands = _AB_HASHES // r
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    rows = dedup.shingle_hash_rows(docs, "doc_id", "text", k=5)
+    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=_AB_HASHES)
+    pairs = dedup.candidate_pairs_from_sigs(
+        sigs, "doc_id", num_hashes=_AB_HASHES, bands=bands
+    ).localCheckpoint(eager=True)
+    hashed_small = dedup.candidate_hash_arrays(docs, pairs, "doc_id", "text", k=5)
+    ver = dedup.jaccard_pairs_from_hashes(
+        hashed_small, pairs, "doc_id", pairs_prepared=True
+    )
+    n_cand = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    n_ver = ver.filter(F.col("jaccard") >= _AB_JACCARD).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_verified")
+    )
+    return (
+        spark.range(1)
+        .select(
+            F.lit(n).cast("bigint").alias("n_docs"),
+            F.lit(_AB_HASHES).cast("int").alias("n_hashes"),
+            F.lit(r).cast("int").alias("rows_per_band"),
+            F.lit(bands).cast("int").alias("n_bands"),
+        )
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_ver))
+    )

@@ -74,6 +74,9 @@ DEFAULT_QUERIES = [
     "quality_threshold_curve",
     "bpe_encode_report",
     "truncated_embedding_recall",
+    # round 7: the adaptive-banding conversion (the executed form of
+    # the 30x root-cause note)
+    "adaptive_band_dedup_report",
 ]
 
 MARK_BEGIN = "<!-- weak-scaling:begin (scripts/weak_scaling.py) -->"

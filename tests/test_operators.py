@@ -833,3 +833,20 @@ def test_asof_join_forward_semantics(spark):
         ).collect()
     }
     assert out2["c"].val == 300.0
+
+
+def test_adaptive_rows_per_band_schedule():
+    """The banding-geometry schedule is the contract both engines derive
+    independently (Spark from parquet-footer stats, the oracle from
+    count(*)): doubles at each threshold, capped at one band."""
+    from dbt_datbricks_demo_spark.operators.dedup import (
+        adaptive_rows_per_band,
+    )
+
+    assert adaptive_rows_per_band(500) == 4
+    assert adaptive_rows_per_band(1000) == 4    # boundary stays
+    assert adaptive_rows_per_band(1001) == 8    # first doubling
+    assert adaptive_rows_per_band(5000) == 8    # sf0.1 documents
+    assert adaptive_rows_per_band(20000) == 8
+    assert adaptive_rows_per_band(20001) == 16
+    assert adaptive_rows_per_band(10**9) == 16  # capped at num_hashes
