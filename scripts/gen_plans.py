@@ -27,7 +27,7 @@ HEADLINE = {
     "sole_late_supplier": "TPC-H Q21 shape: EXISTS/NOT EXISTS pair as ONE window pass",
     "top_customer_share": "TPC-H Q11 shape: scalar-subquery HAVING, AQE ReusedExchange",
     "unigram_perplexity_report": "unigram-LM scoring: two partial-agg passes, term join, 1-row totals broadcast",
-    "semdedup_report": "SemDeDup: narrow cell assignment -> per-cell pairs -> anti join",
+    "semdedup_report": "SemDeDup (r7 adaptive k): narrow coarse+sub-plane assignment -> per-cell pairs -> anti join",
     "semantic_decontam_report": "embedding decontam: bounded benchmark broadcast, one corpus pass",
     "duplicate_span_report": "ExactSubstr: ONE gram explode, digest window totals, narrow fold",
     "decontam_report": "n-gram decontam: explode_outer + broadcast digest probe, map-side partial agg",
@@ -37,7 +37,8 @@ HEADLINE = {
     "span_removal_report": "ExactSubstr removal: one codegen gram explode, combiner pre-agg, dup-bounded span expansion",
     "domain_cap_report": "per-domain cap: WindowGroupLimit map-side top-K, broadcast totals join-back",
     "domain_blocklist_report": "host blocklist: broadcast table join, map-side funnel agg",
-    "ann_batch_topk": "batch ANN: broadcast query batch, one corpus scan, WindowGroupLimit per-query top-k",
+    "ann_batch_topk": "batch ANN via the standing IVF-PQ index (r7): broadcast (cell,sub) grid probe over codes-only scans, WindowGroupLimit per-query top-k, broadcast cert attach",
+    "adaptive_band_dedup_report": "adaptive LSH banding (r7): count-derived geometry, banded candidates, exact-Jaccard verify",
     "minhash_index_lookup": "standing-index probe: bucket-pruned index scan + band-key equi-join",
     "minhash_index_maintenance": "standing-index lifecycle: post-compaction probe — same pruned scan over the rewritten one-file-per-bucket layout",
     "dsir_importance_report": "DSIR: fixed-bucket model broadcast probe, one-row totals attach, TakeOrderedAndProject top-25",
