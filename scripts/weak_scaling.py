@@ -243,13 +243,14 @@ def main() -> None:
         )
     spark.stop()
 
-    # a WS_QUERIES subset run MERGES into the existing results (the
-    # published table covers the whole default list; replacing it with
-    # a 3-row subset destroyed committed evidence once — never again)
+    # EVERY run MERGES into the existing results (subset runs used to
+    # merge while full runs replaced — a full 1x/3x/10x refresh then
+    # clobbered the committed 30x/100x columns once; never again):
+    # fresh numbers win per (scale, query), prior-only scales survive.
     out = os.environ.get(
         "WS_OUT", os.path.join(REPO, "SCALE_RESULTS.json")
     )
-    if sel and os.path.exists(out):
+    if os.path.exists(out):
         try:
             with open(out) as fh:
                 prior = json.load(fh)

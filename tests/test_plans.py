@@ -396,14 +396,21 @@ def test_regression_trend_broadcast_dims_and_partial_agg(spark):
     assert "o_orderpriority" not in plan.split("ReadSchema")[1].split("\n")[0]
 
 
-def test_table_profile_single_scan_with_expand(spark):
-    # one aggregation pass: the multi-distinct profile plans as ONE
-    # parquet scan feeding Expand — not one rescan per profiled column.
-    # (formatted mode lists each node twice: tree + detail section)
+def test_table_profile_no_expand_column_pruned_distincts(spark):
+    # round 7: six countDistinct in ONE agg planned the Expand shape —
+    # every row duplicated once per profiled column (measured bimodal
+    # 3-13s at 10x data). The profile now runs one expand-free pass for
+    # the non-distinct stats plus a SINGLE-distinct two-level hash agg
+    # per column, each scan pruned to its one column; one-row results
+    # attach by broadcast nested loop. Pin: NO Expand anywhere, and
+    # every distinct scan reads exactly one column.
     plan = _plan(spark, "table_profile_report")
-    assert plan.count("Scan parquet") == 2
-    assert "Expand" in plan
+    assert "Expand" not in plan
     assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # 7 scans (tree+detail each → count x2): the shared stats pass + 6
+    # single-column distinct scans
+    assert plan.count("Scan parquet") == 14
 
 
 def test_winsorized_stats_broadcasts_percentile_table(spark):
