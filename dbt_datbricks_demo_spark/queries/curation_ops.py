@@ -893,25 +893,40 @@ def domain_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
     ntok = F.size(tokens("text"))
+    # two countDistinct inside the main groupBy would plan the Expand
+    # shape — every CORPUS row duplicated once per distinct group (the
+    # round-7 table_profile fix, applied here too: aggregate each
+    # distinct separately as a two-level hash agg, join on the tiny
+    # source key). The digest relation is checkpointed so the md5 pass
+    # runs once for both distinct branches.
     d = docs.select(
         "source", "lang", F.md5("text").alias("digest"), ntok.alias("ntok")
-    )
+    ).localCheckpoint(eager=True)
     mean_tokens = F.sum("ntok") * 1.0 / F.count(F.lit(1))
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(F.col("ntok") < 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_short_docs"),
+        mean_tokens.alias("mean_doc_tokens"),
+        F.when(mean_tokens >= 60, "long")
+        .when(mean_tokens >= 40, "medium")
+        .otherwise("short")
+        .alias("length_tier"),
+    )
+    uniq = d.groupBy("source").agg(
+        F.countDistinct("digest").cast("bigint").alias("n_unique")
+    )
+    langs = d.groupBy("source").agg(
+        F.countDistinct("lang").cast("bigint").alias("n_langs")
+    )
     return (
-        d.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.countDistinct("digest").cast("bigint").alias("n_unique"),
-            F.countDistinct("lang").cast("bigint").alias("n_langs"),
-            F.sum("ntok").cast("bigint").alias("tokens_total"),
-            F.sum(F.when(F.col("ntok") < 30, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_short_docs"),
-            mean_tokens.alias("mean_doc_tokens"),
-            F.when(mean_tokens >= 60, "long")
-            .when(mean_tokens >= 40, "medium")
-            .otherwise("short")
-            .alias("length_tier"),
+        base.join(F.broadcast(uniq), "source")
+        .join(F.broadcast(langs), "source")
+        .select(
+            "source", "n_docs", "n_unique", "n_langs", "tokens_total",
+            "n_short_docs", "mean_doc_tokens", "length_tier",
         )
         .orderBy("source")
     )

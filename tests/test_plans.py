@@ -211,6 +211,35 @@ def test_no_python_eval_in_any_query_plan(spark):
     assert offenders == []
 
 
+# Expand is the right plan ONLY where the semantics are
+# grouping-set-shaped (rollup/cube/grouping sets), an unpivot, or the
+# expanded relation is tiny by construction (chi_square expands the
+# checkpointed ≤|langs×sources| contingency table). Anywhere else it
+# means a multi-distinct aggregate silently multiplying corpus rows —
+# the round-7 table_profile defect (bimodal 3-13s at 10x) and the
+# domain_quality_rollup one it led to.
+_EXPAND_ALLOWED = {
+    "rollup_report",
+    "cube_report",
+    "grouping_sets_report",
+    "unpivot_part_attrs",
+    "chi_square_report",  # tiny contingency relation, documented
+}
+
+
+def test_no_corpus_expand_in_any_query_plan(spark):
+    """Blanket scale contract over the WHOLE registry: no query plans an
+    Expand node outside the documented grouping/unpivot/tiny-relation
+    allowlist — a new multi-distinct aggregate over a corpus-sized
+    relation fails here, not as a bimodal bench regression at 10x."""
+    offenders = []
+    for name, spec in QUERIES.items():
+        plan = _plan(spark, name)
+        if "Expand" in plan and name not in _EXPAND_ALLOWED:
+            offenders.append(name)
+    assert offenders == []
+
+
 def test_shipping_priority_multiway_join_shape(spark):
     """TPC-H Q3 shape: broadcast (never SMJ at this dim size), filters
     pushed into every scan, customer pruned to its two used columns,
