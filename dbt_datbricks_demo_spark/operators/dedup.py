@@ -940,7 +940,15 @@ def index_candidate_pairs(
     (PartitionFilters, plan-pinned), and the equi-join on band_key is a
     size-guarded broadcast of the batch postings with a shuffled
     fallback. Self-matches (a batch doc already in the index under the
-    same id) are dropped."""
+    same id) are dropped.
+
+    Recovery runs first (round-8 advice item): a crash BETWEEN the
+    compaction swap renames leaves no directory at index_path, and a
+    probe-only restart (this function, or the minhash_index_lookup
+    query) would otherwise fail until the next WRITE-path call ran
+    recovery. recover_minhash_index is idempotent and three-stat-cheap
+    when healthy, so the probe path affords it."""
+    recover_minhash_index(index_path)
     rows = shingle_hash_rows(batch, id_col, text_col, k)
     sigs = minhash_sigs_from_rows(rows, id_col, num_hashes)
     bk = (

@@ -917,27 +917,33 @@ def batch_ivfpq_index_topk(
     w = hyperplane_weights(planes, len(coarse[0]), prefix=plane_prefix)
     # bounded driver read: the batch is broadcast anyway
     qrows = queries.select(q_id_col, q_vec_col).collect()
-    staged = []
+    # the MxK ADC table is the heavy payload — keep it ONE row per
+    # query joined on q_id AFTER the grid match, not replicated into
+    # every (cell, sub_bucket) probe row (round-8 advice item: the
+    # fused relation carried up to nprobe*probes_sub copies per query,
+    # a ~16x larger broadcast for the default knobs)
+    routes, tables = [], []
     for r in qrows:
         qv = [float(x) for x in r[q_vec_col]]
         cells = probe_cells_by_score(coarse, qv, nprobe)
         subs = multiprobe_buckets(qv, w, probes_sub)
-        table = pq_adc_table(qv, books)
+        tables.append((r[q_id_col], pq_adc_table(qv, books)))
         for c in cells:
             for b in subs:
-                staged.append((r[q_id_col], c, b, table))
-    qstaged = spark.createDataFrame(
-        staged,
-        f"{q_id_col} long, _probe_cell int, _q_sub long, "
-        "_t array<array<double>>",
+                routes.append((r[q_id_col], c, b))
+    qroutes = spark.createDataFrame(
+        routes, f"{q_id_col} long, _probe_cell int, _q_sub long"
+    )
+    qtables = spark.createDataFrame(
+        tables, f"{q_id_col} long, _t array<array<double>>"
     )
     indexed = spark.read.parquet(index_path)
     cand = indexed.join(
-        F.broadcast(qstaged),
+        F.broadcast(qroutes),
         (F.col(IVFPQ_CELL_COL) == F.col("_probe_cell"))
         & (F.col(BATCH_SUB_COL) == F.col("_q_sub"))
         & (F.col(id_col) != F.col(q_id_col)),
-    )
+    ).join(F.broadcast(qtables), q_id_col)
     adc = F.lit(0.0)
     for s in range(len(books)):
         adc = adc + F.element_at(

@@ -671,17 +671,34 @@ def _batch_index_for(spark: SparkSession, sf_dir: str, planes: int) -> str:
     key = hashlib.md5(
         f"{stamp}|bqidx|pl{planes}|cells{_IVFPQ_CELLS}|m{_PQ_M}|k{_PQ_K}".encode()
     ).hexdigest()[:12]
-    idx_path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_bqidx_{key}", "index"
-    )
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_bqidx_{key}")
+    idx_path = os.path.join(root, "index")
     if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        # build in a session-private staging dir and rename-publish:
+        # two concurrent sessions (parallel pytest workers, bench
+        # alongside tests) must never read a directory the other is
+        # mid-overwrite (round-8 advice item). os.rename is atomic on
+        # one filesystem; the loser of the race discards its staging.
+        import shutil
+
+        staging = f"{root}.staging.{os.getpid()}"
         similarity.write_batch_ivfpq_index(
             _spread(_t(spark, sf_dir, "embeddings")),
             _IVFPQ_COARSE,
             _PQ_BOOKS,
             planes,
-            idx_path,
+            os.path.join(staging, "index"),
         )
+        try:
+            os.rename(staging, root)
+        except OSError:
+            if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+                # not a lost race — a stale partial dir blocks the
+                # publish; clear it and retry once
+                shutil.rmtree(root, ignore_errors=True)
+                os.rename(staging, root)
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
     return idx_path
 
 
@@ -767,7 +784,14 @@ def _sql_batch() -> str:
     )
     return f"""
     with pl as (
-        select {_sql_batch_planes()} as planes
+        select {_sql_batch_planes()} as planes,
+               case when n > {_BATCH_BRUTE_MAX} then 1 else cast(error(
+                   'ann_batch_topk oracle domain is n > {_BATCH_BRUTE_MAX}: '
+                   'at/below the counted guard the Spark side returns the '
+                   'EXACT brute path (descending exact-cosine scores), not '
+                   'the index-routed ADC derivation this oracle computes — '
+                   'a silent hash mismatch otherwise (round-8 advice item)'
+               ) as int) end as _domain_ok
         from (select count(*) as n from embeddings)
     ),
     w as (select {', '.join(wcols)}),
@@ -859,8 +883,8 @@ def _sql_batch() -> str:
            cast(case when r.q_id < {_BATCH_CERT_MAX}
                      then coalesce(h.hit, false)::int
                      else -1 end as int) as cert_hit
-    from ranked r left join refhits h using (q_id, vec_id)
-    where r.rank <= {_BATCH_K}
+    from ranked r left join refhits h using (q_id, vec_id), pl
+    where r.rank <= {_BATCH_K} and pl._domain_ok = 1
     order by r.q_id, r.rank
     """
 

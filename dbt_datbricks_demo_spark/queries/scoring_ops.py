@@ -152,7 +152,9 @@ _SEM_FIXED = [
 
 def _sql_sem_planes() -> str:
     """The adaptive_planes integer threshold chain over count(*): the
-    smallest p with 16·32·2^p >= n, capped — byte-for-byte the loop in
+    smallest p with _SEM_CELLS·_SEM_WIDTH·2^p >= n (16·16 here — this
+    query deliberately uses a narrower width than the operator's
+    default 32), capped — byte-for-byte the loop in
     operators.similarity.adaptive_planes."""
     branches = " ".join(
         f"when n <= {(_SEM_CELLS * _SEM_WIDTH) << p} then {p}"

@@ -706,6 +706,77 @@ def test_ann_batch_topk_brute_guard_below_threshold(spark, tmp_path):
         assert all(r["cert_hit"] == 1 for r in got)  # q_id < cert max
 
 
+def test_ann_batch_topk_oracle_fails_loudly_below_guard(spark, tmp_path):
+    """Round-8 advice item (medium): the registered oracle derives the
+    INDEX-routed result; at/below the counted brute guard the Spark
+    side returns exact cosine instead, so the oracle's valid domain is
+    n > _BATCH_BRUTE_MAX. A future small-corpus gate run must fail
+    LOUDLY (error() in the domain-guard CTE), never as a mystery hash
+    mismatch. Above the guard the same SQL stays green (every oracle
+    run on real testdata exercises that side)."""
+    import random
+
+    import duckdb
+
+    from dbt_datbricks_demo_spark.queries import QUERIES
+    from dbt_datbricks_demo_spark.queries.mining_ops import _BATCH_BRUTE_MAX
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)])
+        for i in range(_BATCH_BRUTE_MAX // 2)
+    ]
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(str(sf_dir / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "create view embeddings as select * from "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    with pytest.raises(duckdb.InvalidInputException, match="oracle domain"):
+        con.sql(QUERIES["ann_batch_topk"].oracle).fetchall()
+
+
+def test_index_probe_path_recovers_after_swap_crash(spark, tmp_path):
+    """Round-8 advice item: a crash BETWEEN the compaction swap renames
+    followed by a PROBE-only restart (index_candidate_pairs, with no
+    intervening write) must repair the index rather than fail on a
+    missing directory — the probe entry point now runs
+    recover_minhash_index first."""
+    import os
+    import shutil
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared shingle text {i % 3}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    index = str(tmp_path / "probe_rx_index")
+    dedup.write_minhash_index(docs, index)
+    probe = spark.createDataFrame(
+        [(100, "document number 7 with shared shingle text 1")],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        (r["batch_id"], r["corpus_id"])
+        for r in dedup.index_candidate_pairs(spark, index, probe).collect()
+    )
+    assert want  # the probe doc really collides with the corpus
+    # crash between the two renames: index_path is GONE
+    shutil.copytree(index, index + ".compacting")
+    os.rename(index, index + ".old")
+    assert not dedup.minhash_index_exists(index)
+    got = sorted(
+        (r["batch_id"], r["corpus_id"])
+        for r in dedup.index_candidate_pairs(spark, index, probe).collect()
+    )
+    assert got == want
+    assert not os.path.exists(index + ".old")
+
+
 def test_ann_batch_topk_cert_recall_floor_on_testdata(spark):
     """The in-result certification column must show the measured routing
     recall on the random testdata (0.88 at sf0.001 when written) — pin
