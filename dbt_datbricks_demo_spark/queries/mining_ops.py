@@ -716,16 +716,11 @@ def _sql_batch_planes() -> str:
     return f"(case {branches} else {_BATCH_MAX_PLANES} end)"
 
 
-def _sql_batch() -> str:
-    """Oracle for the index-routed batch ANN: re-derives the WHOLE
-    stack from the embeddings table — adaptive plane count from its own
-    count(*), per-row (cell, sub_bucket, PQ codes), per-query coarse
-    routing / multiprobe sub-buckets / ADC tables, the (cell, sub)
-    candidate join, per-query ADC top-k, and the fixed-subset
-    same-scorer certification. All literal weight matrices are HOISTED
-    into a one-row CTE (inline lists inside lambdas are rebuilt per
-    element — measured 124x slower) and the shared per-row encodings
-    are MATERIALIZED once."""
+def _batch_sql_fragments() -> dict:
+    """The hoisted-literal weight CTE plus per-row / per-query encoding
+    fragments shared by the ann_batch_topk and ann_index_maintenance
+    oracles (round 8 factored them out — both re-derive the identical
+    IVF-PQ encodings; only the corpus/query source CTEs differ)."""
     # --- hoisted literal CTE: coarse centroids, bq planes, PQ books
     wcols = []
     csc_corpus, csc_query = [], []
@@ -786,18 +781,52 @@ def _sql_batch() -> str:
         f"then {1 << p}::bigint else 0::bigint end)"
         for p in range(_BATCH_MAX_PLANES)
     )
-    return f"""
-    with pl as (
-        select planes,
-               case when planes <= 0 then 0
+    return {
+        "wcols": wcols,
+        "csc_corpus": csc_corpus,
+        "csc_query": csc_query,
+        "mg_terms": mg_terms,
+        "sub_bits_e": sub_bits_e,
+        "sc_cols": sc_cols,
+        "qt_cols": qt_cols,
+        "adc": adc,
+        "qbase_bits": qbase_bits,
+    }
+
+
+# the radius CASE shared by both index oracles — byte-for-byte
+# similarity.adaptive_subprobe_radius over the derived plane count
+_SQL_BALL_RADIUS = """case when planes <= 0 then 0
                     when planes <= 2 then 1
                     when planes <= 8 then 2
                     when planes <= 14 then 3
                     else cast(error(
-                        'ann_batch_topk oracle probe-ball domain is '
-                        'planes <= 14 (mask enumeration is bounded at '
-                        '16384); extend the ball CTE for larger corpora'
-                    ) as int) end as radius,
+                        'oracle probe-ball domain is planes <= 14 '
+                        '(mask enumeration is bounded at 16384); '
+                        'extend the ball CTE for larger corpora'
+                    ) as int) end"""
+
+
+def _sql_batch() -> str:
+    """Oracle for the index-routed batch ANN: re-derives the WHOLE
+    stack from the embeddings table — adaptive plane count from its own
+    count(*), per-row (cell, sub_bucket, PQ codes), per-query coarse
+    routing / Hamming-ball multiprobe sub-buckets / ADC tables, the
+    (cell, sub) candidate join, per-query ADC top-k, and the
+    fixed-subset same-scorer certification. All literal weight matrices
+    are HOISTED into a one-row CTE (inline lists inside lambdas are
+    rebuilt per element — measured 124x slower) and the shared per-row
+    encodings are MATERIALIZED once."""
+    fr = _batch_sql_fragments()
+    wcols = fr["wcols"]
+    csc_corpus, csc_query = fr["csc_corpus"], fr["csc_query"]
+    mg_terms, sub_bits_e = fr["mg_terms"], fr["sub_bits_e"]
+    sc_cols, qt_cols = fr["sc_cols"], fr["qt_cols"]
+    adc, qbase_bits = fr["adc"], fr["qbase_bits"]
+    return f"""
+    with pl as (
+        select planes,
+               {_SQL_BALL_RADIUS} as radius,
                _domain_ok
         from (
         select {_sql_batch_planes()} as planes,
@@ -1043,6 +1072,207 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch-index LIFECYCLE (round-8 verdict item 6): build generation A →
+# append generation B → tombstone-delete a slice → compact → serve a
+# query batch from the maintained index. The oracle re-derives the
+# routed result from scratch on the post-delete corpus (planes from the
+# PRE-delete ingest count, exactly what the index was built with), so a
+# tombstone leak, a lost row, or a compaction duplicate all
+# hash-mismatch. The minhash index's lifecycle discipline applied to
+# the ANN layer (minhash_index_maintenance is the template).
+# ---------------------------------------------------------------------------
+def _maintained_batch_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Build (once per testdata dir, stamp-cached, staged + atomically
+    rename-published like _batch_index_for) a batch IVF-PQ index that
+    has lived a full maintenance cycle: generation A (vec_id % 10 <= 4)
+    written fresh, generation B (vec_id % 10 in 5,6,8,9) appended, the
+    vec_id % 17 == 3 slice tombstoned, then compacted. Returns
+    (index_path, planes) — planes are adaptive to the PRE-delete ingest
+    count, what a standing index would have been built with."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    stamp = "|".join(
+        f"{p}:{os.stat(p).st_mtime_ns}:{os.stat(p).st_size}"
+        for p in sorted(glob.glob(src) + glob.glob(os.path.join(src, "*")))
+    )
+    key = hashlib.md5(
+        f"{stamp}|bqmaint|cells{_IVFPQ_CELLS}|m{_PQ_M}|k{_PQ_K}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_bqmnt_{key}")
+    idx_path = os.path.join(root, "index")
+    emb = _t(spark, sf_dir, "embeddings")
+    pre = emb.filter(F.col("vec_id") % 10 != 7)
+    planes = similarity.adaptive_planes(
+        pre.count(), _IVFPQ_CELLS, _BATCH_WIDTH, _BATCH_MAX_PLANES
+    )
+    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        staging = f"{root}.staging.{os.getpid()}"
+        spath = os.path.join(staging, "index")
+        gen_a = pre.filter(F.col("vec_id") % 10 <= 4)
+        gen_b = pre.filter(F.col("vec_id") % 10 > 4)
+        similarity.write_batch_ivfpq_index(
+            gen_a, _IVFPQ_COARSE, _PQ_BOOKS, planes, spath
+        )
+        similarity.append_batch_ivfpq_index(
+            gen_b, _IVFPQ_COARSE, _PQ_BOOKS, planes, spath
+        )
+        similarity.delete_from_batch_ivfpq_index(
+            spark, spath, pre.filter(F.col("vec_id") % 17 == 3)
+        )
+        stats = similarity.compact_batch_ivfpq_index(spark, spath)
+        assert stats["rows_after"] < stats["rows_before"], stats
+        assert stats["files_after"] <= stats["files_before"], stats
+        try:
+            os.rename(staging, root)
+        except OSError:
+            if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+                shutil.rmtree(root, ignore_errors=True)
+                os.rename(staging, root)
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
+    return idx_path, planes
+
+
+def _sql_index_maint() -> str:
+    """Oracle for ann_index_maintenance: the from-scratch index-routed
+    batch ANN over the POST-delete corpus, with the plane count derived
+    from the PRE-delete ingest count — the state a correctly maintained
+    index must be in. Shares every encoding fragment with the
+    ann_batch_topk oracle (_batch_sql_fragments)."""
+    fr = _batch_sql_fragments()
+    wcols = fr["wcols"]
+    csc_corpus, csc_query = fr["csc_corpus"], fr["csc_query"]
+    mg_terms, sub_bits_e = fr["mg_terms"], fr["sub_bits_e"]
+    sc_cols, qt_cols = fr["sc_cols"], fr["qt_cols"]
+    adc, qbase_bits = fr["adc"], fr["qbase_bits"]
+    return f"""
+    with pl as (
+        select planes, {_SQL_BALL_RADIUS} as radius
+        from (select {_sql_batch_planes()} as planes
+              from (select count(*) as n from embeddings
+                    where vec_id % 10 <> 7))
+    ),
+    w as (select {', '.join(wcols)}),
+    corpus as (
+        select vec_id, embedding from embeddings
+        where vec_id % 10 <> 7 and vec_id % 17 <> 3
+    ),
+    enc as materialized (
+        select vec_id,
+               list_position(csc, list_min(csc)) - 1 as cell,
+               sub,
+               {_pq_codes_sql()}
+        from (select vec_id,
+               [{','.join(csc_corpus)}] as csc,
+               {','.join(sc_cols)},
+               ({' + '.join(sub_bits_e)}) as sub
+              from corpus, pl, w) q0
+    ),
+    qm as materialized (
+        select q_id,
+               [{','.join(csc_query)}] as qsc,
+               [{','.join(mg_terms)}] as m,
+               planes,
+               {','.join(qt_cols)}
+        from (select vec_id as q_id,
+                     list_transform(embedding, x -> cast(x as double)) as qv
+              from corpus where vec_id % 100 = 0), pl, w
+    ),
+    qb as (
+        select q_id, ({qbase_bits}) as base
+        from qm
+    ),
+    routes as (
+        select q_id, i - 1 as cell from (
+            select q_id, s, i,
+                   row_number() over (partition by q_id
+                                      order by s, i) as rn
+            from (select q_id, unnest(qsc) as s,
+                         generate_subscripts(qsc, 1) as i
+                  from qm)
+        ) where rn <= {_BATCH_NPROBE}
+    ),
+    qsubs as (
+        select b.q_id, xor(b.base, m.mask) as sub
+        from qb b, pl,
+             (select unnest(range(0, 16384)) as mask) m
+        where m.mask < (1::bigint << pl.planes)
+          and bit_count(m.mask) <= pl.radius
+    ),
+    cand as (
+        select r.q_id, e.vec_id, e.cell,
+               {','.join(f'e.c{s} as c{s}' for s in range(_PQ_M))}
+        from enc e
+        join routes r on e.cell = r.cell
+        join qsubs s on s.q_id = r.q_id and e.sub = s.sub
+        where e.vec_id <> r.q_id
+    ),
+    scored as (
+        select c.q_id, c.vec_id,
+               round(cast(0.0 as double) + {adc}, 6) as score
+        from cand c join qm using (q_id)
+    ),
+    ranked as (
+        select q_id, vec_id, score,
+               row_number() over (partition by q_id
+                                  order by score asc, vec_id) as rank
+        from scored
+    )
+    select q_id, vec_id, cast(rank as int) as rank, score
+    from ranked
+    where rank <= {_BATCH_K}
+    order by q_id, rank
+    """
+
+
+@_register(
+    "ann_index_maintenance",
+    "standing batch-index LIFECYCLE probe (round 8 — operators."
+    "similarity.append_batch_ivfpq_index / delete_from_batch_ivfpq_"
+    "index / compact_batch_ivfpq_index): ingest generation A written "
+    "fresh, generation B appended into the same cell directories, the "
+    "vec_id % 17 == 3 slice tombstoned (logical delete, O(deleted) "
+    "bytes), then compacted (tombstoned rows dropped, replayed-append "
+    "dups retired, one sub_bucket-sorted file per cell, two-rename "
+    "atomic swap + recovery — the minhash index's discipline at the "
+    "ANN layer). The query batch is served THROUGH the maintained "
+    "index; the oracle re-derives the routed result from scratch on "
+    "the post-delete corpus, so a tombstone leak, lost row, or "
+    "compaction dup all hash-mismatch",
+    _sql_index_maint(),
+)
+def ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx_path, planes = _maintained_batch_index_for(spark, sf_dir)
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    queries = (
+        emb.filter(
+            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") % 17 != 3)
+        )
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        .localCheckpoint(eager=False)
+    )
+    top = similarity.batch_ivfpq_index_topk(
+        spark,
+        idx_path,
+        _IVFPQ_COARSE,
+        _PQ_BOOKS,
+        planes,
+        queries,
+        k=_BATCH_K,
+        nprobe=_BATCH_NPROBE,
+        probe_radius=similarity.adaptive_subprobe_radius(planes),
+    )
+    return top.select(
+        "q_id", "vec_id", "rank", F.col("adc_score").alias("score")
+    ).orderBy("q_id", "rank")
 
 
 # ---------------------------------------------------------------------------

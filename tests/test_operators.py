@@ -850,6 +850,73 @@ def test_index_probe_path_recovers_after_swap_crash(spark, tmp_path):
     assert not os.path.exists(index + ".old")
 
 
+def test_batch_index_lifecycle_append_delete_compact_probe(spark, tmp_path):
+    """Round-8 verdict item 6: the standing batch IVF-PQ index must
+    ingest (append), retire (tombstone delete), compact (physical
+    rewrite, atomic swap), and recover from a crash at any swap point —
+    with probe results IDENTICAL to a fresh build over the surviving
+    vectors at every stage."""
+    import os
+    import random
+    import shutil
+
+    from dbt_datbricks_demo_spark.queries.mining_ops import (
+        _IVFPQ_COARSE,
+        _PQ_BOOKS,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(600)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = similarity.adaptive_planes(600, 16, target_cell_width=16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    def probe(path):
+        return sorted(
+            (r["q_id"], r["vec_id"], r["rank"])
+            for r in similarity.batch_ivfpq_index_topk(
+                spark, path, _IVFPQ_COARSE, _PQ_BOOKS, planes, queries,
+                probe_radius=2,
+            ).collect()
+        )
+
+    # lifecycle index: gen A + appended gen B
+    life = str(tmp_path / "life")
+    similarity.write_batch_ivfpq_index(
+        emb.filter(F.col("vec_id") < 300), _IVFPQ_COARSE, _PQ_BOOKS,
+        planes, life,
+    )
+    similarity.append_batch_ivfpq_index(
+        emb.filter(F.col("vec_id") >= 300), _IVFPQ_COARSE, _PQ_BOOKS,
+        planes, life,
+    )
+    # reference: fresh single-generation build over the same vectors
+    fresh = str(tmp_path / "fresh")
+    similarity.write_batch_ivfpq_index(
+        emb, _IVFPQ_COARSE, _PQ_BOOKS, planes, fresh
+    )
+    assert probe(life) == probe(fresh)
+    # tombstone-delete a slice: probes must hide it immediately
+    dead = [i for i in range(600) if i % 7 == 3]
+    similarity.delete_from_batch_ivfpq_index(spark, life, dead)
+    after_delete = probe(life)
+    assert not {v for _, v, _ in after_delete} & set(dead)
+    # compaction retires the rows physically; probe results identical
+    stats = similarity.compact_batch_ivfpq_index(spark, life)
+    assert stats["rows_after"] == 600 - len(dead)
+    assert probe(life) == after_delete
+    # crash BETWEEN the swap renames, then a probe-only restart: the
+    # probe path runs recovery and serves the pre-compaction state
+    shutil.copytree(life, life + ".compacting")
+    os.rename(life, life + ".old")
+    assert probe(life) == after_delete
+    assert not os.path.exists(life + ".old")
+
+
 def test_ann_batch_topk_cert_recall_floor_on_testdata(spark):
     """The in-result certification column must show the measured routing
     recall on the random testdata (0.88 at sf0.001 when written) — pin
