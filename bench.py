@@ -51,6 +51,53 @@ SLOWEST_TOP_N = 15
 CANARY_QUERY = "pricing_summary"
 CANARY_RUNS = 3
 
+# drift-NORMALIZED cross-round regression verdict (round-8 verdict):
+# vs_prev[q] = (t_now/t_prev) / (canary_now/canary_prev) against the
+# newest BENCH_r*.json in the repo — the canary worked as designed in
+# round 7 (two same-day 227 s / 245 s runs fully explained by canary
+# 0.854 vs 1.053), so close the loop and emit the normalized verdict
+# instead of leaving the division to the reader.
+VS_PREV_FLAG_RATIO = 1.3
+
+
+def load_prev_bench(repo_dir: str) -> dict | None:
+    """Previous-round per-query timings + canary, from the newest
+    BENCH_r*.json. The driver's artifact keeps only the truncation-safe
+    TAIL of the JSON line, so when no full parse is stored this
+    recovers the `slowest` top-N map and the canary from the tail —
+    exactly the regression-sensitive set the tail exists to protect."""
+    import glob
+    import re
+
+    paths = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+    if not paths:
+        return None
+    try:
+        with open(paths[-1]) as fh:
+            art = json.load(fh)
+    except Exception:  # noqa: BLE001
+        return None
+    out = {"src": os.path.basename(paths[-1]), "queries": {}, "canary": None}
+    parsed = art.get("parsed")
+    if isinstance(parsed, dict) and parsed.get("queries"):
+        out["queries"] = dict(parsed["queries"])
+        out["canary"] = (parsed.get("canary") or {}).get("best")
+        return out
+    tail = art.get("tail") or ""
+    m = re.search(r'"slowest":\s*(\{[^{}]*\})', tail)
+    if m:
+        try:
+            out["queries"] = json.loads(m.group(1))
+        except Exception:  # noqa: BLE001
+            pass
+    m = re.search(r'"canary":\s*(\{[^{}]*\})', tail)
+    if m:
+        try:
+            out["canary"] = json.loads(m.group(1)).get("best")
+        except Exception:  # noqa: BLE001
+            pass
+    return out if out["queries"] or out["canary"] else None
+
 
 def _unpersist_all(spark) -> None:
     """Drop cached/localCheckpointed blocks left behind by a finished
@@ -242,6 +289,25 @@ def main() -> None:
     payload["slowest"] = slowest
     payload["tq"] = tq
     payload["canary"] = canary
+    # drift-normalized cross-round verdict, in the truncation-safe tail:
+    # computed only over queries the previous artifact preserved (its
+    # slowest top-N, or the full map when a parse survived)
+    prev = load_prev_bench(os.path.dirname(os.path.abspath(__file__)))
+    vs_prev: dict = {}
+    drift = None
+    if prev:
+        cn, cp = canary.get("best"), prev.get("canary")
+        drift = round(cn / cp, 3) if cn and cp else None
+        for q, tprev in prev["queries"].items():
+            if q in timings and tprev:
+                raw = timings[q] / tprev
+                vs_prev[q] = round(raw / drift if drift else raw, 3)
+    payload["vs_prev"] = vs_prev
+    payload["vs_prev_src"] = prev["src"] if prev else None
+    payload["vs_prev_drift"] = drift
+    payload["vs_prev_flagged"] = sorted(
+        q for q, v in vs_prev.items() if v > VS_PREV_FLAG_RATIO
+    )
     payload["metric"] = "operator-inventory wall time"
     payload["value"] = round(sum(timings.values()), 3)
     payload["unit"] = "sec"

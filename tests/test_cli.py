@@ -112,7 +112,8 @@ def test_bench_contract(tmp_path):
     payload = json.loads(line)
     assert set(payload) == {
         "metric", "value", "unit", "queries", "spread", "slowest", "tq",
-        "canary", "n", "n_errors", "sf",
+        "canary", "vs_prev", "vs_prev_src", "vs_prev_drift",
+        "vs_prev_flagged", "n", "n_errors", "sf",
     }
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
     assert set(payload["queries"]) == {"union_report", "topk_orders"}
@@ -128,9 +129,10 @@ def test_bench_contract(tmp_path):
     # "queries" map that way).
     keys = list(payload)
     assert keys[:2] == ["queries", "spread"]
-    assert keys[-9:] == [
-        "slowest", "tq", "canary", "metric", "value", "unit", "n",
-        "n_errors", "sf"
+    assert keys[-13:] == [
+        "slowest", "tq", "canary", "vs_prev", "vs_prev_src",
+        "vs_prev_drift", "vs_prev_flagged", "metric", "value", "unit",
+        "n", "n_errors", "sf"
     ]
     # drift canary (round-6 verdict): a fixed code-frozen query timed
     # every bench run — the cross-round environmental-drift reference.
@@ -141,6 +143,20 @@ def test_bench_contract(tmp_path):
     assert canary["runs_n"] == 3 and len(canary["runs"]) == 3
     assert canary["best"] == min(canary["runs"]) > 0
     assert canary["median"] in canary["runs"]
+    # drift-normalized cross-round verdict (round-8 verdict item 5):
+    # vs_prev = (t_now/t_prev)/(canary_now/canary_prev) over whatever
+    # per-query timings the previous BENCH_r*.json preserved, flagged
+    # above 1.3, all in the truncation-safe tail. This subset run
+    # shares no query with the previous artifact's slowest map, so the
+    # map may be empty — the FIELDS and their placement are the pin.
+    assert isinstance(payload["vs_prev"], dict)
+    assert isinstance(payload["vs_prev_flagged"], list)
+    assert set(payload["vs_prev_flagged"]) <= set(payload["vs_prev"])
+    if payload["vs_prev_src"] is not None:
+        assert payload["vs_prev_src"].startswith("BENCH_r")
+        # the canary makes the drift factor computable whenever the
+        # previous artifact carried one
+        assert payload["vs_prev_drift"] is None or payload["vs_prev_drift"] > 0
     # slowest = top-N of the queries map, descending
     slow = payload["slowest"]
     assert set(slow) <= set(payload["queries"])
