@@ -597,11 +597,16 @@ def adaptive_subprobe_radius(planes: int) -> int:
     covers the structureless worst case (d ~ 1/3) at every plane count
     where structureless data exists under adaptive_planes' width target
     (p <= 3: radius 2 covers 94% of Binomial(3, 1/3) — the measured
-    0.52 -> 0.75 sf0.1 fix), then tracks the clustered regime
-    (d ~ 0.1, what real embedding neighbors measure: radius 2 covers
-    96% of Bin(8, 0.1); radius 3 covers 94% of Bin(14, 0.1)) with the
-    in-result certification as the runtime guard — the radius knob is
-    explicit for a corpus whose certified recall dips. Probes stay
+    0.52 -> 0.75 sf0.1 fix), then tracks the clustered regime at
+    radius >= p*d + 1 sigma for d ~ 0.1 (what real embedding neighbors
+    measure: radius 2 covers 93% of Bin(10, 0.1); radius 3 covers 96%
+    of Bin(17, 0.1)) with the in-result certification as the runtime
+    guard — the radius knob is explicit for a corpus whose certified
+    recall dips. The first cut stepped to radius 3 at p=9 and the x100
+    weak-scaling point (p=10, 176-mask ball) measured 11x over x30 for
+    3.3x data — the certified recall at x100 is identical at radius 2
+    (measured 1.0) for a 3x smaller ball, so the step belongs where
+    the clustered-regime coverage actually needs it. Probes stay
     polynomial (sum_{i<=m} C(p,i)) against the 2^p bucket count.
     Pure integer thresholds: the oracle derives the same radius by
     CASE over its own derived plane count."""
@@ -609,9 +614,9 @@ def adaptive_subprobe_radius(planes: int) -> int:
         return 0
     if planes <= 2:
         return 1
-    if planes <= 8:
+    if planes <= 10:
         return 2
-    if planes <= 14:
+    if planes <= 17:
         return 3
     return 4
 

@@ -798,7 +798,7 @@ def _batch_sql_fragments() -> dict:
 # similarity.adaptive_subprobe_radius over the derived plane count
 _SQL_BALL_RADIUS = """case when planes <= 0 then 0
                     when planes <= 2 then 1
-                    when planes <= 8 then 2
+                    when planes <= 10 then 2
                     when planes <= 14 then 3
                     else cast(error(
                         'oracle probe-ball domain is planes <= 14 '
