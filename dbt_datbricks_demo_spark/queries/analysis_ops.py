@@ -32,7 +32,10 @@ from dbt_datbricks_demo_spark.queries.inventory import (
     _t,
 )
 from dbt_datbricks_demo_spark.queries.llm_ops import (
+    _SQL_AMH_RESULT_COLS,
     _SQL_SHINGLE_HASHES,
+    _amh_geom_cert,
+    _sql_amh_prefix,
     _sql_minhash_cols,
 )
 
@@ -451,23 +454,13 @@ def chi_square_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "containment Jaccard |A∩B| / min(|A|,|B|) on the MinHash-LSH "
     "candidate pairs — catches subset-duplicates (a doc embedded inside "
     "a longer one) that symmetric Jaccard under-scores; shares the "
-    "banded candidate generation and staged-hash-array verification "
+    "banded candidate generation (round 8: the RECALL-PRESERVING "
+    "adaptive two-axis geometry, like minhash_lsh_jaccard — its 30x/10x "
+    "weak-scaling read 4.5 under the fixed geometry, the same banded "
+    "false-candidate mechanism) and staged-hash-array verification "
     "with minhash_lsh_jaccard (operators.dedup.jaccard_pairs_from_hashes)",
     f"""
-    with hashed as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from documents),
-    sigs as (select doc_id, {', '.join(_sql_minhash_cols(8))} from hashed),
-    bands as (
-        select doc_id, md5(concat_ws('-', '0', h0, h1, h2, h3)) as band_key
-        from sigs
-        union all
-        select doc_id, md5(concat_ws('-', '1', h4, h5, h6, h7)) as band_key
-        from sigs
-    ),
-    pairs as (
-        select distinct a.doc_id as id_a, b.doc_id as id_b
-        from bands a join bands b
-          on a.band_key = b.band_key and a.doc_id < b.doc_id
-    ),
+    with {_sql_amh_prefix()},
     sh as (select doc_id, unnest(hs) as sh from hashed),
     sizes as (select doc_id, count(*) as set_size from sh group by doc_id),
     inter as (
@@ -479,19 +472,24 @@ def chi_square_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     select i.id_a, i.id_b, i.n_common,
            sa.set_size as size_a, sb.set_size as size_b,
-           i.n_common * 1.0 / least(sa.set_size, sb.set_size) as containment
+           i.n_common * 1.0 / least(sa.set_size, sb.set_size) as containment,
+           {_SQL_AMH_RESULT_COLS}
     from inter i
     join sizes sa on sa.doc_id = i.id_a
-    join sizes sb on sb.doc_id = i.id_b
+    join sizes sb on sb.doc_id = i.id_b, geo g, cert
     order by containment desc, i.id_a, i.id_b
     """,
 )
 def containment_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.queries.inventory import _t_rowcount
+
+    n = _t_rowcount(sf_dir, "documents")
+    nh, nb, _r = dedup.adaptive_minhash_geometry(n)
     docs = _spread(_t(spark, sf_dir, "documents"))
     rows = dedup.shingle_hash_rows(docs, "doc_id", "text", k=5)
-    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=8)
+    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=nh)
     pairs = dedup.candidate_pairs_from_sigs(
-        sigs, "doc_id", num_hashes=8, bands=2
+        sigs, "doc_id", num_hashes=nh, bands=nb
     ).localCheckpoint(eager=True)
     hashed_small = dedup.candidate_hash_arrays(docs, pairs, "doc_id", "text", k=5)
     verified = dedup.jaccard_pairs_from_hashes(
@@ -510,6 +508,7 @@ def containment_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.least(F.col("size_a"), F.col("size_b"))
             ).alias("containment"),
         )
+        .crossJoin(F.broadcast(_amh_geom_cert(docs, nh, nb)))
         .orderBy(F.col("containment").desc(), "id_a", "id_b")
     )
 

@@ -77,6 +77,8 @@ DEFAULT_QUERIES = [
     # round 7: the adaptive-banding conversion (the executed form of
     # the 30x root-cause note)
     "adaptive_band_dedup_report",
+    # round 8: the batch-index lifecycle probe
+    "ann_index_maintenance",
 ]
 
 MARK_BEGIN = "<!-- weak-scaling:begin (scripts/weak_scaling.py) -->"
