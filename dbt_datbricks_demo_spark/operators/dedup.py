@@ -1264,7 +1264,12 @@ def delete_from_minhash_index(
     hidden from the postings scan). O(|deleted|) bytes written, no
     postings rewrite; lookups anti-join the set until
     compact_minhash_index retires the postings physically. ``ids`` is
-    a DataFrame with ``id_col`` or a plain id list."""
+    a DataFrame with ``id_col`` or a plain id list. Recovery runs
+    FIRST (round-9 advice): a delete against the crashed-between-
+    renames state would recreate the index dir with only _tombstones
+    inside, and the next recovery's cleaned_old branch would then
+    destroy the .old dir holding the only real postings copy."""
+    recover_minhash_index(index_path)
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
     ids.select(F.col(id_col).cast("long").alias("id")).write.mode(

@@ -584,6 +584,22 @@ def multiprobe_buckets(
     return [base] + [base ^ (1 << p) for p in order[: max(0, probes - 1)]]
 
 
+# THE probe-ball radius schedule: (planes_upper_bound, radius) steps,
+# ascending; plane counts above the last threshold take
+# SUBPROBE_RADIUS_MAX. Single source of truth for BOTH the Python
+# schedule (adaptive_subprobe_radius) and the DuckDB oracle CASE
+# (queries/mining_ops._sql_ball_radius builds its CASE from this table,
+# truncated at the SQL mask-enumeration domain) — round-9 advice: the
+# two hand-kept copies had already diverged for planes 15-17.
+SUBPROBE_RADIUS_STEPS: tuple[tuple[int, int], ...] = (
+    (0, 0),
+    (2, 1),
+    (10, 2),
+    (17, 3),
+)
+SUBPROBE_RADIUS_MAX = 4
+
+
 def adaptive_subprobe_radius(planes: int) -> int:
     """Multiprobe BREADTH keyed to bucket SPECIFICITY (round-8 verdict
     item 2): with the sub-bucket plane count p adaptive to the corpus,
@@ -609,16 +625,13 @@ def adaptive_subprobe_radius(planes: int) -> int:
     the clustered-regime coverage actually needs it. Probes stay
     polynomial (sum_{i<=m} C(p,i)) against the 2^p bucket count.
     Pure integer thresholds: the oracle derives the same radius by
-    CASE over its own derived plane count."""
-    if planes <= 0:
-        return 0
-    if planes <= 2:
-        return 1
-    if planes <= 10:
-        return 2
-    if planes <= 17:
-        return 3
-    return 4
+    CASE over its own derived plane count — both sides iterate the ONE
+    shared SUBPROBE_RADIUS_STEPS table (round-9 advice: two hand-kept
+    copies of the schedule silently diverged for planes 15-17)."""
+    for threshold, radius in SUBPROBE_RADIUS_STEPS:
+        if planes <= threshold:
+            return radius
+    return SUBPROBE_RADIUS_MAX
 
 
 def hamming_ball_masks(planes: int, radius: int) -> list[int]:
@@ -975,9 +988,18 @@ def delete_from_batch_ivfpq_index(
     their ids to the index's hidden tombstone set (the
     delete_from_minhash_index discipline — O(|deleted|) bytes, no
     rewrite). Probes anti-join the set until compaction retires the
-    rows physically."""
-    from dbt_datbricks_demo_spark.operators.dedup import _tombstones_path
+    rows physically. Recovery runs FIRST (round-9 advice, medium): a
+    delete issued while the index sits in the crashed-between-renames
+    state (base missing, .old holding the only copy) would otherwise
+    recreate the base dir containing only _tombstones — and the next
+    recovery, seeing base+.old both present, would take the
+    cleaned_old branch and rmtree the only real copy."""
+    from dbt_datbricks_demo_spark.operators.dedup import (
+        _tombstones_path,
+        recover_minhash_index as _recover,
+    )
 
+    _recover(path)
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame(
             [(int(i),) for i in ids], f"{id_col} long"
@@ -1150,6 +1172,14 @@ def batch_ivfpq_index_topk(
         F.col(id_col),
         F.round(adc, 6).alias("adc_score"),
     )
+    # a replayed/overlapping append duplicates a vec_id physically
+    # until compaction retires it; without this distinct the duplicate
+    # occupies two of the k result slots (round-9 advice — the minhash
+    # lookup path already distincts, and the oracle derives from the
+    # unique corpus). Encoding is deterministic (same coarse/books/
+    # planes), so duplicates carry identical scores and the distinct
+    # is value-deterministic.
+    scored = scored.dropDuplicates([q_id_col, id_col])
     win = Window.partitionBy(q_id_col).orderBy(
         F.col("adc_score").asc(), F.col(id_col)
     )

@@ -658,6 +658,42 @@ _BATCH_PLANES_W = similarity.hyperplane_weights(
 )
 
 
+def _publish_staging(staging: str, root: str, idx_path: str) -> None:
+    """Atomically publish a session-private staging dir at root, losing
+    gracefully to a concurrent publisher. On a blocked first rename the
+    stale partial at root is moved ASIDE with a rename — never rmtree'd
+    in place: between the _SUCCESS re-check and an rmtree a concurrent
+    process may publish a healthy index, and the rmtree would destroy
+    it under a concurrent reader (round-9 advice TOCTOU). A rename is
+    atomic: it either takes the whole dir aside (harmless — we publish
+    an equivalent one next) or fails because the path vanished."""
+    import os
+    import shutil
+
+    try:
+        os.rename(staging, root)
+        return
+    except OSError:
+        if os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+            # lost the race to a healthy publish — discard ours
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+    # a stale partial blocks the publish: take it aside atomically,
+    # then retry once; if a healthy index appeared in the window, our
+    # equivalent replaces it and the aside copy is retired
+    aside = f"{root}.stale.{os.getpid()}"
+    try:
+        os.rename(root, aside)
+    except OSError:
+        pass
+    try:
+        os.rename(staging, root)
+    except OSError:
+        # the path reappeared (another publisher won the retry window)
+        shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(aside, ignore_errors=True)
+
+
 def _batch_index_for(spark: SparkSession, sf_dir: str, planes: int) -> str:
     """Build (once) and locate the batch IVF-PQ index for a testdata
     dir — the _ivfpq_index_for stamp-cache discipline, keyed also by
@@ -683,8 +719,6 @@ def _batch_index_for(spark: SparkSession, sf_dir: str, planes: int) -> str:
         # alongside tests) must never read a directory the other is
         # mid-overwrite (round-8 advice item). os.rename is atomic on
         # one filesystem; the loser of the race discards its staging.
-        import shutil
-
         staging = f"{root}.staging.{os.getpid()}"
         similarity.write_batch_ivfpq_index(
             _spread(_t(spark, sf_dir, "embeddings")),
@@ -693,16 +727,7 @@ def _batch_index_for(spark: SparkSession, sf_dir: str, planes: int) -> str:
             planes,
             os.path.join(staging, "index"),
         )
-        try:
-            os.rename(staging, root)
-        except OSError:
-            if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
-                # not a lost race — a stale partial dir blocks the
-                # publish; clear it and retry once
-                shutil.rmtree(root, ignore_errors=True)
-                os.rename(staging, root)
-            else:
-                shutil.rmtree(staging, ignore_errors=True)
+        _publish_staging(staging, root, idx_path)
     return idx_path
 
 
@@ -794,17 +819,42 @@ def _batch_sql_fragments() -> dict:
     }
 
 
-# the radius CASE shared by both index oracles — byte-for-byte
-# similarity.adaptive_subprobe_radius over the derived plane count
-_SQL_BALL_RADIUS = """case when planes <= 0 then 0
-                    when planes <= 2 then 1
-                    when planes <= 10 then 2
-                    when planes <= 14 then 3
+# the SQL probe-ball enumeration is `unnest(range(0, 2^14))` filtered
+# by bit_count — its domain therefore ends at planes = 14, BELOW the
+# Python schedule's last steps (<=17 -> 3, else 4)
+_SQL_BALL_MAX_PLANES = 14
+
+
+def _sql_ball_radius() -> str:
+    """The radius CASE shared by both index oracles, GENERATED from the
+    one shared threshold table (similarity.SUBPROBE_RADIUS_STEPS) so
+    the Python schedule and the oracle cannot diverge (round-9 advice:
+    the hand-kept copy already disagreed for planes 15-17). The SQL
+    domain is TRUNCATED at _SQL_BALL_MAX_PLANES — the mask CTE
+    enumerates range(0, 2^14) — and errors loudly above it; the Python
+    schedule keeps going (<=17 -> 3, else 4), so growing the oracle
+    domain means raising the unnest bound, NOT editing this CASE."""
+    branches = []
+    for threshold, radius in similarity.SUBPROBE_RADIUS_STEPS:
+        branches.append(
+            f"when planes <= {min(threshold, _SQL_BALL_MAX_PLANES)} "
+            f"then {radius}"
+        )
+        if threshold >= _SQL_BALL_MAX_PLANES:
+            break
+    cases = "\n                    ".join(branches)
+    return f"""case {cases}
                     else cast(error(
-                        'oracle probe-ball domain is planes <= 14 '
-                        '(mask enumeration is bounded at 16384); '
-                        'extend the ball CTE for larger corpora'
+                        'oracle probe-ball domain truncates at planes'
+                        ' <= {_SQL_BALL_MAX_PLANES} (the mask CTE'
+                        ' enumerates range(0, {1 << _SQL_BALL_MAX_PLANES}));'
+                        ' the Python schedule continues past it —'
+                        ' raise the unnest bound to grow this domain,'
+                        ' do not edit the generated CASE'
                     ) as int) end"""
+
+
+_SQL_BALL_RADIUS = _sql_ball_radius()
 
 
 def _sql_batch() -> str:
@@ -1095,7 +1145,6 @@ def _maintained_batch_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, 
     import glob
     import hashlib
     import os
-    import shutil
     import tempfile
 
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
@@ -1130,14 +1179,7 @@ def _maintained_batch_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, 
         stats = similarity.compact_batch_ivfpq_index(spark, spath)
         assert stats["rows_after"] < stats["rows_before"], stats
         assert stats["files_after"] <= stats["files_before"], stats
-        try:
-            os.rename(staging, root)
-        except OSError:
-            if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
-                shutil.rmtree(root, ignore_errors=True)
-                os.rename(staging, root)
-            else:
-                shutil.rmtree(staging, ignore_errors=True)
+        _publish_staging(staging, root, idx_path)
     return idx_path, planes
 
 

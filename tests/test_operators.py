@@ -917,6 +917,152 @@ def test_batch_index_lifecycle_append_delete_compact_probe(spark, tmp_path):
     assert not os.path.exists(life + ".old")
 
 
+def test_delete_after_swap_crash_does_not_destroy_index(spark, tmp_path):
+    """Round-9 advice (medium): a tombstone DELETE issued while the
+    index sits in the crashed-between-renames state used to recreate
+    the base dir containing only _tombstones; the next recovery then
+    saw base+.old both present, took the cleaned_old branch, and
+    rmtree'd the only real copy. Both delete entry points must run
+    recovery first."""
+    import os
+    import random
+    import shutil
+
+    from dbt_datbricks_demo_spark.queries.mining_ops import (
+        _IVFPQ_COARSE,
+        _PQ_BOOKS,
+    )
+
+    # --- minhash side
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared shingle text {i % 3}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    index = str(tmp_path / "del_rx_index")
+    dedup.write_minhash_index(docs, index)
+    # crash between the two renames: base GONE, .old holds the copy
+    shutil.copytree(index, index + ".compacting")
+    os.rename(index, index + ".old")
+    dedup.delete_from_minhash_index(spark, index, [7])
+    # the index must have been rolled back BEFORE the tombstone write
+    assert dedup.minhash_index_exists(index)
+    assert not os.path.exists(index + ".old")
+    probe = spark.createDataFrame(
+        [(100, "document number 8 with shared shingle text 2")],
+        "doc_id long, text string",
+    )
+    got = dedup.index_candidate_pairs(spark, index, probe).collect()
+    assert got  # postings survived; 7 is tombstoned, 8's bucket intact
+    assert all(r["corpus_id"] != 7 for r in got)
+
+    # --- batch IVF-PQ side
+    rng = random.Random(29)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = similarity.adaptive_planes(200, 16, target_cell_width=16)
+    bidx = str(tmp_path / "del_rx_bidx")
+    similarity.write_batch_ivfpq_index(
+        emb, _IVFPQ_COARSE, _PQ_BOOKS, planes, bidx
+    )
+    shutil.copytree(bidx, bidx + ".compacting")
+    os.rename(bidx, bidx + ".old")
+    similarity.delete_from_batch_ivfpq_index(spark, bidx, [5])
+    assert not os.path.exists(bidx + ".old")
+    queries = emb.filter(F.col("vec_id") % 50 == 1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.batch_ivfpq_index_topk(
+        spark, bidx, _IVFPQ_COARSE, _PQ_BOOKS, planes, queries,
+        probe_radius=2,
+    ).collect()
+    assert out and all(r["vec_id"] != 5 for r in out)
+
+
+def test_batch_probe_dedups_replayed_append_candidates(spark, tmp_path):
+    """Round-9 advice: a REPLAYED append duplicates vec_ids physically
+    until compaction; probes must not let the duplicate occupy two of
+    the k result slots — results must equal a fresh single-generation
+    build."""
+    import random
+
+    from dbt_datbricks_demo_spark.queries.mining_ops import (
+        _IVFPQ_COARSE,
+        _PQ_BOOKS,
+    )
+
+    rng = random.Random(31)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(200)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = similarity.adaptive_planes(200, 16, target_cell_width=16)
+    queries = emb.filter(F.col("vec_id") % 50 == 1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    def probe(path):
+        return sorted(
+            (r["q_id"], r["vec_id"], r["rank"], r["adc_score"])
+            for r in similarity.batch_ivfpq_index_topk(
+                spark, path, _IVFPQ_COARSE, _PQ_BOOKS, planes, queries,
+                probe_radius=2,
+            ).collect()
+        )
+
+    fresh = str(tmp_path / "dup_fresh")
+    similarity.write_batch_ivfpq_index(
+        emb, _IVFPQ_COARSE, _PQ_BOOKS, planes, fresh
+    )
+    replayed = str(tmp_path / "dup_replayed")
+    similarity.write_batch_ivfpq_index(
+        emb, _IVFPQ_COARSE, _PQ_BOOKS, planes, replayed
+    )
+    # the whole generation appended AGAIN — every vec_id now physical x2
+    similarity.append_batch_ivfpq_index(
+        emb, _IVFPQ_COARSE, _PQ_BOOKS, planes, replayed
+    )
+    got = probe(replayed)
+    assert got == probe(fresh)
+    # and no (q_id, vec_id) appears twice
+    keys = [(q, v) for q, v, _, _ in got]
+    assert len(keys) == len(set(keys))
+
+
+def test_subprobe_radius_sql_case_matches_python_schedule():
+    """Round-9 advice: the oracle radius CASE is GENERATED from the one
+    shared threshold table — evaluate it in DuckDB across the whole SQL
+    domain and compare to the Python schedule; above the domain it must
+    error loudly."""
+    import duckdb
+
+    from dbt_datbricks_demo_spark.queries.mining_ops import (
+        _SQL_BALL_MAX_PLANES,
+        _SQL_BALL_RADIUS,
+    )
+
+    con = duckdb.connect()
+    got = con.sql(
+        f"select planes, {_SQL_BALL_RADIUS} as r from (select "
+        f"unnest(range(0, {_SQL_BALL_MAX_PLANES + 1})) as planes) "
+        "order by planes"
+    ).fetchall()
+    assert got == [
+        (p, similarity.adaptive_subprobe_radius(p))
+        for p in range(_SQL_BALL_MAX_PLANES + 1)
+    ]
+    with pytest.raises(duckdb.Error, match="truncates at planes"):
+        con.sql(
+            f"select {_SQL_BALL_RADIUS} as r from "
+            f"(select {_SQL_BALL_MAX_PLANES + 1} as planes)"
+        ).fetchall()
+    # the Python schedule keeps going where the SQL domain ends
+    assert similarity.adaptive_subprobe_radius(_SQL_BALL_MAX_PLANES + 1) == 3
+    assert similarity.adaptive_subprobe_radius(18) == 4
+
+
 def test_ann_batch_topk_cert_recall_floor_on_testdata(spark):
     """The in-result certification column must show the measured routing
     recall on the random testdata (0.88 at sf0.001 when written) — pin
