@@ -40,23 +40,32 @@ SPREAD_FLAG_MIN_SEC = 0.5
 # how many per-query timings are repeated in the truncation-safe tail
 SLOWEST_TOP_N = 15
 
-# DRIFT CANARY (round-6 verdict): unchanged-code queries drifted up to
-# 1.43x between round artifacts from environment alone, and the artifact
-# could not distinguish that from a plan regression. pricing_summary is
-# code-frozen since round 1, mid-weight, and plan-pinned — its timing
-# here (always CANARY_RUNS runs, regardless of BENCH_QUERIES subsets) is
-# the fixed reference any future artifact can drift-normalize against:
-# divide a suspect query's ratio-to-last-round by the canary's ratio
-# before calling it a regression.
-CANARY_QUERY = "pricing_summary"
+# DRIFT CANARY BASKET (round-6 verdict; widened round 9): unchanged-code
+# queries drifted up to 1.43x between round artifacts from environment
+# alone, and the artifact could not distinguish that from a plan
+# regression. One sub-second scan-agg canary proved insufficient when a
+# session's noise concentrated in heavy SHUFFLE queries (BENCH_r08
+# false-flagged scd2_snapshot and neardup_components while its canary
+# read FASTER than the prior round) — so the basket now spans the three
+# execution shapes, all code-frozen, oracled and plan-pinned since the
+# early rounds. Each is timed CANARY_RUNS times after the sweep,
+# regardless of BENCH_QUERIES subsets; the session drift factor is the
+# MEDIAN of the per-shape ratios (robust to one noisy shape).
+CANARY_QUERIES = {
+    "scan_agg": "pricing_summary",       # round-1 frozen, the r6 canary
+    "shuffle_join": "daily_summary_join",  # composite-key fact join
+    "window": "window_functions",        # frozen window-family query
+}
+CANARY_QUERY = CANARY_QUERIES["scan_agg"]
 CANARY_RUNS = 3
 
 # drift-NORMALIZED cross-round regression verdict (round-8 verdict):
-# vs_prev[q] = (t_now/t_prev) / (canary_now/canary_prev) against the
-# newest BENCH_r*.json in the repo — the canary worked as designed in
-# round 7 (two same-day 227 s / 245 s runs fully explained by canary
-# 0.854 vs 1.053), so close the loop and emit the normalized verdict
-# instead of leaving the division to the reader.
+# vs_prev[q] = (t_now/t_prev) / drift against the newest BENCH_r*.json
+# in the repo. Round-9 changes (both round-9 verdict nit 1 / advice):
+#   * a query is FLAGGED only when raw AND normalized both exceed the
+#     ratio — a noisy canary can no longer manufacture regressions;
+#   * vs_prev is skipped entirely when the previous artifact ran at a
+#     DIFFERENT scale factor (the ratios would be meaningless).
 VS_PREV_FLAG_RATIO = 1.3
 
 
@@ -77,11 +86,27 @@ def load_prev_bench(repo_dir: str) -> dict | None:
             art = json.load(fh)
     except Exception:  # noqa: BLE001
         return None
-    out = {"src": os.path.basename(paths[-1]), "queries": {}, "canary": None}
+    out = {
+        "src": os.path.basename(paths[-1]),
+        "queries": {},
+        "canary": None,
+        "canary_basket": {},
+        "sf": None,
+    }
+
+    def _take_canary(cdict: dict) -> None:
+        out["canary"] = cdict.get("best")
+        out["canary_basket"] = {
+            shape: cdict[shape]
+            for shape in CANARY_QUERIES
+            if isinstance(cdict.get(shape), (int, float))
+        }
+
     parsed = art.get("parsed")
     if isinstance(parsed, dict) and parsed.get("queries"):
         out["queries"] = dict(parsed["queries"])
-        out["canary"] = (parsed.get("canary") or {}).get("best")
+        _take_canary(parsed.get("canary") or {})
+        out["sf"] = parsed.get("sf")
         return out
     tail = art.get("tail") or ""
     m = re.search(r'"slowest":\s*(\{[^{}]*\})', tail)
@@ -93,8 +118,15 @@ def load_prev_bench(repo_dir: str) -> dict | None:
     m = re.search(r'"canary":\s*(\{[^{}]*\})', tail)
     if m:
         try:
-            out["canary"] = json.loads(m.group(1)).get("best")
+            _take_canary(json.loads(m.group(1)))
         except Exception:  # noqa: BLE001
+            pass
+    # sf is the LAST field of the line — always in a tail capture
+    m = re.search(r'"sf":\s*([0-9.eE+-]+)', tail)
+    if m:
+        try:
+            out["sf"] = float(m.group(1))
+        except ValueError:
             pass
     return out if out["queries"] or out["canary"] else None
 
@@ -225,27 +257,35 @@ def main() -> None:
         if s > SPREAD_FLAG_RATIO and timings[n] >= SPREAD_FLAG_MIN_SEC
     )
 
-    # drift canary: timed AFTER the full sweep (same thermal/heap state
-    # the late queries saw), best-effort fault-isolated like the sweep
+    # drift canary basket: timed AFTER the full sweep (same thermal/heap
+    # state the late queries saw), best-effort fault-isolated like the
+    # sweep. Per-shape bests are FLAT keys inside the canary dict — the
+    # tail-recovery regex on future rounds' artifacts only parses a
+    # non-nested object.
     canary: dict = {"query": CANARY_QUERY, "runs_n": CANARY_RUNS}
-    try:
-        cruns: list[float] = []
-        for _ in range(CANARY_RUNS):
-            t0 = time.perf_counter()
-            QUERIES[CANARY_QUERY].build(spark, sf_dir).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            cruns.append(round(time.perf_counter() - t0, 3))
-            try:
-                _unpersist_all(spark)
-            except Exception:  # noqa: BLE001
-                pass
-            _gc_quiesce(spark)
-        canary["runs"] = cruns
-        canary["best"] = min(cruns)
-        canary["median"] = sorted(cruns)[len(cruns) // 2]
-    except Exception as e:  # noqa: BLE001
-        canary["error"] = f"{type(e).__name__}: {e}"[:200]
+    for shape, qname in CANARY_QUERIES.items():
+        try:
+            cruns: list[float] = []
+            for _ in range(CANARY_RUNS):
+                t0 = time.perf_counter()
+                QUERIES[qname].build(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                cruns.append(round(time.perf_counter() - t0, 3))
+                try:
+                    _unpersist_all(spark)
+                except Exception:  # noqa: BLE001
+                    pass
+                _gc_quiesce(spark)
+            canary[shape] = min(cruns)
+            if qname == CANARY_QUERY:
+                canary["runs"] = cruns
+                canary["best"] = min(cruns)
+                canary["median"] = sorted(cruns)[len(cruns) // 2]
+        except Exception as e:  # noqa: BLE001
+            canary.setdefault(
+                "error", f"{shape}/{qname}: {type(e).__name__}: {e}"[:200]
+            )
 
     # orderly shutdown BEFORE the result line: an exiting JVM with
     # in-flight task-completion events logs spurious DAGScheduler
@@ -291,23 +331,49 @@ def main() -> None:
     payload["canary"] = canary
     # drift-normalized cross-round verdict, in the truncation-safe tail:
     # computed only over queries the previous artifact preserved (its
-    # slowest top-N, or the full map when a parse survived)
+    # slowest top-N, or the full map when a parse survived). Skipped
+    # outright when the previous artifact ran at a different sf — the
+    # ratios would compare different data sizes (round-9 advice).
     prev = load_prev_bench(os.path.dirname(os.path.abspath(__file__)))
+    sf_now = float(sf) if sf.replace(".", "").isdigit() else sf
     vs_prev: dict = {}
+    flagged: list = []
     drift = None
-    if prev:
-        cn, cp = canary.get("best"), prev.get("canary")
-        drift = round(cn / cp, 3) if cn and cp else None
+    drifts: dict = {}
+    src = prev["src"] if prev else None
+    if prev and prev.get("sf") is not None and prev["sf"] != sf_now:
+        src = f"{src} (sf {prev['sf']} != {sf_now}: vs_prev skipped)"
+    elif prev:
+        # per-shape drift where the previous artifact carried the
+        # basket; the session factor is the MEDIAN of the shapes (one
+        # noisy shape — e.g. shuffle-heavy interference — can no longer
+        # masquerade as a regression in every shuffle query). Artifacts
+        # older than round 9 carried only the scan_agg canary.
+        for shape in CANARY_QUERIES:
+            cn = canary.get(shape)
+            cp = prev.get("canary_basket", {}).get(shape)
+            if cn and cp:
+                drifts[shape] = round(cn / cp, 3)
+        if not drifts and canary.get("best") and prev.get("canary"):
+            drifts["scan_agg"] = round(canary["best"] / prev["canary"], 3)
+        if drifts:
+            dv = sorted(drifts.values())
+            drift = dv[len(dv) // 2]
         for q, tprev in prev["queries"].items():
             if q in timings and tprev:
                 raw = timings[q] / tprev
-                vs_prev[q] = round(raw / drift if drift else raw, 3)
+                norm = raw / drift if drift else raw
+                vs_prev[q] = round(norm, 3)
+                # dual condition: raw AND normalized must both exceed
+                # the ratio (round-9 verdict nit 1 — a fast canary made
+                # r8 flag queries that measured flat on a frozen tree)
+                if raw > VS_PREV_FLAG_RATIO and norm > VS_PREV_FLAG_RATIO:
+                    flagged.append(q)
     payload["vs_prev"] = vs_prev
-    payload["vs_prev_src"] = prev["src"] if prev else None
+    payload["vs_prev_src"] = src
     payload["vs_prev_drift"] = drift
-    payload["vs_prev_flagged"] = sorted(
-        q for q, v in vs_prev.items() if v > VS_PREV_FLAG_RATIO
-    )
+    payload["vs_prev_drifts"] = drifts
+    payload["vs_prev_flagged"] = sorted(flagged)
     payload["metric"] = "operator-inventory wall time"
     payload["value"] = round(sum(timings.values()), 3)
     payload["unit"] = "sec"

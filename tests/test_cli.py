@@ -113,7 +113,7 @@ def test_bench_contract(tmp_path):
     assert set(payload) == {
         "metric", "value", "unit", "queries", "spread", "slowest", "tq",
         "canary", "vs_prev", "vs_prev_src", "vs_prev_drift",
-        "vs_prev_flagged", "n", "n_errors", "sf",
+        "vs_prev_drifts", "vs_prev_flagged", "n", "n_errors", "sf",
     }
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
     assert set(payload["queries"]) == {"union_report", "topk_orders"}
@@ -129,34 +129,46 @@ def test_bench_contract(tmp_path):
     # "queries" map that way).
     keys = list(payload)
     assert keys[:2] == ["queries", "spread"]
-    assert keys[-13:] == [
+    assert keys[-14:] == [
         "slowest", "tq", "canary", "vs_prev", "vs_prev_src",
-        "vs_prev_drift", "vs_prev_flagged", "metric", "value", "unit",
-        "n", "n_errors", "sf"
+        "vs_prev_drift", "vs_prev_drifts", "vs_prev_flagged", "metric",
+        "value", "unit", "n", "n_errors", "sf"
     ]
-    # drift canary (round-6 verdict): a fixed code-frozen query timed
-    # every bench run — the cross-round environmental-drift reference.
-    # Runs even when BENCH_QUERIES selects a subset, lives in the
-    # truncation-safe tail next to tq.
+    # drift canary BASKET (round-9 verdict nit 1): three code-frozen
+    # queries spanning execution shapes (scan-agg, shuffle-join,
+    # window) timed every bench run — one sub-second scan-agg canary
+    # could not normalize a session whose noise concentrated in heavy
+    # shuffle queries (BENCH_r08 false-flagged two of them). Per-shape
+    # bests are FLAT keys inside the canary dict so the tail-recovery
+    # regex (non-nested object) still parses it.
     canary = payload["canary"]
     assert canary["query"] == "pricing_summary"
     assert canary["runs_n"] == 3 and len(canary["runs"]) == 3
     assert canary["best"] == min(canary["runs"]) > 0
     assert canary["median"] in canary["runs"]
-    # drift-normalized cross-round verdict (round-8 verdict item 5):
-    # vs_prev = (t_now/t_prev)/(canary_now/canary_prev) over whatever
-    # per-query timings the previous BENCH_r*.json preserved, flagged
-    # above 1.3, all in the truncation-safe tail. This subset run
-    # shares no query with the previous artifact's slowest map, so the
-    # map may be empty — the FIELDS and their placement are the pin.
+    for shape in ("scan_agg", "shuffle_join", "window"):
+        assert canary[shape] > 0
+    assert canary["scan_agg"] == canary["best"]
+    # drift-normalized cross-round verdict (round-8 verdict item 5;
+    # round-9: dual raw-AND-normalized flag condition, median-of-shapes
+    # drift, and an sf guard — this subset run is at sf0.001 while the
+    # repo's BENCH_r*.json artifacts are sf0.1, so vs_prev must be
+    # SKIPPED with the mismatch recorded in vs_prev_src rather than
+    # emitting cross-scale ratios).
     assert isinstance(payload["vs_prev"], dict)
+    assert isinstance(payload["vs_prev_drifts"], dict)
     assert isinstance(payload["vs_prev_flagged"], list)
     assert set(payload["vs_prev_flagged"]) <= set(payload["vs_prev"])
     if payload["vs_prev_src"] is not None:
         assert payload["vs_prev_src"].startswith("BENCH_r")
-        # the canary makes the drift factor computable whenever the
-        # previous artifact carried one
-        assert payload["vs_prev_drift"] is None or payload["vs_prev_drift"] > 0
+        if "vs_prev skipped" in payload["vs_prev_src"]:
+            assert payload["vs_prev"] == {}
+            assert payload["vs_prev_drift"] is None
+        else:
+            assert (
+                payload["vs_prev_drift"] is None
+                or payload["vs_prev_drift"] > 0
+            )
     # slowest = top-N of the queries map, descending
     slow = payload["slowest"]
     assert set(slow) <= set(payload["queries"])
