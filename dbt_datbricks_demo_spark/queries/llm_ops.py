@@ -64,33 +64,54 @@ _AMH_MAX_HASHES = _AMH_TIERS[-1][1]
 _AMH_CERT_PLANTED = 16
 
 
-def _sql_amh_geo(table: str = "documents") -> str:
-    """The geo CTE body: (nh, nb, r) from count(*), failing LOUDLY above
-    the oracle's domain (tier 2's 96 masked hash columns would dominate
-    every gate run for a tier no testdata reaches; the Spark path
-    implements it — oracle re-derivation stops at tier 1)."""
-    (t1, nh1, nb1, r1), (t2, nh2, nb2, r2) = _AMH_TIERS
-    err = (
-        f"cast(error('adaptive minhash oracle domain is n <= {t2}: "
-        f"above it the Spark side runs the tier-2 geometry "
-        f"{dedup.ADAPTIVE_GEOMETRY_TOP} this oracle does not derive') as int)"
-    )
+def _amh_max_hashes(tiers, top) -> int:
+    return top[0] if top else tiers[-1][1]
+
+
+def _sql_amh_geo(
+    table: str = "documents", tiers=None, top=None
+) -> str:
+    """The geo CTE body: (nh, nb, r) from count(*). Without ``top`` it
+    fails LOUDLY above the registered oracles' domain (tier 2's 96
+    masked hash columns would dominate every gate run for a tier the
+    base testdata never reaches at PRODUCTION thresholds); with ``top``
+    (the tier-2 demonstration, round-9 verdict item 1) the else-branch
+    derives the top geometry instead. ``tiers`` overrides the
+    thresholds (same geometry law, shrunken switch points)."""
+    tiers = tiers or _AMH_TIERS
+    if top:
+        else_nh, else_nb, else_r = top
+    else:
+        t_last = tiers[-1][0]
+        else_nh = (
+            f"cast(error('adaptive minhash oracle domain is n <= {t_last}: "
+            f"above it the Spark side runs the tier-2 geometry "
+            f"{dedup.ADAPTIVE_GEOMETRY_TOP} this oracle does not derive "
+            f"at production thresholds — minhash_tier2_lsh derives it "
+            f"at demonstration thresholds') as int)"
+        )
+        else_nb, else_r = tiers[-1][2], tiers[-1][3]
+    nh_w = " ".join(f"when n <= {t} then {nh}" for t, nh, _nb, _r in tiers)
+    nb_w = " ".join(f"when n <= {t} then {nb}" for t, _nh, nb, _r in tiers)
+    r_w = " ".join(f"when n <= {t} then {r}" for t, _nh, _nb, r in tiers)
     return f"""
-        select case when n <= {t1} then {nh1} when n <= {t2} then {nh2}
-                    else {err} end as nh,
-               case when n <= {t1} then {nb1} else {nb2} end as nb,
-               case when n <= {t1} then {r1} else {r2} end as r
+        select case {nh_w} else {else_nh} end as nh,
+               case {nb_w} else {else_nb} end as nb,
+               case {r_w} else {else_r} end as r
         from (select count(*) as n from {table})
     """
 
 
-def _sql_amh_sig_cols() -> list[str]:
-    """h0..h31 select expressions with h8+ masked by the tier scalar —
-    tier-0 gate runs never execute the extra 24 list_min passes (CASE
-    short-circuits per row)."""
-    base_nh = _AMH_TIERS[0][1]
+def _sql_amh_sig_cols(tiers=None, top=None) -> list[str]:
+    """h0..h{max-1} select expressions with columns beyond the FIRST
+    tier's nh masked by the tier scalar — gate runs at the lowest tier
+    never execute the extra list_min passes (CASE short-circuits per
+    row). _affine_params is one fixed LCG stream, so h0..h7 stay
+    byte-identical across tier families."""
+    tiers = tiers or _AMH_TIERS
+    base_nh = tiers[0][1]
     cols = []
-    for i, (a, b) in enumerate(_affine_params(_AMH_MAX_HASHES)):
+    for i, (a, b) in enumerate(_affine_params(_amh_max_hashes(tiers, top))):
         expr = f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31}))"
         if i >= base_nh:
             expr = f"case when g.nh > {i} then {expr} else 0 end"
@@ -98,12 +119,19 @@ def _sql_amh_sig_cols() -> list[str]:
     return cols
 
 
-def _sql_amh_band_blocks(src: str, extra: str = "") -> str:
-    """Band-key union blocks for BOTH tiers, each tagged with its
-    num_hashes so the join on geo.nh selects exactly one tier's keys.
-    Tier 0's keys are byte-identical to the historical fixed oracle."""
+def _sql_amh_band_blocks(
+    src: str, extra: str = "", tiers=None, top=None
+) -> str:
+    """Band-key union blocks for EVERY tier (plus ``top`` when given),
+    each tagged with its num_hashes so the join on geo.nh selects
+    exactly one tier's keys. Tier 0's keys are byte-identical to the
+    historical fixed oracle."""
+    tiers = tiers or _AMH_TIERS
+    geoms = [(gnh, nb, r) for _t, gnh, nb, r in tiers]
+    if top:
+        geoms.append(top)
     blocks = []
-    for _t, gnh, nb, r in _AMH_TIERS:
+    for gnh, nb, r in geoms:
         for b in range(nb):
             hs = ", ".join(f"h{b * r + i}" for i in range(r))
             blocks.append(
@@ -113,7 +141,7 @@ def _sql_amh_band_blocks(src: str, extra: str = "") -> str:
     return "\n        union all\n        ".join(blocks)
 
 
-def _sql_amh_prefix(table: str = "documents") -> str:
+def _sql_amh_prefix(table: str = "documents", tiers=None, top=None) -> str:
     """The shared CTE chain documents -> geo/hashed/sigs/bands/pairs +
     the planted-recall cert CTEs. Emits `pairs` (id_a < id_b candidate
     pairs under the ADAPTIVE geometry), `hashed` (doc shingle-hash
@@ -121,16 +149,18 @@ def _sql_amh_prefix(table: str = "documents") -> str:
     verification / components / report CTEs and cross join geo+cert
     into the result for the in-result certification columns."""
     pert = f"text || '{dedup.PLANTED_CERT_SUFFIX}'"
-    return f"""geo as ({_sql_amh_geo(table)}),
+    max_nh = _amh_max_hashes(tiers or _AMH_TIERS, top)
+    return f"""geo as ({_sql_amh_geo(table, tiers, top)}),
     hashed as materialized (
         select doc_id, {_SQL_SHINGLE_HASHES} as hs from {table}
     ),
     sigs as materialized (
-        select doc_id, {', '.join(_sql_amh_sig_cols())} from hashed, geo g
+        select doc_id, {', '.join(_sql_amh_sig_cols(tiers, top))}
+        from hashed, geo g
     ),
     bands as (
         select b.doc_id, b.band_key from (
-        {_sql_amh_band_blocks('sigs')}
+        {_sql_amh_band_blocks('sigs', tiers=tiers, top=top)}
         ) b join geo g on b.gnh = g.nh
     ),
     pairs as materialized (
@@ -149,12 +179,13 @@ def _sql_amh_prefix(table: str = "documents") -> str:
         from cert_docs
     ),
     cert_sigs as (
-        select doc_id, side, {', '.join(_sql_minhash_cols(_AMH_MAX_HASHES))}
+        select doc_id, side, {', '.join(_sql_minhash_cols(max_nh))}
         from cert_sides
     ),
     cert_bands as (
         select b.doc_id, b.side, b.band_key from (
-        {_sql_amh_band_blocks('cert_sigs', extra=', side')}
+        {_sql_amh_band_blocks('cert_sigs', extra=', side', tiers=tiers,
+                              top=top)}
         ) b join geo g on b.gnh = g.nh
     ),
     cert as (
@@ -366,6 +397,112 @@ def minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_small, pairs, "doc_id", pairs_prepared=True
     )
     return jac.crossJoin(F.broadcast(_amh_geom_cert(docs, nh, b)))
+
+
+# tier-2 DEMONSTRATION thresholds (round-9 verdict item 1): the
+# geometry LAW is unchanged — same tier rows, same (96, 8, 12) top —
+# only the switch points shrink so every standing testdata SF
+# (500-5000 docs) counts itself past the last threshold and runs the
+# geometry a real 100-TB corpus would run, end-to-end against an
+# oracle that re-derives tier AND planted cert from its own count(*).
+_T2_DEMO_TIERS = ((10,) + _AMH_TIERS[0][1:], (100,) + _AMH_TIERS[1][1:])
+
+
+@_register(
+    "minhash_tier2_lsh",
+    "the tier-2 (96-hash, 8x12) adaptive-LSH geometry EXECUTED on real "
+    "testdata via demonstration thresholds (round-9 verdict item 1: an "
+    "untested tier is an untested operator) — full banding -> candidate "
+    "pairs -> exact-Jaccard verification under (96, 8, 12), knee "
+    "counting and planted-pair banding recall certified in-result; the "
+    "oracle re-derives the tier from its own count(*) over the same "
+    "shrunken thresholds and the whole 96-hash signature family",
+    f"""
+    with {_sql_amh_prefix(tiers=_T2_DEMO_TIERS,
+                          top=dedup.ADAPTIVE_GEOMETRY_TOP)},
+    sh as (select doc_id, unnest(hs) as sh from hashed),
+    sizes as (select doc_id, count(*) as set_size from sh group by doc_id),
+    inter as (
+        select p.id_a, p.id_b, count(*) as n_common
+        from pairs p
+        join sh a on a.doc_id = p.id_a
+        join sh b on b.doc_id = p.id_b and b.sh = a.sh
+        group by p.id_a, p.id_b
+    ),
+    verified as (
+        select i.n_common,
+               sa.set_size + sb.set_size - i.n_common as n_union
+        from inter i
+        join sizes sa on sa.doc_id = i.id_a
+        join sizes sb on sb.doc_id = i.id_b
+    ),
+    agg as (
+        select cast(count(*) as bigint) as n_candidate_pairs,
+               cast(coalesce(sum(case when 1000 * n_common >= 841 * n_union
+                                      then 1 else 0 end), 0) as bigint)
+                   as n_above_knee,
+               cast(coalesce(sum(n_common), 0) as bigint) as sum_common,
+               cast(coalesce(sum(n_union), 0) as bigint) as sum_union
+        from verified
+    )
+    select cast((select count(*) from documents) as bigint) as n_docs,
+           a.n_candidate_pairs, a.n_above_knee, a.sum_common, a.sum_union,
+           {_SQL_AMH_RESULT_COLS}
+    from agg a, geo g, cert
+    """,
+)
+def minhash_tier2_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.queries.inventory import _t_rowcount
+
+    n = _t_rowcount(sf_dir, "documents")
+    nh, b, _r = dedup.adaptive_minhash_geometry(n, tiers=_T2_DEMO_TIERS)
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    rows = dedup.shingle_hash_rows(docs, "doc_id", "text", k=5)
+    sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=nh)
+    pairs = dedup.candidate_pairs_from_sigs(
+        sigs, "doc_id", num_hashes=nh, bands=b
+    ).localCheckpoint(eager=True)
+    hashed_small = dedup.candidate_hash_arrays(docs, pairs, "doc_id", "text", k=5)
+    jac = dedup.jaccard_pairs_from_hashes(
+        hashed_small, pairs, "doc_id", pairs_prepared=True
+    )
+    # integer-only aggregate report: float jaccard SUMS are order-
+    # sensitive across engines, so the report carries (sum_common,
+    # sum_union) and counts pairs at/above the 0.841 banding knee via
+    # the exact integer inequality 1000*common >= 841*union
+    agg = jac.select(
+        "n_common",
+        (F.col("size_a") + F.col("size_b") - F.col("n_common")).alias(
+            "n_union"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.lit(1000) * F.col("n_common")
+                    >= F.lit(841) * F.col("n_union"),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_above_knee"),
+        F.coalesce(F.sum("n_common"), F.lit(0)).cast("long").alias(
+            "sum_common"
+        ),
+        F.coalesce(F.sum("n_union"), F.lit(0)).cast("long").alias(
+            "sum_union"
+        ),
+    )
+    return (
+        agg.withColumn("n_docs", F.lit(n).cast("long"))
+        .crossJoin(F.broadcast(_amh_geom_cert(docs, nh, b)))
+        .select(
+            "n_docs", "n_candidate_pairs", "n_above_knee", "sum_common",
+            "sum_union", "n_hashes", "n_bands", "rows_per_band",
+            "cert_planted", "cert_band_hits",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

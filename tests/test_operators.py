@@ -748,7 +748,7 @@ def test_two_axis_geometry_recall_and_candidate_collapse(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     truth = {(i, 1000 + i) for i in range(200)}
     found = {}
-    for nh, b in ((8, 2), (32, 4)):
+    for nh, b in ((8, 2), (32, 4), (96, 8)):
         srows = dedup.shingle_hash_rows(docs, "doc_id", "text", 5)
         sigs = dedup.minhash_sigs_from_rows(srows, "doc_id", nh)
         pairs = {
@@ -760,9 +760,17 @@ def test_two_axis_geometry_recall_and_candidate_collapse(spark):
         found[(nh, b)] = (len(truth & pairs), len(pairs))
     hits0, cand0 = found[(8, 2)]
     hits1, cand1 = found[(32, 4)]
+    hits2, cand2 = found[(96, 8)]
     assert hits1 >= hits0, (hits0, hits1)
     assert hits1 >= 190  # J~0.98 is far above the 0.841 knee
     assert cand1 < cand0, (cand0, cand1)
+    # tier 2 (round-9 verdict item 1): the 100-TB geometry holds the
+    # law too — recall keeps rising while candidates never grow (tier 1
+    # already collapses this fixture's random collisions to the 200
+    # planted pairs, so tier 2 meets the truth floor with equality)
+    assert hits2 >= hits1, (hits1, hits2)
+    assert cand2 <= cand1, (cand1, cand2)
+    assert hits2 >= 195 and cand2 >= hits2, (hits2, cand2)
 
 
 def test_minhash_queries_certify_planted_recall_in_result(spark):
