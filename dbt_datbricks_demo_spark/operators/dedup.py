@@ -947,7 +947,10 @@ def index_candidate_pairs(
     probe-only restart (this function, or the minhash_index_lookup
     query) would otherwise fail until the next WRITE-path call ran
     recovery. recover_minhash_index is idempotent and three-stat-cheap
-    when healthy, so the probe path affords it."""
+    when healthy, so the probe path affords it. The index read itself
+    goes through read_index_with_retry (round-9 item 6): a compaction
+    running in ANOTHER session can swap the directory away between our
+    recovery and the read — retry once through recovery."""
     recover_minhash_index(index_path)
     rows = shingle_hash_rows(batch, id_col, text_col, k)
     sigs = minhash_sigs_from_rows(rows, id_col, num_hashes)
@@ -967,7 +970,7 @@ def index_candidate_pairs(
         .distinct()
         .collect()
     ]
-    idx = spark.read.parquet(index_path).filter(
+    idx = read_index_with_retry(spark, index_path).filter(
         F.col(MINHASH_BUCKET_COL).isin(buckets)
     )
     probe = F.broadcast(bk) if use_broadcast else bk
@@ -1241,6 +1244,49 @@ def recover_minhash_index(index_path: str) -> str:
     return action
 
 
+def _is_missing_path_error(e: BaseException) -> bool:
+    """A plan-time read failure caused by the index directory not being
+    there (the between-renames window of a CONCURRENT compaction swap),
+    as opposed to a real error that must propagate."""
+    if isinstance(e, FileNotFoundError):
+        return True
+    msg = str(e)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
+def _plan_read_index(spark, index_path: str) -> DataFrame:
+    # the one plan-time read of a standing index — a seam for the race
+    # tests to inject a concurrent compactor between recovery and read
+    return spark.read.parquet(index_path)
+
+
+def read_index_with_retry(spark, index_path: str) -> DataFrame:
+    """Plan-time read of a standing index under the CONCURRENT-READER
+    contract (round-9 verdict item 6): recovery, read, and — if the
+    directory vanished between the two because a compaction in ANOTHER
+    session was between its swap renames (or crashed there) — one more
+    recovery + read. Recovery rolls the crashed swap back to the valid
+    pre-compaction tree, and a compactor that FINISHED between our
+    attempts left the new tree at the same path, so the second read
+    succeeds against a consistent index either way.
+
+    Contract boundary, stated plainly: this covers PLAN-time listing.
+    A reader that already resolved file paths and is mid-SCAN when a
+    concurrent compactor rmtree's the retired ``.old`` tree can still
+    fail at execution time — single-machine two-session torture is as
+    far as a bare filesystem goes; a real multi-writer deployment
+    fronts these indexes with a catalog/snapshot layer (Delta/Iceberg)
+    whose commit protocol gives readers a pinned file listing."""
+    recover_minhash_index(index_path)
+    try:
+        return _plan_read_index(spark, index_path)
+    except Exception as e:  # noqa: BLE001
+        if not _is_missing_path_error(e):
+            raise
+        recover_minhash_index(index_path)
+        return _plan_read_index(spark, index_path)
+
+
 def minhash_index_max_files_per_bucket(index_path: str) -> int:
     """Largest parquet-file generation count across bucket directories —
     the compaction-cadence signal: N ingest appends leave N file
@@ -1335,7 +1381,13 @@ def compact_minhash_index(
     table materialization (plans/materialize.py). Offline maintenance
     op, single writer, like VersionedTable.optimize. Tombstones are
     cleared by the swap (they lived inside the old directory). Returns
-    before/after file and row counts."""
+    before/after file and row counts.
+
+    Concurrent readers: probes entering DURING the swap are covered at
+    plan time by read_index_with_retry (retry through recovery); a
+    reader already mid-scan when the retired tree is rmtree'd is the
+    documented residual race — a multi-writer deployment fronts the
+    index with a catalog/snapshot layer (see read_index_with_retry)."""
     import os
     import shutil
 

@@ -1144,16 +1144,18 @@ def batch_ivfpq_index_topk(
         tables, f"{q_id_col} long, _t array<array<double>>"
     )
     # probe-path recovery + logical deletes (round-8 lifecycle): repair
-    # a crashed compaction swap before reading, and anti-join the
-    # tombstone set so deleted vectors never surface as neighbors
+    # a crashed compaction swap before reading — retrying once through
+    # recovery if a compactor in ANOTHER session swaps the directory
+    # away mid-plan (round-9 item 6, read_index_with_retry) — and
+    # anti-join the tombstone set so deleted vectors never surface as
+    # neighbors
     from dbt_datbricks_demo_spark.operators.dedup import (
         _without_tombstoned,
-        recover_minhash_index as _recover,
+        read_index_with_retry,
     )
 
-    _recover(index_path)
     indexed = _without_tombstoned(
-        spark, index_path, spark.read.parquet(index_path), id_col
+        spark, index_path, read_index_with_retry(spark, index_path), id_col
     )
     cand = indexed.join(
         F.broadcast(qroutes),

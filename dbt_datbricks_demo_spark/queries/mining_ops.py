@@ -1072,8 +1072,10 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # codes-only, coalesced: 8 legs x 30 file-partitions would schedule
     # ~240 tiny tasks; 8 x 8 keeps the union one cheap stage
+    from dbt_datbricks_demo_spark.operators.dedup import read_index_with_retry
+
     idxdf = (
-        spark.read.parquet(idx_path)
+        read_index_with_retry(spark, idx_path)
         .select("vec_id", "pq_codes")
         .coalesce(8)
     )

@@ -1039,6 +1039,153 @@ def test_batch_probe_dedups_replayed_append_candidates(spark, tmp_path):
     assert len(keys) == len(set(keys))
 
 
+def test_probe_retries_through_concurrent_compaction_window(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 verdict item 6 (concurrent-reader contract): a probe in
+    one session racing a compaction swap in ANOTHER session can land its
+    plan-time read exactly in the between-renames window — the index
+    directory is gone, only ``.old`` exists. The probe entry points must
+    retry once through recovery instead of surfacing PATH_NOT_FOUND.
+    Deterministic two-session simulation: the concurrent compactor's
+    mid-swap state is injected between the probe's health check and its
+    read via the _plan_read_index seam."""
+    import os
+    import random
+    import shutil
+
+    from dbt_datbricks_demo_spark.queries.mining_ops import (
+        _IVFPQ_COARSE,
+        _PQ_BOOKS,
+    )
+
+    real_read = dedup._plan_read_index
+
+    def raced_read_factory(path):
+        state = {"raced": False}
+
+        def raced_read(spark_, index_path):
+            if index_path == path and not state["raced"]:
+                state["raced"] = True
+                # the concurrent compactor is between its two renames
+                # RIGHT NOW: base swapped away, .old holds the tree
+                shutil.copytree(path, path + ".compacting")
+                os.rename(path, path + ".old")
+            return real_read(spark_, index_path)
+
+        return raced_read, state
+
+    # --- minhash probe path (index_candidate_pairs)
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared shingle text {i % 3}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    index = str(tmp_path / "race_mh_index")
+    dedup.write_minhash_index(docs, index)
+    probe_docs = spark.createDataFrame(
+        [(100, "document number 7 with shared shingle text 1")],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        (r["batch_id"], r["corpus_id"])
+        for r in dedup.index_candidate_pairs(spark, index, probe_docs).collect()
+    )
+    assert want
+    raced, state = raced_read_factory(index)
+    monkeypatch.setattr(dedup, "_plan_read_index", raced)
+    got = sorted(
+        (r["batch_id"], r["corpus_id"])
+        for r in dedup.index_candidate_pairs(spark, index, probe_docs).collect()
+    )
+    assert state["raced"]  # the race really fired
+    assert got == want
+    assert dedup.minhash_index_exists(index)
+    assert not os.path.exists(index + ".old")
+    monkeypatch.setattr(dedup, "_plan_read_index", real_read)
+
+    # --- batch IVF-PQ probe path (batch_ivfpq_index_topk)
+    rng = random.Random(41)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = similarity.adaptive_planes(200, 16, target_cell_width=16)
+    bidx = str(tmp_path / "race_bidx")
+    similarity.write_batch_ivfpq_index(
+        emb, _IVFPQ_COARSE, _PQ_BOOKS, planes, bidx
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    def bprobe():
+        return sorted(
+            (r["q_id"], r["vec_id"], r["rank"])
+            for r in similarity.batch_ivfpq_index_topk(
+                spark, bidx, _IVFPQ_COARSE, _PQ_BOOKS, planes, queries,
+                probe_radius=2,
+            ).collect()
+        )
+
+    bwant = bprobe()
+    assert bwant
+    braced, bstate = raced_read_factory(bidx)
+    monkeypatch.setattr(dedup, "_plan_read_index", braced)
+    assert bprobe() == bwant
+    assert bstate["raced"]
+    assert not os.path.exists(bidx + ".old")
+
+
+def test_probe_survives_full_concurrent_compaction(spark, tmp_path, monkeypatch):
+    """The other arm of the two-session race: the concurrent compactor
+    runs TO COMPLETION between the probe's health check and its read
+    (swap finished, retired tree rmtree'd). The probe's plan lands on
+    the NEW tree at the same path — results must equal the
+    post-compaction index with no retry needed."""
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared shingle text {i % 3}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    index = str(tmp_path / "race_full_index")
+    dedup.write_minhash_index(docs, index)
+    # second generation: appends leave multiple files for compaction to merge
+    dedup.write_minhash_index(
+        spark.createDataFrame(
+            [(i, f"document number {i} with shared shingle text {i % 3}")
+             for i in range(30, 40)],
+            "doc_id long, text string",
+        ),
+        index,
+        mode="append",
+    )
+    probe_docs = spark.createDataFrame(
+        [(100, "document number 7 with shared shingle text 1")],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        (r["batch_id"], r["corpus_id"])
+        for r in dedup.index_candidate_pairs(spark, index, probe_docs).collect()
+    )
+    real_read = dedup._plan_read_index
+    state = {"fired": False}
+
+    def read_after_full_compaction(spark_, index_path):
+        if index_path == index and not state["fired"]:
+            state["fired"] = True
+            dedup.compact_minhash_index(spark_, index_path)
+        return real_read(spark_, index_path)
+
+    monkeypatch.setattr(dedup, "_plan_read_index", read_after_full_compaction)
+    got = sorted(
+        (r["batch_id"], r["corpus_id"])
+        for r in dedup.index_candidate_pairs(spark, index, probe_docs).collect()
+    )
+    assert state["fired"]
+    assert got == want  # compaction never changes probe results
+
+
 def test_subprobe_radius_sql_case_matches_python_schedule():
     """Round-9 advice: the oracle radius CASE is GENERATED from the one
     shared threshold table — evaluate it in DuckDB across the whole SQL
