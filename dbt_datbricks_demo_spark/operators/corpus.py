@@ -10,7 +10,15 @@ training-ready corpus:
                             confirmed pair (single-link, non-transitive:
                             chains A~B~C keep A and C — full clustering
                             needs an iterative connected-components pass,
-                            out of one-query scope and documented as such)
+                            out of one-query scope and documented as such).
+                            num_hashes/bands default to the tier-0 fixed
+                            geometry for ad-hoc corpora; the registered
+                            capstone queries pass the adaptive two-axis
+                            geometry keyed off the ingest rowcount
+                            (dedup.adaptive_minhash_geometry — round 9:
+                            with the geometry fixed, candidate pairs grew
+                            quadratically, 1.4M at x30, and the Jaccard
+                            verification stage dominated the capstones)
 
 Shuffle budget (see SCALE.md): one content-hash exchange (1), narrow
 scans (2, 3), the band-pair exchange + AQE-planned Jaccard verification

@@ -77,7 +77,10 @@ def _sql_amh_geo(
     base testdata never reaches at PRODUCTION thresholds); with ``top``
     (the tier-2 demonstration, round-9 verdict item 1) the else-branch
     derives the top geometry instead. ``tiers`` overrides the
-    thresholds (same geometry law, shrunken switch points)."""
+    thresholds (same geometry law, shrunken switch points). ``table``
+    is the COUNTED table — the capstone oracles count the raw
+    documents table while signing a gated subset (the Spark side keys
+    the tier off the ingest rowcount, a parquet-footer read)."""
     tiers = tiers or _AMH_TIERS
     if top:
         else_nh, else_nb, else_r = top
@@ -141,16 +144,19 @@ def _sql_amh_band_blocks(
     return "\n        union all\n        ".join(blocks)
 
 
-def _sql_amh_prefix(table: str = "documents", tiers=None, top=None) -> str:
-    """The shared CTE chain documents -> geo/hashed/sigs/bands/pairs +
-    the planted-recall cert CTEs. Emits `pairs` (id_a < id_b candidate
-    pairs under the ADAPTIVE geometry), `hashed` (doc shingle-hash
-    lists), `geo`, and one-row `cert` — callers append their own
-    verification / components / report CTEs and cross join geo+cert
-    into the result for the in-result certification columns."""
-    pert = f"text || '{dedup.PLANTED_CERT_SUFFIX}'"
-    max_nh = _amh_max_hashes(tiers or _AMH_TIERS, top)
-    return f"""geo as ({_sql_amh_geo(table, tiers, top)}),
+def _sql_amh_core(
+    table: str = "documents",
+    tiers=None,
+    top=None,
+    count_table: str | None = None,
+) -> str:
+    """The adaptive-geometry CTE core: geo/hashed/sigs/bands/pairs over
+    ``table``, the tier counted from ``count_table`` (defaults to
+    ``table``). The capstone oracles (corpus_pipeline /
+    training_set_report) sign a GATED CTE while keying the tier off the
+    raw documents count — exactly what their Spark sides do with the
+    parquet-footer rowcount."""
+    return f"""geo as ({_sql_amh_geo(count_table or table, tiers, top)}),
     hashed as materialized (
         select doc_id, {_SQL_SHINGLE_HASHES} as hs from {table}
     ),
@@ -167,7 +173,19 @@ def _sql_amh_prefix(table: str = "documents", tiers=None, top=None) -> str:
         select distinct a.doc_id as id_a, b.doc_id as id_b
         from bands a join bands b
           on a.band_key = b.band_key and a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+def _sql_amh_prefix(table: str = "documents", tiers=None, top=None) -> str:
+    """The shared CTE chain documents -> geo/hashed/sigs/bands/pairs +
+    the planted-recall cert CTEs. Emits `pairs` (id_a < id_b candidate
+    pairs under the ADAPTIVE geometry), `hashed` (doc shingle-hash
+    lists), `geo`, and one-row `cert` — callers append their own
+    verification / components / report CTEs and cross join geo+cert
+    into the result for the in-result certification columns."""
+    pert = f"text || '{dedup.PLANTED_CERT_SUFFIX}'"
+    max_nh = _amh_max_hashes(tiers or _AMH_TIERS, top)
+    return f"""{_sql_amh_core(table, tiers, top)},
     cert_docs as (
         select doc_id, text from {table} order by doc_id
         limit {_AMH_CERT_PLANTED}
@@ -1195,7 +1213,11 @@ _SQL_PUNCT_RATIO = (
     "end-to-end corpus cleaning (operators.corpus.clean_corpus + "
     "corpus_stats): exact dedup, >=10-token + punct<=0.2 quality gate, "
     "language allowlist, MinHash near-dup removal (jaccard>=0.9, "
-    "single-link), per-language doc/token totals",
+    "single-link) under the recall-preserving adaptive two-axis LSH "
+    "geometry keyed off the ingest rowcount (round 9: the capstones "
+    "were the last fixed-geometry consumers — their candidate set grew "
+    "quadratically past the tier-0 domain, 1.4M pairs at x30), "
+    "per-language doc/token totals",
     f"""
     with dedup1 as (
         select d.* from documents d
@@ -1203,24 +1225,13 @@ _SQL_PUNCT_RATIO = (
               from documents group by md5(text)) k
           on md5(d.text) = k.ch and d.doc_id = k.keeper
     ),
-    gated as (
+    gated as materialized (
         select * from dedup1
         where len({_SQL_TOKENS}) >= 10
           and {_SQL_PUNCT_RATIO} <= 0.2
           and {_sql_lang_predict()} in ('en', 'de', 'es', 'fr')
     ),
-    hashed as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from gated),
-    sigs as (select doc_id, {', '.join(_sql_minhash_cols(8))} from hashed),
-    bands as (
-        select doc_id, md5(concat_ws('-', '0', h0, h1, h2, h3)) as band_key from sigs
-        union all
-        select doc_id, md5(concat_ws('-', '1', h4, h5, h6, h7)) as band_key from sigs
-    ),
-    pairs as (
-        select distinct a.doc_id as id_a, b.doc_id as id_b
-        from bands a join bands b
-          on a.band_key = b.band_key and a.doc_id < b.doc_id
-    ),
+    {_sql_amh_core('gated', count_table='documents')},
     sh as (select doc_id, unnest(hs) as sh from hashed),
     sizes as (select doc_id, len(hs) as set_size from hashed),
     jac as (
@@ -1250,9 +1261,17 @@ _SQL_PUNCT_RATIO = (
 )
 def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_datbricks_demo_spark.operators.corpus import clean_corpus, corpus_stats
+    from dbt_datbricks_demo_spark.queries.inventory import _t_rowcount
 
+    # tier keyed off the INGEST rowcount (parquet footer, no scan):
+    # the gates only shrink the corpus, so sizing the geometry for the
+    # raw count is the conservative side of the schedule, and both
+    # engines derive the tier from the same integer
+    nh, nb, _r = dedup.adaptive_minhash_geometry(
+        _t_rowcount(sf_dir, "documents")
+    )
     docs = _spread(_t(spark, sf_dir, "documents"))
-    cleaned = clean_corpus(docs, persist_gated=True)
+    cleaned = clean_corpus(docs, persist_gated=True, num_hashes=nh, bands=nb)
     return corpus_stats(cleaned)
 
 

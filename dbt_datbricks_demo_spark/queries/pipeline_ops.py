@@ -531,9 +531,8 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_training_set() -> str:
     from dbt_datbricks_demo_spark.queries.llm_ops import (
         _SQL_PUNCT_RATIO,
-        _SQL_SHINGLE_HASHES,
+        _sql_amh_core,
         _sql_lang_predict,
-        _sql_minhash_cols,
     )
 
     return f"""
@@ -543,24 +542,13 @@ def _sql_training_set() -> str:
               from documents group by md5(text)) k
           on md5(d.text) = k.ch and d.doc_id = k.keeper
     ),
-    gated as (
+    gated as materialized (
         select * from dedup1
         where len({_SQL_TOKENS}) >= 10
           and {_SQL_PUNCT_RATIO} <= 0.2
           and {_sql_lang_predict()} in ('en', 'de', 'es', 'fr')
     ),
-    hashed as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from gated),
-    sigs as (select doc_id, {', '.join(_sql_minhash_cols(8))} from hashed),
-    bands as (
-        select doc_id, md5(concat_ws('-', '0', h0, h1, h2, h3)) as band_key from sigs
-        union all
-        select doc_id, md5(concat_ws('-', '1', h4, h5, h6, h7)) as band_key from sigs
-    ),
-    pairs as (
-        select distinct a.doc_id as id_a, b.doc_id as id_b
-        from bands a join bands b
-          on a.band_key = b.band_key and a.doc_id < b.doc_id
-    ),
+    {_sql_amh_core('gated', count_table='documents')},
     sh as (select doc_id, unnest(hs) as sh from hashed),
     sizes as (select doc_id, len(hs) as set_size from hashed),
     jac as (
@@ -644,17 +632,27 @@ def _sql_training_set() -> str:
 
 @_register(
     "training_set_report",
-    "capstone composition: clean_corpus (dedup+quality+lang+near-dup) → "
-    "repetition gate → deterministic split → decontaminate train/val "
-    "against the test split → per-split doc/token/256-token-chunk totals "
+    "capstone composition: clean_corpus (dedup+quality+lang+near-dup "
+    "under the adaptive two-axis LSH geometry keyed off the ingest "
+    "rowcount, round 9) → repetition gate → deterministic split → "
+    "decontaminate train/val against the test split → per-split "
+    "doc/token/256-token-chunk totals "
     "(operators.corpus.prepare_training_set)",
     _sql_training_set(),
 )
 def training_set_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_datbricks_demo_spark.operators.corpus import prepare_training_set
+    from dbt_datbricks_demo_spark.operators.dedup import (
+        adaptive_minhash_geometry,
+    )
+    from dbt_datbricks_demo_spark.queries.inventory import _t_rowcount
 
+    # adaptive LSH tier from the ingest rowcount — see corpus_pipeline
+    nh, nb, _r = adaptive_minhash_geometry(_t_rowcount(sf_dir, "documents"))
     docs = _spread(_t(spark, sf_dir, "documents"))
-    final = prepare_training_set(docs, persist_gated=True)
+    final = prepare_training_set(
+        docs, persist_gated=True, num_hashes=nh, bands=nb
+    )
     per_bucket = (
         final.select(
             "split",

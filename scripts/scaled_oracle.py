@@ -1,0 +1,197 @@
+"""Resumable scaled-oracle gate (round-9 verdict item 2).
+
+The x30/x100 DuckDB derivations for the heaviest composite queries
+(leakage_safe_split at x100; training_set_report / corpus_pipeline at
+x30) exceeded a single judge/driver session budget in round 8, leaving
+their scaled points timing-only. This harness makes the derivation a
+ONE-TIME cost: the oracle result is derived once per (query, data-dir
+manifest, oracle-SQL text) key, persisted as parquet under
+``scaledata/oracle_cache/``, and every later run — this session or any
+future one — compares the Spark side against the cached result
+instantly. Editing the oracle SQL or regenerating the data dir changes
+the key and forces a fresh derivation, so the cache can never serve a
+stale expectation.
+
+The comparison is the exact driver gate (tests/oracle_harness.compare:
+sorted columns, sorted rows, exact floats); outcomes append into
+``SCALED_ORACLE.json`` at the repo root with rows/derive-wall metadata
+so SCALE.md can cite hash-green scaled points with their provenance.
+
+Usage:
+  python scripts/scaled_oracle.py --sf scaledata/x100 leakage_safe_split
+  python scripts/scaled_oracle.py --sf scaledata/x30 \
+      training_set_report corpus_pipeline
+  ORACLE_ONLY=1 ... # derive/cache the DuckDB side, skip Spark+compare
+  SPARK_ONLY=1  ... # compare against an existing cache entry or fail
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from oracle_harness import TABLES, compare  # noqa: E402
+
+CACHE_DIR = os.path.join(REPO, "scaledata", "oracle_cache")
+RESULTS = os.path.join(REPO, "SCALED_ORACLE.json")
+
+
+def _dir_stamp(sf_dir: str) -> str:
+    """Content stamp of a data dir: the scaleup manifest when present
+    (pins src/factor/generator version), else per-table size+mtime."""
+    man = os.path.join(sf_dir, "manifest.json")
+    if os.path.exists(man):
+        with open(man) as fh:
+            return json.dumps(json.load(fh), sort_keys=True)
+    parts = []
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(p)
+        parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def cache_key(name: str, sf_dir: str, sql: str) -> str:
+    return hashlib.md5(
+        f"{name}|{_dir_stamp(sf_dir)}|{sql}".encode()
+    ).hexdigest()[:16]
+
+
+def derive_oracle(name: str, sf_dir: str, sql: str) -> tuple[str, dict]:
+    """Return (parquet path, meta) for the cached oracle result,
+    deriving it with DuckDB if this (query, dir, sql) key is new.
+    The derivation COPYs straight to parquet — the result never rides
+    through pandas, so a multi-GB derivation spills in DuckDB and the
+    cache write is streaming."""
+    key = cache_key(name, sf_dir, sql)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    pq = os.path.join(CACHE_DIR, f"{name}_{key}.parquet")
+    meta_path = os.path.join(CACHE_DIR, f"{name}_{key}.json")
+    if os.path.exists(pq) and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            return pq, json.load(fh)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"create view {t} as select * from "
+            f"read_parquet('{os.path.abspath(sf_dir)}/{t}.parquet')"
+        )
+    t0 = time.perf_counter()
+    tmp = pq + f".tmp.{os.getpid()}"
+    con.execute(f"copy ({sql}) to '{tmp}' (format parquet)")
+    con.close()
+    os.replace(tmp, pq)
+    meta = {
+        "key": key,
+        "sf_dir": os.path.abspath(sf_dir),
+        "derive_s": round(time.perf_counter() - t0, 1),
+        "rows": int(len(pd.read_parquet(pq, columns=[]))),
+        "derived_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return pq, meta
+
+
+def record(name: str, sf_dir: str, outcome: dict) -> None:
+    results = {}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as fh:
+            results = json.load(fh)
+    results.setdefault(name, {})[os.path.basename(sf_dir.rstrip("/"))] = outcome
+    with open(RESULTS, "w") as fh:
+        json.dump(results, fh, indent=1, sort_keys=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", required=True)
+    ap.add_argument("queries", nargs="+")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    queries = entry.queries()
+    oracle_only = os.environ.get("ORACLE_ONLY") == "1"
+    spark_only = os.environ.get("SPARK_ONLY") == "1"
+
+    rc = 0
+    spark = None
+    for name in args.queries:
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP   {name}: no oracle registered")
+            continue
+        if spark_only:
+            key = cache_key(name, args.sf, sql)
+            pq = os.path.join(CACHE_DIR, f"{name}_{key}.parquet")
+            meta_path = pq.removesuffix(".parquet") + ".json"
+            if not os.path.exists(pq):
+                print(f"ERROR  {name}: no cached oracle for key {key}")
+                rc = 1
+                continue
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+        else:
+            pq, meta = derive_oracle(name, args.sf, sql)
+            print(
+                f"oracle {name}: {meta['rows']} rows, "
+                f"derive {meta['derive_s']}s (key {meta['key']})",
+                flush=True,
+            )
+        if oracle_only:
+            continue
+        if spark is None:
+            from dbt_datbricks_demo_spark.session import get_spark
+
+            spark = get_spark(
+                app_name="scaled-oracle",
+                extra_conf={"spark.ui.showConsoleProgress": "false"},
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+        t0 = time.perf_counter()
+        sdf = queries[name](spark, args.sf).toPandas()
+        spark_s = round(time.perf_counter() - t0, 1)
+        odf = pd.read_parquet(pq)
+        problems = compare(name, sdf, odf)
+        outcome = {
+            "match": not problems,
+            "rows": len(sdf),
+            "spark_s": spark_s,
+            "oracle_key": meta["key"],
+            "oracle_derive_s": meta["derive_s"],
+            "checked_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+        if problems:
+            outcome["problems"] = problems[:5]
+            rc = 1
+            print(f"FAIL   {name} @ {args.sf}")
+            for p in problems:
+                print(f"       {p}")
+        else:
+            print(
+                f"OK     {name} @ {args.sf} ({len(sdf)} rows, "
+                f"spark {spark_s}s, oracle {meta['derive_s']}s cached)"
+            )
+        record(name, args.sf, outcome)
+    if spark is not None:
+        spark.stop()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
