@@ -1059,47 +1059,51 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             [float(x) for x in r["q_vec"]], _PQ_BOOKS))
         for r in queries.filter(F.col("q_id") < _BATCH_CERT_MAX).collect()
     ]
-    # the <=8 cert queries' ADC tables ride as LITERALS, one codes-only
-    # scan PER cert query, unioned (ivfpq_index_topk's proven-stable
-    # shape — 16 element_at per codegen method): a broadcast join here
-    # would widen every joined row with the full MxK table (measured
-    # ~2 s of pure row-copy at 10x), and fusing all 8 tables into one
-    # method re-creates the round-7 giant-unrolled-chain JIT stall
-    # (measured bimodal 3 s / 12 s isolated)
-    from functools import reduce
-
+    # the <=8 cert queries' ADC tables ride as ONE literal 3-deep array
+    # indexed by a posexploded query ordinal — one codes-only scan and
+    # one 16-term codegen method for ALL cert queries (round 9: the
+    # previous one-leg-per-query union re-planned and re-scanned the
+    # index 8 times; at sf0.1 the legs were over half the query's wall).
+    # The per-term shape stays element_at chains of constant depth —
+    # NOT the round-7 giant-unrolled-chain (8x16 terms in one method,
+    # measured bimodal 3 s / 12 s), and NOT the M x K-per-row broadcast
+    # join widening (measured ~2 s of row-copy at 10x): the explode
+    # emits (ordinal, q_id) ints only and each of the 16 terms indexes
+    # the shared literal by ordinal.
     from pyspark.sql.window import Window
 
-    # codes-only, coalesced: 8 legs x 30 file-partitions would schedule
-    # ~240 tiny tasks; 8 x 8 keeps the union one cheap stage
     from dbt_datbricks_demo_spark.operators.dedup import read_index_with_retry
 
+    # codes-only, coalesced: 8 query ordinals x 30 file-partitions
+    # would schedule ~240 tiny tasks; 8 partitions keep it one stage
     idxdf = (
         read_index_with_retry(spark, idx_path)
         .select("vec_id", "pq_codes")
         .coalesce(8)
     )
-    legs = []
-    for q_id, table in cert_rows:
-        tlit = F.lit(table)
-        adc = F.lit(0.0)
-        for s in range(_PQ_M):
-            adc = adc + F.element_at(
-                F.element_at(tlit, s + 1),
-                F.element_at(F.col("pq_codes"), s + 1) + 1,
-            )
-        legs.append(
-            idxdf.filter(F.col("vec_id") != q_id).select(
-                F.lit(q_id).cast("long").alias("q_id"),
-                "vec_id",
-                F.round(adc, 6).alias("_ref_score"),
-            )
+    cert_qids = [int(q) for q, _ in cert_rows]
+    tlit = F.lit([t for _, t in cert_rows])
+    ref = idxdf.select(
+        "vec_id",
+        "pq_codes",
+        F.posexplode(F.lit(cert_qids)).alias("_qi", "q_id"),
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    tq = F.element_at(tlit, F.col("_qi") + 1)
+    adc = F.lit(0.0)
+    for s in range(_PQ_M):
+        adc = adc + F.element_at(
+            F.element_at(tq, s + 1),
+            F.element_at(F.col("pq_codes"), s + 1) + 1,
         )
     refwin = Window.partitionBy("q_id").orderBy(
         F.col("_ref_score").asc(), F.col("vec_id")
     )
     refhits = (
-        reduce(DataFrame.unionByName, legs)
+        ref.select(
+            F.col("q_id").cast("long").alias("q_id"),
+            "vec_id",
+            F.round(adc, 6).alias("_ref_score"),
+        )
         .withColumn("_rn", F.row_number().over(refwin))
         .filter(F.col("_rn") <= _BATCH_K)
         .select("q_id", "vec_id", F.lit(True).alias("_hit"))
