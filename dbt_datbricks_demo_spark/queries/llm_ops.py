@@ -739,14 +739,30 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets
 # ---------------------------------------------------------------------------
-def _sql_bucket(vec: str) -> str:
-    w = similarity.hyperplane_weights(8, 64)
+def _sql_bucket(vec: str, planes: int = 8) -> str:
+    w = similarity.hyperplane_weights(planes, 64)
     terms = [
         f"(case when {_sql_dot(vec, [float(x) for x in row])} >= 0 "
         f"then {1 << p}::bigint else 0 end)"
         for p, row in enumerate(w)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _sql_neardup_planes_case(n_expr: str) -> str:
+    """The similarity.adaptive_neardup_planes schedule as a SQL CASE —
+    generated from the SAME constants (base/width/max), so the two
+    engines cannot diverge (the round-9-advice lesson from the
+    hand-kept probe-radius copies). max(base, smallest p with
+    width*2^p >= n), capped at max."""
+    cases = " ".join(
+        f"when {n_expr} <= {similarity.NEARDUP_TARGET_BUCKET_WIDTH << p} "
+        f"then {p}"
+        for p in range(
+            similarity.NEARDUP_BASE_PLANES, similarity.NEARDUP_MAX_PLANES
+        )
+    )
+    return f"(case {cases} else {similarity.NEARDUP_MAX_PLANES} end)"
 
 
 def _sql_l2(vec: str) -> str:
@@ -807,26 +823,53 @@ def ann_batch_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self-join, exact cosine >= 0.0 within bucket (operators.similarity."
     "cosine_neardup_pairs) — the testdata embeddings are random, so the "
     "demo threshold keeps positive-cosine bucket-mates; production "
-    "near-dup would use ~0.95",
+    "near-dup would use ~0.95. Plane count ADAPTIVE to the counted "
+    "corpus (round 9 — similarity.adaptive_neardup_planes: the 100x "
+    "weak-scaling column exposed the fixed 8-plane geometry's "
+    "quadratic in-bucket join, 7.7 s -> 79 s for 3.3x data; expected "
+    "bucket width now stays ~80 at any corpus size, the historical "
+    "8-plane geometry is an exact floor below 20480 vectors, and the "
+    "oracle re-derives the plane count from its own count(*) and masks "
+    "the full-width bucket to it — plane families are nested); "
+    "n_planes certified in-result",
     f"""
-    with b as (
-        select vec_id, embedding, {_sql_bucket("embedding")} as bucket,
-               {_sql_l2("embedding")} as l2
-        from embeddings
+    with geo as (
+        select {_sql_neardup_planes_case('(select count(*) from embeddings)')} as np
+    ),
+    b as (
+        select vec_id, embedding,
+               {_sql_bucket("embedding", similarity.NEARDUP_MAX_PLANES)}
+                   & ((1::bigint << g.np) - 1) as bucket,
+               {_sql_l2("embedding")} as l2, g.np as np
+        from embeddings, geo g
     )
     select * from (
         select a.vec_id as id_a, b2.vec_id as id_b, a.bucket as bucket,
                {_sql_dot("a.embedding", "list_transform(b2.embedding, x -> cast(x as double))")}
-                   / (a.l2 * b2.l2) as cosine
+                   / (a.l2 * b2.l2) as cosine,
+               cast(a.np as int) as n_planes
         from b a join b b2 on a.bucket = b2.bucket and a.vec_id < b2.vec_id
     ) where cosine >= 0.0
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_datbricks_demo_spark.queries.inventory import _t_rowcount
+
+    # counted from the parquet footer (no scan) — the same driver-
+    # scalar discipline as the minhash tiers; the oracle derives the
+    # identical plane count from its own count(*)
+    planes = similarity.adaptive_neardup_planes(
+        _t_rowcount(sf_dir, "embeddings")
+    )
     emb = _spread(_t(spark, sf_dir, "embeddings"))
     return similarity.cosine_neardup_pairs(
-        emb, planes=8, threshold=0.0, id_col="vec_id", vec_col="embedding", dims=64
-    )
+        emb,
+        planes=planes,
+        threshold=0.0,
+        id_col="vec_id",
+        vec_col="embedding",
+        dims=64,
+    ).withColumn("n_planes", F.lit(planes).cast("int"))
 
 
 # ---------------------------------------------------------------------------

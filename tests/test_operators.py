@@ -706,6 +706,75 @@ def test_ann_batch_topk_brute_guard_below_threshold(spark, tmp_path):
         assert all(r["cert_hit"] == 1 for r in got)  # q_id < cert max
 
 
+def test_adaptive_neardup_planes_schedule_and_sql_case():
+    """Round-9: the 100x weak-scaling column exposed the fixed 8-plane
+    LSH bucket join as quadratic (7.7 s -> 79 s for 3.3x data). The
+    schedule holds expected bucket width ~80 by growing the plane count,
+    with the historical 8-plane geometry as an exact floor below 20480
+    vectors (every standing SF), capped at 20 — and the SQL CASE the
+    oracle evaluates is GENERATED from the same constants, checked here
+    by brute-force agreement over the boundary values."""
+    import duckdb
+
+    from dbt_datbricks_demo_spark.queries.llm_ops import (
+        _sql_neardup_planes_case,
+    )
+
+    # floor / growth / cap against the definition
+    for n, want in (
+        (1, 8),
+        (200, 8),
+        (20_480, 8),      # last n of the historical geometry
+        (20_481, 9),
+        (600_000, 13),    # the x30 replica's 600k vectors
+        (2_000_000, 15),  # the x100 replica
+        (80 << 19, 19),
+        ((80 << 19) + 1, 20),
+        (10**12, 20),     # cap
+    ):
+        assert similarity.adaptive_neardup_planes(n) == want, n
+    # monotone non-decreasing
+    last = 0
+    for n in range(1, 3_000_000, 97_231):
+        p = similarity.adaptive_neardup_planes(n)
+        assert p >= last
+        last = p
+    # the generated SQL CASE agrees at every threshold boundary +-1
+    con = duckdb.connect()
+    boundaries = [
+        similarity.NEARDUP_TARGET_BUCKET_WIDTH << p
+        for p in range(
+            similarity.NEARDUP_BASE_PLANES, similarity.NEARDUP_MAX_PLANES + 1
+        )
+    ]
+    probe = sorted({1} | {b for b in boundaries} | {b + 1 for b in boundaries})
+    for n in probe:
+        got = con.sql(
+            f"select {_sql_neardup_planes_case(str(n))}"
+        ).fetchone()[0]
+        assert got == similarity.adaptive_neardup_planes(n), n
+    con.close()
+
+
+def test_cosine_neardup_planted_twin_at_every_plane_count(spark):
+    """Identical vectors share every hyperplane sign, so a planted twin
+    pair must collide in the SAME bucket at ANY plane count — the
+    recall floor the adaptive schedule rides on (a true near-dup's
+    per-plane miss rate is theta/pi ~ 0 as cosine -> 1)."""
+    base = [float((d * 3) % 7 - 3) for d in range(8)]
+    far = [float((d * 5 + 1) % 9 - 4) for d in range(8)]
+    rows = [(0, base), (1, base), (2, far)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for planes in (8, 13, 20):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.cosine_neardup_pairs(
+                emb, planes=planes, threshold=0.99, dims=8
+            ).collect()
+        }
+        assert (0, 1) in got, planes
+
+
 def test_adaptive_minhash_geometry_schedule_and_knee():
     """Round-8 verdict item 1: the two-axis schedule's tiers all hold
     the S-curve knee (1/b)^(1/r) at 2^(-1/4) — the fixed 2x4 baseline's
