@@ -1115,6 +1115,7 @@ def batch_ivfpq_index_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     plane_prefix: str = "bq",
+    queries_rows: list | None = None,
 ) -> DataFrame:
     """Serve a BATCH of query vectors from a write_batch_ivfpq_index
     layout — the operational form of batch similarity search at scale
@@ -1148,8 +1149,16 @@ def batch_ivfpq_index_topk(
     from pyspark.sql.window import Window
 
     w = hyperplane_weights(planes, len(coarse[0]), prefix=plane_prefix)
-    # bounded driver read: the batch is broadcast anyway
-    qrows = queries.select(q_id_col, q_vec_col).collect()
+    # bounded driver read: the batch is broadcast anyway. A caller that
+    # already holds the collected batch passes queries_rows so the
+    # corpus is scanned once for the whole query, not once per consumer
+    # (ann_batch_topk shares one collect between routing and its cert
+    # subset).
+    qrows = (
+        queries_rows
+        if queries_rows is not None
+        else queries.select(q_id_col, q_vec_col).collect()
+    )
     # the MxK ADC table is the heavy payload — keep it ONE row per
     # query joined on q_id AFTER the grid match, not replicated into
     # every (cell, sub_bucket) probe row (round-8 advice item: the
@@ -1220,8 +1229,16 @@ def batch_ivfpq_index_topk(
     # lookup path already distincts, and the oracle derives from the
     # unique corpus). Encoding is deterministic (same coarse/books/
     # planes), so duplicates carry identical scores and the distinct
-    # is value-deterministic.
-    scored = scored.dropDuplicates([q_id_col, id_col])
+    # is value-deterministic. Repartitioning on q_id FIRST lets the
+    # dedup and the ranking window share ONE exchange — hash
+    # partitioning on q_id co-locates every (q_id, vec_id) duplicate
+    # (subset-key clustering) AND satisfies the window's required
+    # distribution, so EnsureRequirements inserts no second shuffle of
+    # the candidate set (one candidate shuffle instead of two, at any
+    # corpus size).
+    scored = scored.repartition(q_id_col).dropDuplicates(
+        [q_id_col, id_col]
+    )
     win = Window.partitionBy(q_id_col).orderBy(
         F.col("adc_score").asc(), F.col(id_col)
     )

@@ -1007,18 +1007,13 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _t_rowcount(sf_dir, "embeddings")
     emb = _spread(_t(spark, sf_dir, "embeddings"))
-    # the bounded-by-contract batch is read three ways (driver routing
-    # collect, cert-table collect, and the brute path's broadcast):
-    # materialize it once instead of re-scanning the corpus per read
-    queries = (
-        emb.filter(F.col("vec_id") % 100 == 0)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-        # lazy: materializes under the first collect, read back by the
-        # second and by the brute path's broadcast — one corpus scan
-        # total instead of three
-        .localCheckpoint(eager=False)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     if n <= _BATCH_BRUTE_MAX:
+        # the brute path broadcasts the batch straight into its one
+        # corpus scan — no driver collect at all
+        queries = queries.localCheckpoint(eager=False)
         # bounded ad-hoc corpus: the exact brute scan is optimal and
         # exact — same schema, score = exact cosine (rank descending),
         # certification trivially true (it IS the reference)
@@ -1037,6 +1032,10 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, _IVFPQ_CELLS, _BATCH_WIDTH, _BATCH_MAX_PLANES
     )
     idx_path = _batch_index_for(spark, sf_dir, planes)
+    # ONE collect serves both the probe routing and the cert subset
+    # (round 9: the routing collect and the cert collect each scanned
+    # the corpus — two jobs for one bounded batch)
+    qrows = queries.collect()
     top = similarity.batch_ivfpq_index_topk(
         spark,
         idx_path,
@@ -1047,6 +1046,7 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_BATCH_K,
         nprobe=_BATCH_NPROBE,
         probe_radius=similarity.adaptive_subprobe_radius(planes),
+        queries_rows=qrows,
     ).withColumnRenamed("adc_score", "score")
     # same-scorer certification reference: full-scan ADC top-5 for the
     # FIXED-size cert subset, over the same stored codes (O(N), never
@@ -1057,7 +1057,8 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cert_rows = [
         (r["q_id"], similarity.pq_adc_table(
             [float(x) for x in r["q_vec"]], _PQ_BOOKS))
-        for r in queries.filter(F.col("q_id") < _BATCH_CERT_MAX).collect()
+        for r in qrows
+        if r["q_id"] < _BATCH_CERT_MAX
     ]
     # the <=8 cert queries' ADC tables ride as ONE literal 3-deep array
     # indexed by a posexploded query ordinal — one codes-only scan and
