@@ -82,6 +82,21 @@ def derive_oracle(name: str, sf_dir: str, sql: str) -> tuple[str, dict]:
         with open(meta_path) as fh:
             return pq, json.load(fh)
     con = duckdb.connect()
+    # spill policy: big derivations (training_set_report at x100) can
+    # need tens of GB of temp — pin the spill into the cache dir and
+    # cap it below the free-disk headroom so a runaway derivation
+    # aborts itself instead of filling the filesystem under every
+    # other process (learned the hard way: an uncapped spill took the
+    # whole disk to zero mid-bench). Overridable via env.
+    tmp_dir = os.environ.get(
+        "ORACLE_TEMP_DIR", os.path.join(CACHE_DIR, ".duckdb_tmp")
+    )
+    os.makedirs(tmp_dir, exist_ok=True)
+    con.execute(f"set temp_directory='{tmp_dir}'")
+    con.execute(
+        "set max_temp_directory_size="
+        f"'{os.environ.get('ORACLE_TEMP_MAX', '60GB')}'"
+    )
     for t in TABLES:
         con.sql(
             f"create view {t} as select * from "
