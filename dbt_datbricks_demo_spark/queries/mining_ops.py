@@ -1083,18 +1083,23 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(8)
     )
     cert_qids = [int(q) for q, _ in cert_rows]
-    tlit = F.lit([t for _, t in cert_rows])
+    # packed flat literal (round 10): F.lit(<nested list>) built one
+    # Literal node + py4j call per element (~1k for the cert legs);
+    # the packed string literal folds to the same ArrayData with O(1)
+    # plan-construction cost (similarity.packed_double_array_lit)
+    tlit = similarity.packed_double_array_lit([t for _, t in cert_rows])
     ref = idxdf.select(
         "vec_id",
         "pq_codes",
         F.posexplode(F.lit(cert_qids)).alias("_qi", "q_id"),
     ).filter(F.col("vec_id") != F.col("q_id"))
-    tq = F.element_at(tlit, F.col("_qi") + 1)
+    cert_base = F.col("_qi") * (_PQ_M * _PQ_K)
     adc = F.lit(0.0)
     for s in range(_PQ_M):
         adc = adc + F.element_at(
-            F.element_at(tq, s + 1),
-            F.element_at(F.col("pq_codes"), s + 1) + 1,
+            tlit,
+            cert_base + s * _PQ_K
+            + F.element_at(F.col("pq_codes"), s + 1) + 1,
         )
     refwin = Window.partitionBy("q_id").orderBy(
         F.col("_ref_score").asc(), F.col("vec_id")

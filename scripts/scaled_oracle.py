@@ -68,6 +68,57 @@ def cache_key(name: str, sf_dir: str, sql: str) -> str:
     ).hexdigest()[:16]
 
 
+def _sq(path: str) -> str:
+    """Escape a path for embedding in a single-quoted DuckDB SQL
+    literal (round-9 advice: a path containing ' broke the SET /
+    read_parquet statements)."""
+    return path.replace("'", "''")
+
+
+def _spill_cap_bytes() -> int:
+    """Spill cap: ORACLE_TEMP_MAX wins; otherwise 80% of the FREE disk
+    at the cache dir (round-9 advice: the old hard-coded 60GB default
+    assumed headroom a smaller host doesn't have), floored at 1GB so a
+    nearly-full disk still lets tiny derivations run."""
+    env = os.environ.get("ORACLE_TEMP_MAX")
+    if env:
+        units = {"KB": 10**3, "MB": 10**6, "GB": 10**9, "TB": 10**12}
+        for suffix, mult in units.items():
+            if env.upper().endswith(suffix):
+                return int(float(env[: -len(suffix)]) * mult)
+        return int(env)
+    import shutil
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    free = shutil.disk_usage(CACHE_DIR).free
+    return max(int(free * 0.8), 10**9)
+
+
+def _connect_spill_capped():
+    """A DuckDB connection whose spill is pinned into the cache dir and
+    capped below the free-disk headroom, so a runaway derivation
+    aborts itself instead of filling the filesystem under every other
+    process (learned the hard way: an uncapped spill took the whole
+    disk to zero mid-bench). Overridable via ORACLE_TEMP_DIR /
+    ORACLE_TEMP_MAX."""
+    con = duckdb.connect()
+    tmp_dir = os.environ.get(
+        "ORACLE_TEMP_DIR", os.path.join(CACHE_DIR, ".duckdb_tmp")
+    )
+    os.makedirs(tmp_dir, exist_ok=True)
+    con.execute(f"set temp_directory='{_sq(tmp_dir)}'")
+    con.execute(f"set max_temp_directory_size='{_spill_cap_bytes()}B'")
+    return con
+
+
+def _register_base_views(con, sf_dir: str) -> None:
+    for t in TABLES:
+        con.sql(
+            f"create view {t} as select * from "
+            f"read_parquet('{_sq(os.path.abspath(sf_dir))}/{t}.parquet')"
+        )
+
+
 def derive_oracle(name: str, sf_dir: str, sql: str) -> tuple[str, dict]:
     """Return (parquet path, meta) for the cached oracle result,
     deriving it with DuckDB if this (query, dir, sql) key is new.
@@ -81,30 +132,11 @@ def derive_oracle(name: str, sf_dir: str, sql: str) -> tuple[str, dict]:
     if os.path.exists(pq) and os.path.exists(meta_path):
         with open(meta_path) as fh:
             return pq, json.load(fh)
-    con = duckdb.connect()
-    # spill policy: big derivations (training_set_report at x100) can
-    # need tens of GB of temp — pin the spill into the cache dir and
-    # cap it below the free-disk headroom so a runaway derivation
-    # aborts itself instead of filling the filesystem under every
-    # other process (learned the hard way: an uncapped spill took the
-    # whole disk to zero mid-bench). Overridable via env.
-    tmp_dir = os.environ.get(
-        "ORACLE_TEMP_DIR", os.path.join(CACHE_DIR, ".duckdb_tmp")
-    )
-    os.makedirs(tmp_dir, exist_ok=True)
-    con.execute(f"set temp_directory='{tmp_dir}'")
-    con.execute(
-        "set max_temp_directory_size="
-        f"'{os.environ.get('ORACLE_TEMP_MAX', '60GB')}'"
-    )
-    for t in TABLES:
-        con.sql(
-            f"create view {t} as select * from "
-            f"read_parquet('{os.path.abspath(sf_dir)}/{t}.parquet')"
-        )
+    con = _connect_spill_capped()
+    _register_base_views(con, sf_dir)
     t0 = time.perf_counter()
     tmp = pq + f".tmp.{os.getpid()}"
-    con.execute(f"copy ({sql}) to '{tmp}' (format parquet)")
+    con.execute(f"copy ({sql}) to '{_sq(tmp)}' (format parquet)")
     con.close()
     os.replace(tmp, pq)
     meta = {
