@@ -902,7 +902,11 @@ def write_minhash_index(
     directories its own band keys hash into, exactly like the IVF cell
     index (write_ivf_index). At 100 TB the index is |docs|x|bands| short
     rows — a small fraction of corpus bytes — and a batch lookup reads
-    only matching directories, enforced by planner partition pruning."""
+    only matching directories, enforced by planner partition pruning.
+    Writer-writer: serialized on the index write lock (operators.locks
+    — an append racing a compaction would land postings in the old
+    tree and lose them to the swap)."""
+    from dbt_datbricks_demo_spark.operators.locks import index_write_lock
     from dbt_datbricks_demo_spark.plans.bucketing import write_partitioned
 
     rows = shingle_hash_rows(df, id_col, text_col, k)
@@ -913,12 +917,15 @@ def write_minhash_index(
             lsh_band_keys(F.col("_sig"), bands, num_hashes // bands)
         ).alias("band_key"),
     )
-    write_partitioned(
-        keyed.withColumn(MINHASH_BUCKET_COL, _band_bucket(F.col("band_key"))),
-        path,
-        MINHASH_BUCKET_COL,
-        mode=mode,
-    )
+    with index_write_lock(path, f"write_minhash_index[{mode}]"):
+        write_partitioned(
+            keyed.withColumn(
+                MINHASH_BUCKET_COL, _band_bucket(F.col("band_key"))
+            ),
+            path,
+            MINHASH_BUCKET_COL,
+            mode=mode,
+        )
 
 
 def index_candidate_pairs(
@@ -1358,13 +1365,21 @@ def delete_from_minhash_index(
     FIRST (round-9 advice): a delete against the crashed-between-
     renames state would recreate the index dir with only _tombstones
     inside, and the next recovery's cleaned_old branch would then
-    destroy the .old dir holding the only real postings copy."""
-    recover_minhash_index(index_path)
-    if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
-    ids.select(F.col(id_col).cast("long").alias("id")).write.mode(
-        "append"
-    ).parquet(_tombstones_path(index_path))
+    destroy the .old dir holding the only real postings copy.
+    Writer-writer: serialized on the index write lock (operators.locks
+    — a tombstone landing inside the old tree mid-compaction is wiped
+    by the swap, a silently LOST delete)."""
+    from dbt_datbricks_demo_spark.operators.locks import index_write_lock
+
+    with index_write_lock(index_path, "delete_from_minhash_index"):
+        recover_minhash_index(index_path)
+        if not isinstance(ids, DataFrame):
+            ids = spark.createDataFrame(
+                [(int(i),) for i in ids], f"{id_col} long"
+            )
+        ids.select(F.col(id_col).cast("long").alias("id")).write.mode(
+            "append"
+        ).parquet(_tombstones_path(index_path))
 
 
 def compact_minhash_index(
@@ -1387,7 +1402,21 @@ def compact_minhash_index(
     plan time by read_index_with_retry (retry through recovery); a
     reader already mid-scan when the retired tree is rmtree'd is the
     documented residual race — a multi-writer deployment fronts the
-    index with a catalog/snapshot layer (see read_index_with_retry)."""
+    index with a catalog/snapshot layer (see read_index_with_retry).
+    Writer-writer: serialized on the index write lock (operators.locks
+    — two compactions interleaving their renames can rmtree the only
+    valid postings copy; an append or delete mid-swap loses rows)."""
+    from dbt_datbricks_demo_spark.operators.locks import index_write_lock
+
+    with index_write_lock(index_path, "compact_minhash_index"):
+        return _compact_minhash_index_locked(
+            spark, index_path, files_per_bucket
+        )
+
+
+def _compact_minhash_index_locked(
+    spark, index_path: str, files_per_bucket: int = 1
+) -> dict:
     import os
     import shutil
 

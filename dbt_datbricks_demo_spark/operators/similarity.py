@@ -970,7 +970,9 @@ def write_batch_ivfpq_index(
     O(batch x nprobe x width) scored candidates instead of the brute
     |corpus| x |batch| product. Rows are sorted by sub_bucket within
     each cell directory so parquet row-group stats prune sub-bucket
-    ranges at real scale."""
+    ranges at real scale. Writer-writer: serialized on the index write
+    lock (operators.locks)."""
+    from dbt_datbricks_demo_spark.operators.locks import index_write_lock
     from dbt_datbricks_demo_spark.plans.bucketing import write_partitioned
 
     w = hyperplane_weights(planes, len(coarse[0]), prefix=plane_prefix)
@@ -982,7 +984,8 @@ def write_batch_ivfpq_index(
         hyperplane_bucket(F.col(vec_col), w).alias(BATCH_SUB_COL),
         ivf_assign(F.col(vec_col), coarse).alias(IVFPQ_CELL_COL),
     ).sortWithinPartitions(IVFPQ_CELL_COL, BATCH_SUB_COL)
-    write_partitioned(staged, path, IVFPQ_CELL_COL)
+    with index_write_lock(path, "write_batch_ivfpq_index"):
+        write_partitioned(staged, path, IVFPQ_CELL_COL)
 
 
 def append_batch_ivfpq_index(
@@ -1002,23 +1005,28 @@ def append_batch_ivfpq_index(
     index was built with and dynamic-partition-appends into the cell
     directories; N appends leave N file generations per cell until
     compact_batch_ivfpq_index retires them. Recovery runs first so an
-    append after a crashed compaction swap lands in a healthy tree."""
+    append after a crashed compaction swap lands in a healthy tree.
+    Writer-writer: serialized on the index write lock (operators.locks
+    — an append racing a compaction would land rows in the old tree
+    and lose them to the swap)."""
     from dbt_datbricks_demo_spark.operators.dedup import (
         recover_minhash_index as _recover,
     )
+    from dbt_datbricks_demo_spark.operators.locks import index_write_lock
     from dbt_datbricks_demo_spark.plans.bucketing import write_partitioned
 
-    _recover(path)
-    w = hyperplane_weights(planes, len(coarse[0]), prefix=plane_prefix)
-    codes = pq_encode(F.col(vec_col), books)
-    staged = df.select(
-        F.col(id_col),
-        codes.alias("pq_codes"),
-        pq_pack(codes, len(books[0])).alias("pq_code"),
-        hyperplane_bucket(F.col(vec_col), w).alias(BATCH_SUB_COL),
-        ivf_assign(F.col(vec_col), coarse).alias(IVFPQ_CELL_COL),
-    ).sortWithinPartitions(IVFPQ_CELL_COL, BATCH_SUB_COL)
-    write_partitioned(staged, path, IVFPQ_CELL_COL, mode="append")
+    with index_write_lock(path, "append_batch_ivfpq_index"):
+        _recover(path)
+        w = hyperplane_weights(planes, len(coarse[0]), prefix=plane_prefix)
+        codes = pq_encode(F.col(vec_col), books)
+        staged = df.select(
+            F.col(id_col),
+            codes.alias("pq_codes"),
+            pq_pack(codes, len(books[0])).alias("pq_code"),
+            hyperplane_bucket(F.col(vec_col), w).alias(BATCH_SUB_COL),
+            ivf_assign(F.col(vec_col), coarse).alias(IVFPQ_CELL_COL),
+        ).sortWithinPartitions(IVFPQ_CELL_COL, BATCH_SUB_COL)
+        write_partitioned(staged, path, IVFPQ_CELL_COL, mode="append")
 
 
 def delete_from_batch_ivfpq_index(
@@ -1033,20 +1041,25 @@ def delete_from_batch_ivfpq_index(
     state (base missing, .old holding the only copy) would otherwise
     recreate the base dir containing only _tombstones — and the next
     recovery, seeing base+.old both present, would take the
-    cleaned_old branch and rmtree the only real copy."""
+    cleaned_old branch and rmtree the only real copy. Writer-writer:
+    serialized on the index write lock (operators.locks — a tombstone
+    landing inside the old tree mid-compaction is wiped by the swap, a
+    silently LOST delete)."""
     from dbt_datbricks_demo_spark.operators.dedup import (
         _tombstones_path,
         recover_minhash_index as _recover,
     )
+    from dbt_datbricks_demo_spark.operators.locks import index_write_lock
 
-    _recover(path)
-    if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} long"
-        )
-    ids.select(F.col(id_col).cast("long").alias("id")).write.mode(
-        "append"
-    ).parquet(_tombstones_path(path))
+    with index_write_lock(path, "delete_from_batch_ivfpq_index"):
+        _recover(path)
+        if not isinstance(ids, DataFrame):
+            ids = spark.createDataFrame(
+                [(int(i),) for i in ids], f"{id_col} long"
+            )
+        ids.select(F.col(id_col).cast("long").alias("id")).write.mode(
+            "append"
+        ).parquet(_tombstones_path(path))
 
 
 def compact_batch_ivfpq_index(spark, path: str) -> dict:
@@ -1057,7 +1070,17 @@ def compact_batch_ivfpq_index(spark, path: str) -> dict:
     fresh build provides), and atomically swap via the two-rename +
     recover discipline shared with compact_minhash_index
     (operators/dedup.py — including its between-renames crash window,
-    which recovery rolls back). Returns before/after row/file counts."""
+    which recovery rolls back). Returns before/after row/file counts.
+    Writer-writer: serialized on the index write lock (operators.locks
+    — two compactions interleaving their renames can rmtree the only
+    valid postings copy)."""
+    from dbt_datbricks_demo_spark.operators.locks import index_write_lock
+
+    with index_write_lock(path, "compact_batch_ivfpq_index"):
+        return _compact_batch_ivfpq_index_locked(spark, path)
+
+
+def _compact_batch_ivfpq_index_locked(spark, path: str) -> dict:
     import os
     import shutil
 

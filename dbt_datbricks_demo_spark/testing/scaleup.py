@@ -123,12 +123,19 @@ def _replica_select(table: str, src: str, i: int) -> str:
 
 
 def scale_up_dir(
-    src_dir: str, dst_dir: str, factor: int, force: bool = False
+    src_dir: str,
+    dst_dir: str,
+    factor: int,
+    force: bool = False,
+    tables: tuple[str, ...] | None = None,
 ) -> str:
     """Write a ``factor``× scaled copy of ``src_dir`` into ``dst_dir``
     (one single-file parquet per table). Idempotent: a manifest pins
     (src, factor, generator version) and a matching manifest skips the
-    rebuild. Returns ``dst_dir``."""
+    rebuild. ``tables`` restricts generation to a subset (round 10:
+    the production-threshold tier-2 corpus needs 401 replicas of
+    DOCUMENTS only — replicating lineitem 401x would be ~10 GB of
+    parquet no consumer reads). Returns ``dst_dir``."""
     if factor < 1:
         raise ValueError("factor must be >= 1")
     manifest_path = os.path.join(dst_dir, "manifest.json")
@@ -137,13 +144,15 @@ def scale_up_dir(
         "factor": factor,
         "generator_version": GENERATOR_VERSION,
     }
+    if tables is not None:
+        manifest["tables"] = sorted(tables)
     if not force and os.path.exists(manifest_path):
         with open(manifest_path) as fh:
             if json.load(fh) == manifest:
                 return dst_dir
     os.makedirs(dst_dir, exist_ok=True)
     con = duckdb.connect()
-    for table in TABLES:
+    for table in tables if tables is not None else TABLES:
         src = os.path.join(src_dir, f"{table}.parquet")
         dst = os.path.join(dst_dir, f"{table}.parquet")
         if table in ("region", "nation"):

@@ -57,6 +57,8 @@ def _dir_stamp(sf_dir: str) -> str:
     parts = []
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue  # subset dirs (e.g. the documents-only 2M corpus)
         st = os.stat(p)
         parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
     return "|".join(parts)
@@ -113,9 +115,11 @@ def _connect_spill_capped():
 
 def _register_base_views(con, sf_dir: str) -> None:
     for t in TABLES:
+        p = os.path.join(os.path.abspath(sf_dir), f"{t}.parquet")
+        if not os.path.exists(p):
+            continue  # subset dirs (e.g. the documents-only 2M corpus)
         con.sql(
-            f"create view {t} as select * from "
-            f"read_parquet('{_sq(os.path.abspath(sf_dir))}/{t}.parquet')"
+            f"create view {t} as select * from read_parquet('{_sq(p)}')"
         )
 
 
@@ -151,6 +155,157 @@ def derive_oracle(name: str, sf_dir: str, sql: str) -> tuple[str, dict]:
     return pq, meta
 
 
+def _staged_plans() -> dict:
+    """Queries whose oracle can be derived in bounded passes. The plan
+    is a DERIVATION STRATEGY only — the cache key stays the monolithic
+    oracle-SQL text, and derive_oracle_staged refuses to install a
+    staged result for that key until the staged pipeline has been
+    hash-verified against an existing MONOLITHIC cache entry at this
+    or a smaller scale (tracked in the stage meta)."""
+    from dbt_datbricks_demo_spark.operators import dedup
+    from dbt_datbricks_demo_spark.queries.llm_ops import (
+        staged_knee_report_sql,
+    )
+    from dbt_datbricks_demo_spark.queries.pipeline_ops import (
+        staged_training_set_sql,
+    )
+
+    return {
+        "training_set_report": staged_training_set_sql,
+        "minhash_production_lsh": lambda: staged_knee_report_sql(
+            top=dedup.ADAPTIVE_GEOMETRY_TOP
+        ),
+    }
+
+
+def derive_oracle_staged(
+    name: str, sf_dir: str, sql: str, stages: list[tuple[str, str]]
+) -> tuple[str, dict]:
+    """Like derive_oracle, but one DuckDB connection PER STAGE with
+    each stage's output persisted to parquet and registered as a view
+    for later stages — peak spill is a single stage's working set, not
+    the whole derivation's (round-9 verdict item 1: the monolithic
+    x100 training_set_report spill needed ~150 GB against ~77 free).
+    Stages are cached under their own keys (stage SQL + upstream
+    keys + dir stamp), so an interrupted derivation resumes at the
+    first un-derived stage. The final stage installs under the SAME
+    cache key as the monolithic SQL, with meta recording the staged
+    provenance and per-stage walls."""
+    key = cache_key(name, sf_dir, sql)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    pq = os.path.join(CACHE_DIR, f"{name}_{key}.parquet")
+    meta_path = os.path.join(CACHE_DIR, f"{name}_{key}.json")
+    monolithic_cached = os.path.exists(pq) and os.path.exists(meta_path)
+    if monolithic_cached:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("derivation") == "staged" or meta.get("staged_verified"):
+            return pq, meta
+        # a MONOLITHIC entry exists: run the staged pipeline anyway and
+        # hash-verify it against that entry — this is the evidence that
+        # lets a later, bigger scale trust the staged plan
+    stamp = _dir_stamp(sf_dir)
+    stage_dir = os.path.join(CACHE_DIR, "stages")
+    os.makedirs(stage_dir, exist_ok=True)
+    upstream_key = ""
+    stage_walls: dict[str, float] = {}
+    stage_paths: dict[str, str] = {}
+    final_path = None
+    for sname, ssql in stages:
+        skey = hashlib.md5(
+            f"{name}|{sname}|{stamp}|{ssql}|{upstream_key}".encode()
+        ).hexdigest()[:16]
+        upstream_key = skey
+        spath = os.path.join(stage_dir, f"{name}_{sname}_{skey}.parquet")
+        if not os.path.exists(spath):
+            con = _connect_spill_capped()
+            _register_base_views(con, sf_dir)
+            for prev, ppath in stage_paths.items():
+                con.sql(
+                    f"create view {prev} as select * from "
+                    f"read_parquet('{_sq(ppath)}')"
+                )
+            t0 = time.perf_counter()
+            tmp = spath + f".tmp.{os.getpid()}"
+            con.execute(f"copy ({ssql}) to '{_sq(tmp)}' (format parquet)")
+            con.close()
+            os.replace(tmp, spath)
+            stage_walls[sname] = round(time.perf_counter() - t0, 1)
+            print(
+                f"  stage {sname}: "
+                f"{int(pd.read_parquet(spath, columns=[]).shape[0])} rows, "
+                f"{stage_walls[sname]}s",
+                flush=True,
+            )
+        else:
+            stage_walls[sname] = 0.0
+        stage_paths[sname] = spath
+        final_path = spath
+    import shutil
+
+    marker = os.path.join(CACHE_DIR, f"staged_verified_{name}.json")
+    verified: list[dict] = []
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            verified = json.load(fh)
+    if monolithic_cached:
+        # hash-verify staged vs the monolithic entry (exact compare —
+        # the driver-gate semantics, not a float tolerance)
+        sdf = pd.read_parquet(final_path)
+        odf = pd.read_parquet(pq)
+        problems = compare(name, sdf, odf)
+        if problems:
+            raise SystemExit(
+                f"staged derivation DIVERGES from the monolithic cache "
+                f"for {name} @ {sf_dir}: {problems[:5]}"
+            )
+        entry = {
+            "sf_dir": os.path.basename(os.path.abspath(sf_dir)),
+            "rows": int(len(sdf)),
+            "verified_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+        if entry["sf_dir"] not in {v["sf_dir"] for v in verified}:
+            verified.append(entry)
+            with open(marker, "w") as fh:
+                json.dump(verified, fh, indent=1)
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        meta["staged_verified"] = True
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        print(
+            f"staged {name} @ {sf_dir}: hash-equal to the monolithic "
+            f"cache entry ({len(sdf)} rows)",
+            flush=True,
+        )
+        return pq, meta
+    if not verified:
+        raise SystemExit(
+            f"refusing to install a staged oracle for {name}: no "
+            f"staged-vs-monolithic verification on record — run with "
+            f"--staged at a scale whose monolithic entry is cached "
+            f"first (marker: {marker})"
+        )
+    tmp = pq + f".tmp.{os.getpid()}"
+    shutil.copyfile(final_path, tmp)
+    os.replace(tmp, pq)
+    meta = {
+        "key": key,
+        "sf_dir": os.path.abspath(sf_dir),
+        "derive_s": round(sum(stage_walls.values()), 1),
+        "rows": int(len(pd.read_parquet(pq, columns=[]))),
+        "derived_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "derivation": "staged",
+        "stage_walls": stage_walls,
+        "staged_verified_against": verified,
+    }
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return pq, meta
+
+
 def record(name: str, sf_dir: str, outcome: dict) -> None:
     results = {}
     if os.path.exists(RESULTS):
@@ -164,6 +319,13 @@ def record(name: str, sf_dir: str, outcome: dict) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", required=True)
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="derive via the bounded per-stage plan where one is "
+        "registered (verifies against the monolithic cache when that "
+        "entry exists; installs only after a recorded verification)",
+    )
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -192,7 +354,11 @@ def main() -> int:
             with open(meta_path) as fh:
                 meta = json.load(fh)
         else:
-            pq, meta = derive_oracle(name, args.sf, sql)
+            if args.staged and name in _staged_plans():
+                stages = _staged_plans()[name]()
+                pq, meta = derive_oracle_staged(name, args.sf, sql, stages)
+            else:
+                pq, meta = derive_oracle(name, args.sf, sql)
             print(
                 f"oracle {name}: {meta['rows']} rows, "
                 f"derive {meta['derive_s']}s (key {meta['key']})",
@@ -223,6 +389,15 @@ def main() -> int:
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
         }
+        if meta.get("derivation") == "staged":
+            # staged provenance is visible in the ledger: the oracle
+            # was derived in bounded passes and installed only after a
+            # staged-vs-monolithic hash verification on record
+            outcome["derivation"] = "staged"
+            outcome["staged_verified_against"] = [
+                v["sf_dir"]
+                for v in meta.get("staged_verified_against", [])
+            ]
         if problems:
             outcome["problems"] = problems[:5]
             rc = 1

@@ -1431,3 +1431,139 @@ def test_adaptive_rows_per_band_schedule():
     assert adaptive_rows_per_band(20000) == 8
     assert adaptive_rows_per_band(20001) == 16
     assert adaptive_rows_per_band(10**9) == 16  # capped at num_hashes
+
+
+def test_index_write_lock_contract(tmp_path):
+    """Writer-writer lock semantics (round-9 verdict item 3): O_EXCL
+    acquisition, fail-fast conflict against a LIVE holder, atomic
+    stale-lock takeover with read-back verification, and release that
+    never unlinks a newer owner's lock."""
+    import json
+    import os
+    import time
+
+    from dbt_datbricks_demo_spark.operators.locks import (
+        IndexWriterConflict,
+        index_write_lock,
+        _lock_path,
+    )
+
+    idx = str(tmp_path / "locked_index")
+
+    # plain acquire/release
+    with index_write_lock(idx, "a"):
+        assert os.path.exists(_lock_path(idx))
+        # live conflict fails fast and leaves the holder's lock alone
+        with pytest.raises(IndexWriterConflict, match="write-locked"):
+            with index_write_lock(idx, "b"):
+                raise AssertionError("must not enter")
+        assert json.load(open(_lock_path(idx)))["owner"] == "a"
+    assert not os.path.exists(_lock_path(idx))
+
+    # stale takeover: a crashed writer's old lock is claimed atomically
+    with open(_lock_path(idx), "w") as fh:
+        json.dump(
+            {"pid": 999999, "owner": "crashed", "acquired_at": 1.0}, fh
+        )
+    with index_write_lock(idx, "claimant", stale_after_s=60):
+        assert json.load(open(_lock_path(idx)))["owner"] == "claimant"
+    assert not os.path.exists(_lock_path(idx))
+
+    # a FRESH foreign lock is respected even by a would-be claimant
+    with open(_lock_path(idx), "w") as fh:
+        json.dump(
+            {"pid": 999999, "owner": "other", "acquired_at": time.time()},
+            fh,
+        )
+    with pytest.raises(IndexWriterConflict):
+        with index_write_lock(idx, "claimant", stale_after_s=60):
+            pass
+    os.unlink(_lock_path(idx))
+
+    # release never unlinks a lock we no longer own (takeover happened
+    # under us): simulate by swapping the content mid-hold
+    with index_write_lock(idx, "a"):
+        with open(_lock_path(idx), "w") as fh:
+            json.dump(
+                {"pid": 1, "owner": "usurper", "acquired_at": time.time()},
+                fh,
+            )
+    assert json.load(open(_lock_path(idx)))["owner"] == "usurper"
+    os.unlink(_lock_path(idx))
+
+
+def test_compact_vs_append_writer_lock_both_orders(spark, tmp_path):
+    """Round-9 verdict item 3: the two-session WRITER race, both
+    orders. A compaction holding the index write lock makes a
+    concurrent append/delete fail fast (no rows land in the old tree
+    to be lost by the swap); an append holding it makes a concurrent
+    compaction fail fast (no interleaved renames). After the loser
+    retries serially, probe results equal the serial schedule's."""
+    import random
+
+    from dbt_datbricks_demo_spark.operators.locks import (
+        IndexWriterConflict,
+        index_write_lock,
+    )
+    from dbt_datbricks_demo_spark.queries.mining_ops import (
+        _IVFPQ_COARSE,
+        _PQ_BOOKS,
+    )
+
+    rng = random.Random(43)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = similarity.adaptive_planes(120, 16, target_cell_width=16)
+    idx = str(tmp_path / "ww_bidx")
+    gen_a = emb.filter(F.col("vec_id") < 80)
+    gen_b = emb.filter(F.col("vec_id") >= 80)
+    similarity.write_batch_ivfpq_index(
+        gen_a, _IVFPQ_COARSE, _PQ_BOOKS, planes, idx
+    )
+
+    # order 1: a compaction session holds the lock -> append + delete
+    # in "another session" both fail fast, index bytes untouched
+    with index_write_lock(idx, "compact-session"):
+        with pytest.raises(IndexWriterConflict):
+            similarity.append_batch_ivfpq_index(
+                gen_b, _IVFPQ_COARSE, _PQ_BOOKS, planes, idx
+            )
+        with pytest.raises(IndexWriterConflict):
+            similarity.delete_from_batch_ivfpq_index(spark, idx, [3])
+    rows_after_conflicts = spark.read.parquet(idx).count()
+    assert rows_after_conflicts == 80  # nothing landed under the lock
+
+    # order 2: an append session holds the lock -> compaction fails fast
+    with index_write_lock(idx, "append-session"):
+        with pytest.raises(IndexWriterConflict):
+            similarity.compact_batch_ivfpq_index(spark, idx)
+
+    # serial retry converges to the serial schedule's state
+    similarity.append_batch_ivfpq_index(
+        gen_b, _IVFPQ_COARSE, _PQ_BOOKS, planes, idx
+    )
+    similarity.delete_from_batch_ivfpq_index(spark, idx, [3])
+    stats = similarity.compact_batch_ivfpq_index(spark, idx)
+    assert stats["rows_after"] == 119  # 120 ingested - 1 tombstoned
+
+    # same contract on the minhash index write paths
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared shingle text {i % 3}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    mh = str(tmp_path / "ww_mh_index")
+    dedup.write_minhash_index(docs, mh)
+    with index_write_lock(mh, "compact-session"):
+        with pytest.raises(IndexWriterConflict):
+            dedup.write_minhash_index(docs, mh, mode="append")
+        with pytest.raises(IndexWriterConflict):
+            dedup.delete_from_minhash_index(spark, mh, [1])
+        with pytest.raises(IndexWriterConflict):
+            dedup.compact_minhash_index(spark, mh)
+    # lock released -> maintenance proceeds
+    dedup.delete_from_minhash_index(spark, mh, [1])
+    st = dedup.compact_minhash_index(spark, mh)
+    assert st["rows_after"] < st["rows_before"]

@@ -417,3 +417,45 @@ def test_minhash_index_delete_and_compact_lifecycle(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_scale_md_ledger_matches_scaled_oracle_artifact():
+    """Round-9 verdict item 4: SCALE.md's scaled-oracle summary drifted
+    from SCALED_ORACLE.json once (it omitted corpus_pipeline's x100
+    hash-green cell). The summary is now a machine-checkable ledger
+    block pinned here KEY-FOR-KEY against the artifact: every
+    match:true (query, dir) cell in SCALED_ORACLE.json must appear in
+    SCALE.md's ledger list, and vice versa."""
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    art_path = os.path.join(repo, "SCALED_ORACLE.json")
+    md_path = os.path.join(repo, "SCALE.md")
+    if not os.path.exists(art_path):
+        pytest.skip("no SCALED_ORACLE.json in this checkout")
+    with open(art_path) as fh:
+        art = json.load(fh)
+    want = {
+        name: sorted(d for d, cell in dirs.items() if cell.get("match"))
+        for name, dirs in art.items()
+    }
+    want = {k: v for k, v in want.items() if v}
+
+    with open(md_path) as fh:
+        md = fh.read()
+    m = re.search(
+        r"Scaled-oracle ledger after this round.*?\n\n((?:- [^\n]*\n)+)",
+        md,
+        re.S,
+    )
+    assert m, "SCALE.md is missing the scaled-oracle ledger block"
+    got = {}
+    for line in m.group(1).strip().splitlines():
+        name, dirs = re.match(r"- (\w+): (.*)$", line).groups()
+        got[name] = sorted(d.strip() for d in dirs.split(","))
+    assert got == want, (
+        f"SCALE.md ledger out of sync with SCALED_ORACLE.json:\n"
+        f"  SCALE.md : {got}\n  artifact : {want}"
+    )
