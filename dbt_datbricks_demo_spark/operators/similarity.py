@@ -1123,6 +1123,39 @@ def _compact_batch_ivfpq_index_locked(spark, path: str) -> dict:
     }
 
 
+def batch_index_exists(path: str) -> bool:
+    """Does a batch IVF-PQ index live at this path? Checks for cell
+    directories rather than _SUCCESS (dynamic-partition appends commit
+    without the root marker) — the minhash_index_exists discipline."""
+    import os
+
+    return os.path.isdir(path) and any(
+        e.startswith(IVFPQ_CELL_COL + "=") for e in os.listdir(path)
+    )
+
+
+def batch_index_max_files_per_cell(path: str) -> int:
+    """Largest parquet-file generation count across cell directories —
+    the compaction-cadence signal for the streaming ANN ingest (N
+    appends leave N file generations per cell; probes pay per file
+    open). Local stat walk, like minhash_index_max_files_per_bucket."""
+    import os
+
+    worst = 0
+    if not os.path.isdir(path):
+        return 0
+    for d in os.listdir(path):
+        if not d.startswith(IVFPQ_CELL_COL + "="):
+            continue
+        n = sum(
+            1
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        )
+        worst = max(worst, n)
+    return worst
+
+
 def packed_double_array_lit(values) -> Column:
     """A flat ``array<double>`` literal delivered as ONE string literal
     plus a foldable split/cast. ``F.lit(<python list>)`` builds a

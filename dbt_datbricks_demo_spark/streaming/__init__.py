@@ -19,3 +19,7 @@ from dbt_datbricks_demo_spark.streaming.corpus import (  # noqa: F401
     read_document_stream,
     write_corpus_append,
 )
+from dbt_datbricks_demo_spark.streaming.vectors import (  # noqa: F401
+    ann_index_ingest_batch_fn,
+    write_vector_index_ingest,
+)

@@ -878,3 +878,89 @@ def test_index_compaction_file_count_cadence(spark, tmp_path):
         for r in spark.read.parquet(index).select("doc_id").distinct().collect()
     }
     assert got == {0, 1, 2}
+
+
+def test_streaming_ann_index_ingest_matches_batch_built(spark, tmp_path):
+    """Round-9 verdict item 7: the batch IVF-PQ index is now
+    stream-maintained like the MinHash band index. Three embedding
+    micro-batches stream through the foreachBatch ingest (with an
+    in-stream compaction firing on the cadence config); a probe
+    through batch_ivfpq_index_topk must return EXACTLY the rows the
+    batch-built index over the same vectors returns, and the lifecycle
+    ops (tombstone delete + compact) keep working on the streamed
+    index."""
+    import json
+    import random
+
+    from dbt_datbricks_demo_spark.operators import similarity
+    from dbt_datbricks_demo_spark.queries.mining_ops import (
+        _IVFPQ_COARSE,
+        _PQ_BOOKS,
+    )
+    from dbt_datbricks_demo_spark.streaming.vectors import (
+        write_vector_index_ingest,
+    )
+
+    rng = random.Random(47)
+    vecs = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(120)
+    ]
+    planes = similarity.adaptive_planes(len(vecs), 16, target_cell_width=16)
+
+    # reference: batch-built index over ALL rows at once
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    ref_idx = str(tmp_path / "ann_ref_idx")
+    similarity.write_batch_ivfpq_index(
+        emb, _IVFPQ_COARSE, _PQ_BOOKS, planes, ref_idx
+    )
+    queries = emb.filter(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    def probe(path):
+        return sorted(
+            (r["q_id"], r["vec_id"], r["rank"], r["adc_score"])
+            for r in similarity.batch_ivfpq_index_topk(
+                spark, path, _IVFPQ_COARSE, _PQ_BOOKS, planes, queries,
+                probe_radius=2,
+            ).collect()
+        )
+
+    want = probe(ref_idx)
+    assert want
+
+    # stream: the same 120 vectors in 3 file micro-batches
+    input_dir = tmp_path / "ann_in"
+    input_dir.mkdir()
+    idx = str(tmp_path / "ann_stream_idx")
+    ckpt = str(tmp_path / "ann_ckpt")
+    for b in range(3):
+        with open(input_dir / f"b{b}.jsonl", "w") as fh:
+            for i, v in vecs[b * 40:(b + 1) * 40]:
+                fh.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(input_dir))
+    )
+    q = (
+        write_vector_index_ingest(
+            stream, idx, ckpt, _IVFPQ_COARSE, _PQ_BOOKS, planes,
+            compact_every=2,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(idx).count() == 120
+    assert probe(idx) == want  # stream-built == batch-built, row for row
+
+    # lifecycle on the streamed index: tombstone + compact, dupes and
+    # deleted ids retired physically, probes reflect the delete
+    victim = want[0][1]
+    similarity.delete_from_batch_ivfpq_index(spark, idx, [victim])
+    stats = similarity.compact_batch_ivfpq_index(spark, idx)
+    assert stats["rows_after"] == 119
+    after = probe(idx)
+    assert all(v != victim for _, v, _, _ in after)
