@@ -30,6 +30,18 @@ consumer (8 signature slots × band slices ⇒ up to 64×); Catalyst's
 CollapseProject will NOT inline a non-cheap alias referenced more than
 once, so a staged column is computed exactly once per row. Measured at
 sf0.01 this turns a 34 s band-key projection into < 1 s.
+
+Standing-index concurrency contract (rounds 9-10): CONCURRENT READERS
+ride recovery + one retry (read_index_with_retry — plan-time listing
+covered; a reader mid-scan during an .old rmtree is the documented
+residual, catalog territory). CONCURRENT WRITERS serialize on the
+index write lock (operators/locks.py): every write entry point
+(write_minhash_index, delete_from_minhash_index,
+compact_minhash_index) holds `{index}.writer.lock` for its duration —
+a live second writer fails fast with IndexWriterConflict, a stale lock
+(crashed writer) is taken over atomically. Without it, a tombstone or
+postings append landing inside the old tree mid-compaction is silently
+wiped by the swap.
 """
 
 from __future__ import annotations

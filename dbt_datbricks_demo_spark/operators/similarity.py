@@ -14,6 +14,13 @@
 Dot products accumulate sequentially in array order with double math —
 bit-identical across engines, which is what makes the DuckDB oracle able
 to hash-match exact float cosines.
+
+Standing-index concurrency contract (rounds 9-10): readers ride
+recovery + one retry (dedup.read_index_with_retry); WRITERS serialize
+on the index write lock (operators/locks.py) — write/append/delete/
+compact of the batch IVF-PQ index each hold `{index}.writer.lock`, a
+live second writer fails fast (IndexWriterConflict), a stale lock is
+taken over atomically. See operators/dedup.py for the full statement.
 """
 
 from __future__ import annotations
