@@ -1567,3 +1567,46 @@ def test_compact_vs_append_writer_lock_both_orders(spark, tmp_path):
     dedup.delete_from_minhash_index(spark, mh, [1])
     st = dedup.compact_minhash_index(spark, mh)
     assert st["rows_after"] < st["rows_before"]
+
+
+def test_adc_delivery_paths_identical(spark, tmp_path, monkeypatch):
+    """batch_ivfpq_index_topk delivers the per-query ADC tables two
+    ways chosen by counted batch size (packed literal under
+    ADC_LITERAL_MAX_BATCH, broadcast-hash join above — the round-10
+    measured cross-over). Same index, same queries, both paths must
+    return IDENTICAL rows and scores."""
+    import random
+
+    from dbt_datbricks_demo_spark.queries.mining_ops import (
+        _IVFPQ_COARSE,
+        _PQ_BOOKS,
+    )
+
+    rng = random.Random(53)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = similarity.adaptive_planes(300, 16, target_cell_width=16)
+    idx = str(tmp_path / "adc_path_idx")
+    similarity.write_batch_ivfpq_index(
+        emb, _IVFPQ_COARSE, _PQ_BOOKS, planes, idx
+    )
+    queries = emb.filter(F.col("vec_id") % 20 == 1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )  # 15 queries — under the default threshold
+
+    def run():
+        return sorted(
+            (r["q_id"], r["vec_id"], r["rank"], r["adc_score"])
+            for r in similarity.batch_ivfpq_index_topk(
+                spark, idx, _IVFPQ_COARSE, _PQ_BOOKS, planes, queries,
+                probe_radius=2,
+            ).collect()
+        )
+
+    lit_rows = run()  # literal path (15 <= 64)
+    monkeypatch.setattr(similarity, "ADC_LITERAL_MAX_BATCH", 0)
+    join_rows = run()  # forced broadcast-join path
+    assert lit_rows == join_rows
+    assert lit_rows  # non-vacuous

@@ -1,0 +1,78 @@
+"""The staged oracle derivation harness (round-10 verdict item 1):
+every registered staged plan must produce EXACTLY the monolithic
+oracle's result, and the harness must refuse to install a staged-only
+result until a staged-vs-monolithic verification is on record.
+
+These run pure DuckDB at sf0.001 (500 docs) — no Spark session — so
+the per-round suite re-proves the equivalence the big-scale installs
+lean on, not just the one-time markers under scaledata/."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def scaled_oracle(tmp_path, monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        "scaled_oracle_under_test",
+        os.path.join(REPO, "scripts", "scaled_oracle.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.setattr(mod, "RESULTS", str(tmp_path / "ledger.json"))
+    return mod
+
+
+@pytest.mark.parametrize("name", ["training_set_report", "minhash_production_lsh"])
+def test_staged_plan_matches_monolithic_and_guards_install(
+    scaled_oracle, name
+):
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata not present")
+    from dbt_datbricks_demo_spark.queries import QUERIES
+
+    sql = QUERIES[name].oracle
+    stages = scaled_oracle._staged_plans()[name]()
+
+    # 1. with NO monolithic entry and NO verification marker, the
+    # harness refuses a staged-only install
+    with pytest.raises(SystemExit, match="refusing to install"):
+        scaled_oracle.derive_oracle_staged(name, SF_DIR, sql, stages)
+
+    # 2. derive the monolithic entry, then the staged pipeline must
+    # hash-verify against it (raises SystemExit on divergence)
+    pq_mono, _ = scaled_oracle.derive_oracle(name, SF_DIR, sql)
+    pq, meta = scaled_oracle.derive_oracle_staged(name, SF_DIR, sql, stages)
+    assert meta.get("staged_verified") is True
+    marker = os.path.join(
+        scaled_oracle.CACHE_DIR, f"staged_verified_{name}.json"
+    )
+    with open(marker) as fh:
+        entries = json.load(fh)
+    assert [e["sf_dir"] for e in entries] == ["sf0.001"]
+
+    # 3. belt and braces: compare the staged FINAL stage parquet to the
+    # monolithic result with the driver-gate compare directly
+    stage_dir = os.path.join(scaled_oracle.CACHE_DIR, "stages")
+    finals = [
+        f for f in os.listdir(stage_dir)
+        if f.startswith(f"{name}_result_") and f.endswith(".parquet")
+    ]
+    assert len(finals) == 1
+    from oracle_harness import compare
+
+    sdf = pd.read_parquet(os.path.join(stage_dir, finals[0]))
+    odf = pd.read_parquet(pq_mono)
+    assert not compare(name, sdf, odf)
