@@ -964,3 +964,56 @@ def test_streaming_ann_index_ingest_matches_batch_built(spark, tmp_path):
     assert stats["rows_after"] == 119
     after = probe(idx)
     assert all(v != victim for _, v, _, _ in after)
+
+
+def test_streaming_ann_ingest_recovers_crashed_compaction(spark, tmp_path):
+    """Restart safety for the ANN stream ingest (symmetry with the
+    minhash ingest's crash-restart coverage): a previous session died
+    BETWEEN the compaction swap renames — index dir gone, .old holds
+    the only copy, .compacting half-written. The next micro-batch must
+    repair the tree before appending, and the probe must see every
+    ingested vector."""
+    import os
+    import random
+    import shutil
+
+    from dbt_datbricks_demo_spark.operators import similarity
+    from dbt_datbricks_demo_spark.queries.mining_ops import (
+        _IVFPQ_COARSE,
+        _PQ_BOOKS,
+    )
+    from dbt_datbricks_demo_spark.streaming.vectors import (
+        ann_index_ingest_batch_fn,
+    )
+
+    rng = random.Random(59)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(80)]
+    planes = similarity.adaptive_planes(len(vecs), 16, target_cell_width=16)
+    idx = str(tmp_path / "ann_crash_idx")
+    fn = ann_index_ingest_batch_fn(idx, _IVFPQ_COARSE, _PQ_BOOKS, planes)
+
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    fn(emb.filter(F.col("vec_id") < 40), 0)
+    assert spark.read.parquet(idx).count() == 40
+
+    # inject the between-renames crash state of a died compaction
+    shutil.copytree(idx, idx + ".compacting")
+    os.rename(idx, idx + ".old")
+    assert not os.path.exists(idx)
+
+    # next micro-batch: recovery rolls back, append lands in the
+    # repaired tree
+    fn(emb.filter(F.col("vec_id") >= 40), 1)
+    assert os.path.exists(idx)
+    assert not os.path.exists(idx + ".old")
+    assert not os.path.exists(idx + ".compacting")
+    assert spark.read.parquet(idx).count() == 80
+
+    queries = emb.filter(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = similarity.batch_ivfpq_index_topk(
+        spark, idx, _IVFPQ_COARSE, _PQ_BOOKS, planes, queries,
+        probe_radius=2,
+    ).collect()
+    assert got and {r["q_id"] for r in got} == {1, 41}
