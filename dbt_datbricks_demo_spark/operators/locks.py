@@ -19,9 +19,12 @@ entry point now serializes on a lock FILE next to the index:
   * a lock older than ``stale_after_s`` (a crashed writer — the write
     ops themselves are crash-recoverable via recover_minhash_index, so
     abandoning the lock is safe) is TAKEN OVER: the claimant renames
-    its own claim file over the stale lock, then reads the lock back
-    and proceeds only if the content is its own — rename is atomic, so
-    when two claimants race exactly one read-back succeeds.
+    the stale lock ASIDE to a claimant-unique name — os.rename of one
+    source path succeeds for exactly one racer (every loser sees
+    FileNotFoundError because the source is gone) — and then O_EXCL-
+    creates the fresh lock. Rename-over + read-back is NOT used: two
+    racers can interleave replace/read-back so that both read back
+    their own claim and both proceed.
 
 Scope, stated plainly: a bare filesystem lock serializes writers on
 ONE host — exactly what the local[] sandbox can test. A multi-host
@@ -64,13 +67,26 @@ def _read_lock(path: str) -> dict | None:
         return None
 
 
-def _write_claim(path: str, owner: str) -> dict:
-    claim = {
-        "pid": os.getpid(),
-        "owner": owner,
-        "acquired_at": time.time(),
-    }
-    with open(path, "w") as fh:
+def _lock_age_s(held: dict | None) -> float:
+    """Age of a held lock; missing/foreign/garbage timestamps (a
+    partial write or a non-conforming writer) count as infinitely old,
+    i.e. stale — never a KeyError."""
+    ts = held.get("acquired_at") if held else None
+    if not isinstance(ts, (int, float)):
+        return float("inf")
+    return time.time() - ts
+
+
+def _excl_create_lock(lock: str, owner: str) -> dict:
+    """O_EXCL-create ``lock`` with our claim; atomic on POSIX local
+    filesystems. Raises FileExistsError if any writer beat us."""
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        claim = {
+            "pid": os.getpid(),
+            "owner": owner,
+            "acquired_at": time.time(),
+        }
         json.dump(claim, fh)
     return claim
 
@@ -81,43 +97,46 @@ def index_write_lock(
 ):
     """Hold the single-writer lock for ``index_path`` for the duration
     of the with-block. Raises IndexWriterConflict when another LIVE
-    writer holds it; takes over a stale lock atomically (rename +
-    read-back)."""
+    writer holds it; arbitrates stale-lock takeover via a rename-aside
+    (exactly one racer's os.rename succeeds)."""
     lock = _lock_path(index_path)
     os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
-    claim = None
     try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        claim = _excl_create_lock(lock, owner)
     except FileExistsError:
         held = _read_lock(lock)
-        age = time.time() - held["acquired_at"] if held else float("inf")
-        if held is not None and age <= stale_after_s:
+        age = _lock_age_s(held)
+        if age <= stale_after_s:
             raise IndexWriterConflict(
                 f"index {index_path} is write-locked by "
                 f"pid={held.get('pid')} owner={held.get('owner')!r} "
                 f"({age:.0f}s ago); retry after it finishes or goes "
                 f"stale (> {stale_after_s:.0f}s)"
             )
-        # stale (or unreadable) lock: atomic takeover — rename our
-        # claim over it, then verify the survivor is OUR claim (two
-        # racing claimants both rename; exactly one read-back wins)
-        takeover = f"{lock}.claim.{os.getpid()}"
-        claim = _write_claim(takeover, owner)
-        os.replace(takeover, lock)
-        survivor = _read_lock(lock)
-        if survivor != claim:
+        # Stale (or unreadable) lock: arbitrate by renaming the stale
+        # lock ASIDE to a claimant-unique name. os.rename of one source
+        # succeeds for exactly one racer — every loser's source is
+        # already gone (FileNotFoundError). The winner then O_EXCL-
+        # creates the fresh lock; a FileExistsError there means a third
+        # writer slipped in after the aside and legitimately owns it.
+        aside = f"{lock}.stale.{os.getpid()}"
+        try:
+            os.rename(lock, aside)
+        except FileNotFoundError:
+            raise IndexWriterConflict(
+                f"lost the stale-lock takeover race for {index_path}: "
+                "another claimant removed the stale lock first"
+            )
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(aside)
+        try:
+            claim = _excl_create_lock(lock, owner)
+        except FileExistsError:
+            survivor = _read_lock(lock)
             raise IndexWriterConflict(
                 f"lost the stale-lock takeover race for {index_path} "
                 f"to pid={survivor.get('pid') if survivor else '?'}"
             )
-    else:
-        with os.fdopen(fd, "w") as fh:
-            claim = {
-                "pid": os.getpid(),
-                "owner": owner,
-                "acquired_at": time.time(),
-            }
-            json.dump(claim, fh)
     try:
         yield
     finally:

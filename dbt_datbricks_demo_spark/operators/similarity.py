@@ -1142,12 +1142,20 @@ ADC_LITERAL_MAX_BATCH = 64
 def batch_index_exists(path: str) -> bool:
     """Does a batch IVF-PQ index live at this path? Checks for cell
     directories rather than _SUCCESS (dynamic-partition appends commit
-    without the root marker) — the minhash_index_exists discipline."""
+    without the root marker) — the minhash_index_exists discipline.
+    An index sitting in the crashed between-renames compaction state
+    (base missing, ``.old`` holding the only copy) COUNTS as existing:
+    callers must route to the locked write paths, whose under-lock
+    recovery rolls the swap back — an unlocked recovery here would
+    race a live compactor between its two renames (round-10 advice)."""
     import os
 
-    return os.path.isdir(path) and any(
-        e.startswith(IVFPQ_CELL_COL + "=") for e in os.listdir(path)
-    )
+    def _has_cells(p: str) -> bool:
+        return os.path.isdir(p) and any(
+            e.startswith(IVFPQ_CELL_COL + "=") for e in os.listdir(p)
+        )
+
+    return _has_cells(path) or _has_cells(path.rstrip("/") + ".old")
 
 
 def batch_index_max_files_per_cell(path: str) -> int:
@@ -1195,7 +1203,14 @@ def packed_double_array_lit(values) -> Column:
             flat.append(float(v))
 
     _walk(stack[0])
-    assert all(x == x and abs(x) != float("inf") for x in flat)
+    # hard check, not assert: under `python -O` an assert is stripped,
+    # repr() would emit 'nan'/'inf', the array<double> cast would yield
+    # NULL, and ADC scores would silently corrupt instead of failing
+    if not all(x == x and abs(x) != float("inf") for x in flat):
+        raise ValueError(
+            "packed_double_array_lit requires finite values; got "
+            "NaN/inf in the packed codebook/plane constants"
+        )
     s = ",".join(repr(x) for x in flat)
     return F.split(F.lit(s), ",").cast("array<double>")
 

@@ -40,9 +40,12 @@ def ann_index_ingest_batch_fn(
     index (operators/similarity.write_batch_ivfpq_index layout) as
     vector batches stream in. Per micro-batch:
 
-      1. recovery first (recover_minhash_index — the swap discipline is
-         shared), so a restart that killed a compaction at any point of
-         the swap finds a readable index and converges;
+      1. every write entry point (append/write/compact in
+         operators/similarity.py) runs recovery UNDER the index write
+         lock before acting, so a restart that killed a compaction at
+         any point of the swap finds a readable index and converges —
+         no unlocked recovery happens here (an unlocked rename-back
+         would race a live compactor between its two swap renames);
       2. encode with the index's frozen (coarse, books, planes) and
          append into the cell directories (write on first batch). A
          REPLAYED batch double-appends physically; probes retire
@@ -61,13 +64,9 @@ def ann_index_ingest_batch_fn(
     the state (appends are encoded rows, compaction is a table
     service). The checkpoint gives exactly-once batch ids; everything
     else is idempotent-by-replay."""
-    from dbt_datbricks_demo_spark.operators.dedup import (
-        recover_minhash_index,
-    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        recover_minhash_index(index_path)
         batch = batch_df.select(id_col, vec_col)
         if similarity.batch_index_exists(index_path):
             similarity.append_batch_ivfpq_index(

@@ -69,8 +69,13 @@ def main() -> int:
     ).metadata.num_rows
     geometry = dedup.adaptive_minhash_geometry(n_docs)
     print(f"corpus: {n_docs} docs (gen {gen_s}s), production tier {geometry}")
-    assert n_docs > 2_000_000, n_docs
-    assert geometry == dedup.ADAPTIVE_GEOMETRY_TOP, geometry
+    if n_docs <= 2_000_000:
+        raise SystemExit(f"corpus too small to exercise tier-2: {n_docs}")
+    if geometry != dedup.ADAPTIVE_GEOMETRY_TOP:
+        raise SystemExit(
+            f"adaptive geometry chose {geometry}, not the top tier "
+            f"{dedup.ADAPTIVE_GEOMETRY_TOP}"
+        )
 
     from dbt_datbricks_demo_spark.queries import QUERIES
     from dbt_datbricks_demo_spark.session import get_spark
@@ -107,13 +112,25 @@ def main() -> int:
         },
         "checked_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    # the switch must be OBSERVED in the result, not inferred
-    assert (
+    # the switch must be OBSERVED in the result, not inferred — and as
+    # explicit checks, not asserts: under `python -O` asserts vanish
+    # and the script would write TIER2_PROD.json with
+    # planted_cert_green=True even if the tier never switched
+    observed = (
         int(row["n_hashes"]),
         int(row["n_bands"]),
         int(row["rows_per_band"]),
-    ) == dedup.ADAPTIVE_GEOMETRY_TOP, row
-    assert int(row["cert_band_hits"]) == int(row["cert_planted"]), row
+    )
+    if observed != dedup.ADAPTIVE_GEOMETRY_TOP:
+        raise SystemExit(
+            f"tier-2 geometry did not fire: observed {observed}, "
+            f"expected {dedup.ADAPTIVE_GEOMETRY_TOP}; row={row}"
+        )
+    if int(row["cert_band_hits"]) != int(row["cert_planted"]):
+        raise SystemExit(
+            f"planted-pair recall cert failed: "
+            f"{row['cert_band_hits']}/{row['cert_planted']}; row={row}"
+        )
     summary["planted_cert_green"] = True
 
     if not args.spark_only:

@@ -1491,6 +1491,61 @@ def test_index_write_lock_contract(tmp_path):
     assert json.load(open(_lock_path(idx)))["owner"] == "usurper"
     os.unlink(_lock_path(idx))
 
+    # a lock with valid JSON but NO acquired_at (partial/foreign write)
+    # is stale, not a KeyError (round-10 advice)
+    with open(_lock_path(idx), "w") as fh:
+        json.dump({"pid": 999999, "owner": "foreign"}, fh)
+    with index_write_lock(idx, "claimant", stale_after_s=60):
+        assert json.load(open(_lock_path(idx)))["owner"] == "claimant"
+    assert not os.path.exists(_lock_path(idx))
+
+    # takeover arbitration is rename-aside (round-10 advice): the loser
+    # whose os.rename finds the stale lock already gone gets a clean
+    # IndexWriterConflict, and a racer that O_EXCL-created between the
+    # aside and our create is respected
+    with open(_lock_path(idx), "w") as fh:
+        json.dump(
+            {"pid": 999999, "owner": "crashed", "acquired_at": 1.0}, fh
+        )
+    real_rename = os.rename
+
+    def steal_then_rename(src, dst):
+        # simulate the other claimant winning the aside first
+        real_rename(src, str(tmp_path / "other_claimant_aside"))
+        return real_rename(src, dst)  # raises FileNotFoundError
+
+    import unittest.mock as _mock
+
+    with _mock.patch("os.rename", side_effect=steal_then_rename):
+        with pytest.raises(IndexWriterConflict, match="takeover race"):
+            with index_write_lock(idx, "loser", stale_after_s=60):
+                raise AssertionError("must not enter")
+    # the winner's aside file is gone too (unlinked by winner) — here
+    # the 'other claimant' kept it; clean up and verify no lock remains
+    assert not os.path.exists(_lock_path(idx))
+
+    # winner renames aside, then a THIRD writer O_EXCL-creates before
+    # the winner's create: winner must concede
+    with open(_lock_path(idx), "w") as fh:
+        json.dump(
+            {"pid": 999999, "owner": "crashed", "acquired_at": 1.0}, fh
+        )
+
+    def rename_then_third_writer(src, dst):
+        real_rename(src, dst)
+        with open(_lock_path(idx), "w") as fh:
+            json.dump(
+                {"pid": 424242, "owner": "third", "acquired_at": time.time()},
+                fh,
+            )
+
+    with _mock.patch("os.rename", side_effect=rename_then_third_writer):
+        with pytest.raises(IndexWriterConflict, match="takeover race"):
+            with index_write_lock(idx, "loser", stale_after_s=60):
+                raise AssertionError("must not enter")
+    assert json.load(open(_lock_path(idx)))["owner"] == "third"
+    os.unlink(_lock_path(idx))
+
 
 def test_compact_vs_append_writer_lock_both_orders(spark, tmp_path):
     """Round-9 verdict item 3: the two-session WRITER race, both
