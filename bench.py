@@ -328,6 +328,22 @@ def main() -> None:
         payload["errors"] = errors
     payload["slowest"] = slowest
     payload["tq"] = tq
+    # fixed-subset track (round-10 verdict item 3): wall over the FROZEN
+    # GRADED_PREFIX-50 only. The headline wall grows every time a query
+    # is registered, so round-over-round it conflates registry growth
+    # with drift; this series is comparable across rounds by
+    # construction (the prefix is pinned and test_entry_contract guards
+    # it). Lives in the truncation-safe tail.
+    try:
+        from dbt_datbricks_demo_spark.queries import GRADED_PREFIX
+
+        prefix_times = [
+            timings[q] for q in GRADED_PREFIX if q in timings
+        ]
+        payload["prefix50_wall"] = round(sum(prefix_times), 3)
+        payload["prefix50_n"] = len(prefix_times)
+    except Exception as e:  # noqa: BLE001
+        payload["prefix50_error"] = f"{type(e).__name__}: {e}"[:200]
     payload["canary"] = canary
     # drift-normalized cross-round verdict, in the truncation-safe tail:
     # computed only over queries the previous artifact preserved (its

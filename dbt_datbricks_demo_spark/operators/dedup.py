@@ -930,6 +930,11 @@ def write_minhash_index(
         ).alias("band_key"),
     )
     with index_write_lock(path, f"write_minhash_index[{mode}]"):
+        # under-lock recovery (round-10 advice): an append landing while
+        # the index sits in a crashed mid-swap state must first roll the
+        # swap back, and must do so while HOLDING the lock — never from
+        # an unlocked call site that could race a live compactor
+        recover_minhash_index(path)
         write_partitioned(
             keyed.withColumn(
                 MINHASH_BUCKET_COL, _band_bucket(F.col("band_key"))
@@ -1025,9 +1030,18 @@ def minhash_index_exists(index_path: str) -> bool:
     this repo; a cluster deployment fronts this with its catalog.)"""
     import os
 
-    return os.path.isdir(index_path) and any(
-        e.startswith(MINHASH_BUCKET_COL + "=")
-        for e in os.listdir(index_path)
+    def _has_buckets(p: str) -> bool:
+        return os.path.isdir(p) and any(
+            e.startswith(MINHASH_BUCKET_COL + "=") for e in os.listdir(p)
+        )
+
+    # the crashed between-renames compaction state (base missing,
+    # ``.old`` holding the only copy) COUNTS as existing: callers must
+    # route to paths that recover under the writer lock or the reader
+    # retry contract — an unlocked recovery at a WRITE call site would
+    # race a live compactor between its swap renames (round-10 advice)
+    return _has_buckets(index_path) or _has_buckets(
+        index_path.rstrip("/") + ".old"
     )
 
 

@@ -306,11 +306,14 @@ def index_ingest_batch_fn(
          never; the file-count trigger is what a production table
          service keys on — appends grow generations, probes pay per
          file open). foreachBatch runs sequentially, so the atomic
-         directory swap happens with no concurrent reader. Every batch
-         FIRST runs recover_minhash_index, so a restart that killed a
-         previous compaction at any point of the swap (including
-         between the two renames) finds a readable index and
-         converges — pytest-gated in tests/test_streaming.py.
+         directory swap happens with no concurrent reader. A restart
+         that killed a previous compaction at any point of the swap
+         (including between the two renames) converges because every
+         path that touches the index recovers under its own contract —
+         the probe via the reader retry, write/delete/compact under
+         the writer lock; no unlocked recovery runs here (round-10
+         advice: it would race a live compactor in another session) —
+         pytest-gated in tests/test_streaming.py.
 
     State model at scale: the only driver-side state is the ≤32-value
     bucket list inside the probe; everything else is tables. The index
@@ -322,17 +325,18 @@ def index_ingest_batch_fn(
         lsh_band_keys,
         minhash_index_exists,
         minhash_index_max_files_per_bucket,
-        recover_minhash_index,
         with_minhash,
         write_minhash_index,
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # restart safety: repair any crashed compaction swap before
-        # touching the index (rolls back to the pre-compaction state
-        # if the crash landed between the two renames)
-        recover_minhash_index(index_path)
+        # restart safety WITHOUT an unlocked recovery (round-10
+        # advice): a crashed compaction swap is repaired by whichever
+        # locked path touches the index first — index_candidate_pairs
+        # under the reader retry contract, write/delete/compact under
+        # the writer lock. minhash_index_exists counts the crashed
+        # mid-swap state as existing so the append path handles it.
         rows_per_band = num_hashes // bands
         staged = with_minhash(
             batch_df, text_col, num_hashes, shingle_k,

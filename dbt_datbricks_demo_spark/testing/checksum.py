@@ -1,0 +1,293 @@
+"""Distributed order-insensitive result checksum (round-10 verdict
+item 1): the scaled-oracle gate's equivalence check computed INSIDE
+each engine, so no result rows ever ride to the driver — O(1) driver
+memory at any scale, vs the previous full-result ``toPandas()`` pull
+that bounded which x100 cells were affordable.
+
+Shape: every row is rendered to one canonical string (columns sorted
+by name, a fixed per-type rendering, unit-separator joined), md5'd,
+and the two 60-bit hex chunks of the digest are SUMMED across rows.
+Two results match iff (row_count, chunk1_sum, chunk2_sum, sorted
+column names) all match — commutative sums make the check
+order-insensitive, exactly like the driver gate's sorted-rows compare.
+
+The canonical rendering must be BIT-IDENTICAL between Spark and
+DuckDB. That rules out every formatting path for doubles — Java's
+``%.17e`` pads from the shortest decimal repr while C's expands the
+exact binary value, and the engines' double→decimal casts diverge the
+same way (measured: 33k/105k mismatches at scale 12). What IS
+engine-independent is IEEE-754 arithmetic itself, so doubles are
+canonicalized with pure arithmetic::
+
+    floor(x)                       -- exact for |x| < 2^53
+    floor((x - floor(x)) * 1e9 + 0.5)   -- fraction, 1e-9 quantized
+
+measured bit-identical across engines on 105k values including
+adversarial near-half-boundary cases (0 mismatches). PRECISION
+CONTRACT: float differences below the 1e-9 fraction quantum (and
+|x| >= 9e15, where the fraction is meaningless) are NOT detected;
+results containing such magnitudes, NaN/Inf, or non-scalar columns
+are REFUSED (``refused`` reason returned) so the caller falls back to
+the exact driver-gate compare rather than silently weakening. The
+sub-x30 scales keep the exact compare; this gate exists to make x100
+cells affordable.
+
+Reference basis: the reference delegates result verification to dbt's
+test framework (store_failures tables, counts only); this is the
+scaled analog required by the round-10 verdict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# types the canonicalization covers; anything else → refuse
+_SPARK_FAMILY = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "float": "float",
+    "double": "float",
+    "boolean": "bool",
+    "string": "str",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "date": "date",
+}
+
+_DUCK_FAMILY = {
+    "TINYINT": "int",
+    "SMALLINT": "int",
+    "INTEGER": "int",
+    "BIGINT": "int",
+    "HUGEINT": "int",
+    "UTINYINT": "int",
+    "USMALLINT": "int",
+    "UINTEGER": "int",
+    "UBIGINT": "int",
+    "FLOAT": "float",
+    "REAL": "float",
+    "DOUBLE": "float",
+    "BOOLEAN": "bool",
+    "VARCHAR": "str",
+    "TIMESTAMP": "ts",
+    "TIMESTAMP_NS": "ts",
+    "DATE": "date",
+}
+
+_NULL = "chr(1)"  # sentinel for NULL, joined rows never collide with it
+_SEP = "chr(31)"  # unit separator between columns
+
+# fraction quantum 1e-9; |x| >= 9e15 loses integer exactness in the
+# bigint floor — such results are refused, never silently bucketed
+FLOAT_CAP = 9.0e15
+
+
+def _float_canon(c: str, engine: str) -> str:
+    """Arithmetic-only canonical rendering of a double — identical in
+    both engines because IEEE-754 ops (not formatting) produce every
+    digit. Contract violations (NaN/Inf/|x|>=cap) render as 'X' so the
+    expression never throws (DuckDB's bigint cast of NaN errors before
+    the refusal count could return) — the bad_floats aggregate in the
+    same pass still forces the refusal, so an 'X' can never silently
+    pass the gate."""
+    if engine == "spark":
+        ipart = f"cast(cast(floor({c}) as bigint) as string)"
+        fpart = (
+            f"cast(cast(floor(({c} - floor({c})) * 1000000000 + 0.5) "
+            f"as bigint) as string)"
+        )
+        body = f"concat({ipart}, '.', {fpart})"
+        guard = f"isnan({c}) or abs({c}) >= {FLOAT_CAP:.1f}"
+    else:
+        # DuckDB's concat() SKIPS null args (Spark's propagates) — use
+        # the null-propagating || so a NULL float canonicalizes to the
+        # sentinel on both engines instead of a bare '.' here
+        ipart = f"floor({c})::bigint::varchar"
+        fpart = (
+            f"floor(({c} - floor({c})) * 1000000000 + 0.5)"
+            "::bigint::varchar"
+        )
+        body = f"({ipart} || '.' || {fpart})"
+        guard = f"isnan({c}) or abs({c}) >= {FLOAT_CAP:.1f}"
+    return f"case when {guard} then 'X' else {body} end"
+
+
+def _canon(c: str, family: str, engine: str) -> str:
+    q = f'"{c}"' if engine == "duckdb" else f"`{c}`"
+    if family == "int":
+        body = (
+            f"cast({q} as string)" if engine == "spark"
+            else f"{q}::varchar"
+        )
+    elif family == "bool":
+        body = (
+            f"cast({q} as string)" if engine == "spark"
+            else f"{q}::varchar"
+        )
+    elif family == "str":
+        body = q
+    elif family == "ts":
+        body = (
+            f"date_format({q}, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+            if engine == "spark"
+            else f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
+        )
+    elif family == "date":
+        body = (
+            f"cast({q} as string)" if engine == "spark"
+            else f"{q}::varchar"
+        )
+    elif family == "float":
+        # widen float32 exactly; canonicalize with IEEE arithmetic
+        wide = (
+            f"cast({q} as double)" if engine == "spark"
+            else f"{q}::double"
+        )
+        body = _float_canon(wide, engine)
+    else:  # pragma: no cover - callers pre-validate families
+        raise ValueError(f"no canonical rendering for family {family!r}")
+    return f"coalesce({body}, {_NULL})"
+
+
+def spark_families(df: DataFrame) -> dict[str, str] | None:
+    """Column→family map, or None if any column type is outside the
+    canonicalization (arrays/structs/decimals → caller refuses)."""
+    fams = {}
+    for name, dtype in df.dtypes:
+        fam = _SPARK_FAMILY.get(dtype)
+        if fam is None:
+            return None
+        fams[name] = fam
+    return fams
+
+
+def spark_checksum(df: DataFrame) -> dict:
+    """Compute the checksum of a result DataFrame inside Spark: one
+    whole-stage-codegen pass + a scalar aggregate; nothing but five
+    numbers returns to the driver. Returns a refusal (reason set,
+    sums absent) when the result holds non-scalar columns or float
+    values outside the precision contract."""
+    fams = spark_families(df)
+    if fams is None:
+        return {"refused": f"non-scalar column in {df.dtypes}"}
+    cols = sorted(fams)
+    canons = ", ".join(_canon(c, fams[c], "spark") for c in cols)
+    float_cols = [c for c in cols if fams[c] == "float"]
+    # floats outside the contract (NaN/Inf/|x|>=9e15) force refusal —
+    # counted in the same pass, no extra scan
+    bad = " + ".join(
+        f"sum(case when `{c}` is not null and (isnan(`{c}`) or "
+        f"abs(`{c}`) >= {FLOAT_CAP:.1f}) then 1 else 0 end)"
+        for c in float_cols
+    ) or "0"
+    agg_df = (
+        df.selectExpr(
+            f"concat_ws({_SEP}, {canons}) as _row",
+            *[f"`{c}`" for c in float_cols],
+        )
+        .selectExpr(
+            "cast(conv(substring(md5(_row), 1, 15), 16, 10) "
+            "as decimal(38,0)) as _c1",
+            "cast(conv(substring(md5(_row), 16, 15), 16, 10) "
+            "as decimal(38,0)) as _c2",
+            *[f"`{c}`" for c in float_cols],
+        )
+        .selectExpr(
+            "count(*) as n",
+            "sum(_c1) as c1",
+            "sum(_c2) as c2",
+            f"{bad} as bad_floats",
+        )
+    )
+    r = agg_df.collect()[0]
+    if (r["bad_floats"] or 0) > 0:
+        return {
+            "refused": f"{r['bad_floats']} float values outside the "
+            f"precision contract (NaN/Inf/|x|>={FLOAT_CAP:.0e})"
+        }
+    return {
+        "columns": cols,
+        "n": int(r["n"]),
+        "c1": int(r["c1"]) if r["c1"] is not None else 0,
+        "c2": int(r["c2"]) if r["c2"] is not None else 0,
+    }
+
+
+def duckdb_checksum(con, relation_sql: str) -> dict:
+    """The same checksum computed inside DuckDB over ``relation_sql``
+    (e.g. ``select * from read_parquet('oracle.parquet')``). Streams —
+    the result never materializes in pandas."""
+    desc = con.sql(f"describe {relation_sql}").fetchall()
+    fams = {}
+    for name, dtype, *_ in desc:
+        fam = _DUCK_FAMILY.get(dtype.upper())
+        if fam is None:
+            return {"refused": f"non-scalar column {name}: {dtype}"}
+        fams[name] = fam
+    cols = sorted(fams)
+    canons = ", ".join(_canon(c, fams[c], "duckdb") for c in cols)
+    float_cols = [c for c in cols if fams[c] == "float"]
+    bad = " + ".join(
+        f'sum(case when "{c}" is not null and (isnan("{c}"::double) or '
+        f'abs("{c}"::double) >= {FLOAT_CAP:.1f}) then 1 else 0 end)'
+        for c in float_cols
+    ) or "0"
+    sql = f"""
+    with rows as (
+      select concat_ws({_SEP}, {canons}) as _row
+             {',' if float_cols else ''}
+             {', '.join(f'"{c}"' for c in float_cols)}
+      from ({relation_sql})
+    ), hashed as (
+      select ('0x' || substr(md5(_row), 1, 15))::bigint as _c1,
+             ('0x' || substr(md5(_row), 16, 15))::bigint as _c2
+             {',' if float_cols else ''}
+             {', '.join(f'"{c}"' for c in float_cols)}
+      from rows
+    )
+    select count(*) as n, sum(_c1) as c1, sum(_c2) as c2,
+           {bad} as bad_floats
+    from hashed
+    """
+    n, c1, c2, bad_n = con.sql(sql).fetchone()
+    if (bad_n or 0) > 0:
+        return {
+            "refused": f"{bad_n} float values outside the precision "
+            f"contract (NaN/Inf/|x|>={FLOAT_CAP:.0e})"
+        }
+    return {
+        "columns": cols,
+        "n": int(n),
+        "c1": int(c1) if c1 is not None else 0,
+        "c2": int(c2) if c2 is not None else 0,
+    }
+
+
+def checksum_compare(spark_side: dict, oracle_side: dict) -> list[str]:
+    """Driver-gate-shaped problem list; empty = checksum-equal."""
+    problems = []
+    for side, cs in (("spark", spark_side), ("oracle", oracle_side)):
+        if "refused" in cs:
+            problems.append(f"{side} refused checksum: {cs['refused']}")
+    if problems:
+        return problems
+    if spark_side["columns"] != oracle_side["columns"]:
+        problems.append(
+            f"columns: spark={spark_side['columns']} "
+            f"oracle={oracle_side['columns']}"
+        )
+    if spark_side["n"] != oracle_side["n"]:
+        problems.append(
+            f"row count: spark={spark_side['n']} oracle={oracle_side['n']}"
+        )
+    if problems:
+        return problems
+    for k in ("c1", "c2"):
+        if spark_side[k] != oracle_side[k]:
+            problems.append(
+                f"checksum {k}: spark={spark_side[k]} "
+                f"oracle={oracle_side[k]}"
+            )
+    return problems

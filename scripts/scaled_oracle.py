@@ -326,6 +326,15 @@ def main() -> int:
         "registered (verifies against the monolithic cache when that "
         "entry exists; installs only after a recorded verification)",
     )
+    ap.add_argument(
+        "--checksum",
+        action="store_true",
+        help="compare via the distributed order-insensitive checksum "
+        "(testing/checksum.py): each engine reduces its own result to "
+        "(row count, two 60-bit md5-chunk sums) — O(1) driver memory, "
+        "no toPandas pull. Results outside the checksum's precision "
+        "contract are refused and fall back to the exact compare.",
+    )
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -374,14 +383,48 @@ def main() -> int:
                 extra_conf={"spark.ui.showConsoleProgress": "false"},
             )
             spark.sparkContext.setLogLevel("ERROR")
-        t0 = time.perf_counter()
-        sdf = queries[name](spark, args.sf).toPandas()
-        spark_s = round(time.perf_counter() - t0, 1)
-        odf = pd.read_parquet(pq)
-        problems = compare(name, sdf, odf)
+        gate = "exact"
+        if args.checksum:
+            from dbt_datbricks_demo_spark.testing.checksum import (
+                checksum_compare,
+                duckdb_checksum,
+                spark_checksum,
+            )
+
+            t0 = time.perf_counter()
+            scs = spark_checksum(queries[name](spark, args.sf))
+            spark_s = round(time.perf_counter() - t0, 1)
+            if "refused" in scs:
+                print(
+                    f"       checksum refused ({scs['refused']}); "
+                    f"falling back to the exact compare"
+                )
+            else:
+                con = _connect_spill_capped()
+                ocs = duckdb_checksum(
+                    con, f"select * from read_parquet('{_sq(pq)}')"
+                )
+                con.close()
+                if "refused" in ocs:
+                    print(
+                        f"       oracle-side checksum refused "
+                        f"({ocs['refused']}); falling back to exact"
+                    )
+                else:
+                    gate = "checksum"
+                    problems = checksum_compare(scs, ocs)
+                    n_rows = scs["n"]
+        if gate == "exact":
+            t0 = time.perf_counter()
+            sdf = queries[name](spark, args.sf).toPandas()
+            spark_s = round(time.perf_counter() - t0, 1)
+            odf = pd.read_parquet(pq)
+            problems = compare(name, sdf, odf)
+            n_rows = len(sdf)
         outcome = {
             "match": not problems,
-            "rows": len(sdf),
+            "rows": n_rows,
+            "gate": gate,
             "spark_s": spark_s,
             "oracle_key": meta["key"],
             "oracle_derive_s": meta["derive_s"],
@@ -406,7 +449,7 @@ def main() -> int:
                 print(f"       {p}")
         else:
             print(
-                f"OK     {name} @ {args.sf} ({len(sdf)} rows, "
+                f"OK[{gate}] {name} @ {args.sf} ({n_rows} rows, "
                 f"spark {spark_s}s, oracle {meta['derive_s']}s cached)"
             )
         record(name, args.sf, outcome)

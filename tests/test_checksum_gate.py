@@ -1,0 +1,178 @@
+"""The distributed checksum gate (round-10 verdict item 1) must be
+exactly as discriminating as the driver gate on everything above its
+documented precision contract — these tests plant every mismatch
+class and prove each one is caught, and plant the contract's blind
+spots and prove they are REFUSED rather than silently passed.
+
+Both engines read the SAME parquet bytes (explicit nulls — a pandas
+float NaN is null to Spark but NaN to DuckDB, so frames never cross
+the engine boundary directly here)."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbt_datbricks_demo_spark.testing.checksum import (
+    checksum_compare,
+    duckdb_checksum,
+    spark_checksum,
+)
+
+_TS = pa.timestamp("us")
+
+
+def _base_table():
+    return pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "name": pa.array(["a", "b", None, "d"]),
+            "score": pa.array([1.25, -0.333333333, 98765.4321, None]),
+            "flag": pa.array([True, False, True, None]),
+            "ts": pa.array(
+                [1736928000123456, 1736933400000000, None, 1767225599999999],
+                _TS,
+            ),
+        }
+    )
+
+
+def _both_sides(spark, tmp_path, table, fname="t.parquet"):
+    p = str(tmp_path / fname)
+    pq.write_table(table, p)
+    con = duckdb.connect()
+    return (
+        spark.read.parquet(p),
+        con,
+        f"select * from read_parquet('{p}')",
+    )
+
+
+def test_checksum_identical_and_order_insensitive(spark, tmp_path):
+    sdf, con, rel = _both_sides(spark, tmp_path, _base_table())
+    scs = spark_checksum(sdf)
+    assert checksum_compare(scs, duckdb_checksum(con, rel)) == []
+    # row order must not matter — that is the point of the summed hash
+    rev = _base_table().take([3, 2, 1, 0])
+    _, con2, rel2 = _both_sides(spark, tmp_path, rev, "rev.parquet")
+    assert checksum_compare(scs, duckdb_checksum(con2, rel2)) == []
+
+
+def _mut_float(t):
+    return t.set_column(
+        t.schema.get_field_index("score"),
+        "score",
+        pa.array([1.2500001, -0.333333333, 98765.4321, None]),
+    )
+
+
+def _mut_str(t):
+    return t.set_column(
+        t.schema.get_field_index("name"),
+        "name",
+        pa.array(["a", "B", None, "d"]),
+    )
+
+
+def _mut_bool(t):
+    return t.set_column(
+        t.schema.get_field_index("flag"),
+        "flag",
+        pa.array([False, False, True, None]),
+    )
+
+
+def _mut_null(t):
+    return t.set_column(
+        t.schema.get_field_index("name"),
+        "name",
+        pa.array(["a", "b", None, None]),
+    )
+
+
+def _mut_ts(t):
+    return t.set_column(
+        t.schema.get_field_index("ts"),
+        "ts",
+        pa.array(
+            [1736928000123457, 1736933400000000, None, 1767225599999999],
+            _TS,
+        ),
+    )
+
+
+def _drop_row(t):
+    return t.slice(0, 3)
+
+
+def _rename_col(t):
+    return t.rename_columns(["id", "names", "score", "flag", "ts"])
+
+
+@pytest.mark.parametrize(
+    "mutate, expect",
+    [
+        (_mut_float, "checksum"),  # float diff above the 1e-9 quantum
+        (_mut_str, "checksum"),
+        (_mut_bool, "checksum"),
+        (_mut_null, "checksum"),
+        (_mut_ts, "checksum"),  # 1 µs timestamp diff
+        (_drop_row, "row count"),
+        (_rename_col, "columns"),
+    ],
+)
+def test_checksum_catches_planted_mismatches(spark, tmp_path, mutate, expect):
+    sdf, _, _ = _both_sides(spark, tmp_path, _base_table())
+    scs = spark_checksum(sdf)
+    _, con, rel = _both_sides(spark, tmp_path, mutate(_base_table()), "m.parquet")
+    problems = checksum_compare(scs, duckdb_checksum(con, rel))
+    assert problems and expect in problems[0], problems
+
+
+def _with_score(vals):
+    t = _base_table()
+    return t.set_column(
+        t.schema.get_field_index("score"), "score", pa.array(vals)
+    )
+
+
+def test_checksum_refuses_contract_violations(spark, tmp_path):
+    # NaN → refused on both engines
+    t = _with_score([1.0, float("nan"), 2.0, 3.0])
+    sdf, con, rel = _both_sides(spark, tmp_path, t, "nan.parquet")
+    scs = spark_checksum(sdf)
+    assert "refused" in scs and "precision contract" in scs["refused"]
+    assert "refused" in duckdb_checksum(con, rel)
+    # |x| >= 9e15 → refused (bigint floor loses exactness there)
+    t = _with_score([1.0, 9.1e15, 2.0, 3.0])
+    sdf, con, rel = _both_sides(spark, tmp_path, t, "big.parquet")
+    assert "refused" in spark_checksum(sdf)
+    assert "refused" in duckdb_checksum(con, rel)
+    # non-scalar column → refused, never mis-hashed
+    arr = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
+    assert "refused" in spark_checksum(arr)
+    # a refusal on either side is a problem, not a silent pass
+    sdf, con, rel = _both_sides(spark, tmp_path, _base_table(), "ok.parquet")
+    ok = duckdb_checksum(con, rel)
+    assert checksum_compare({"refused": "x"}, ok)
+    assert checksum_compare(ok, {"refused": "x"})
+
+
+def test_checksum_matches_driver_gate_on_real_queries(spark):
+    """The gate agrees with the exact driver-gate compare on real
+    registered queries (float-heavy, timestamp, boolean, null-bearing
+    results) — same data on both engines ⇒ checksum-equal."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, "/root/repo/tests")
+    import __spark_entry__ as entry
+    from conftest import SF_SMOKE
+    from oracle_harness import make_duckdb
+
+    qs, oras = entry.queries(), entry.oracle_sql()
+    con = make_duckdb(SF_SMOKE)
+    for name in ("pricing_summary", "gap_fill_interpolate", "simhash_docs"):
+        scs = spark_checksum(qs[name](spark, SF_SMOKE))
+        ocs = duckdb_checksum(con, oras[name])
+        assert checksum_compare(scs, ocs) == [], name

@@ -804,7 +804,10 @@ def test_index_compaction_crash_recovery_all_windows(spark, tmp_path):
     # .old holds the pre-compaction state, .compacting the new one
     shutil.copytree(index, index + ".compacting")
     os.rename(index, index + ".old")
-    assert not dedup.minhash_index_exists(index)
+    # round-10 advice: the crashed state COUNTS as existing so callers
+    # route to the locked/retrying paths instead of re-creating the
+    # index over a recoverable one via an unlocked recovery
+    assert dedup.minhash_index_exists(index)
     assert dedup.recover_minhash_index(index) == "rolled_back"
     readable_and_equal()
     assert not os.path.exists(index + ".old")
