@@ -611,6 +611,119 @@ def minhash_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# STREAM-ingested standing index (round-10 verdict item 6): the index
+# probed here was built by the real Structured Streaming ingestion
+# path — a file-source stream over JSONL micro-batches driving
+# streaming/corpus.index_ingest_batch_fn under Trigger.AvailableNow,
+# including an IN-STREAM cadence compaction — then gated against the
+# same DuckDB from-scratch derivation as the batch-built index.
+# ---------------------------------------------------------------------------
+def _stream_ingested_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per testdata dir) a standing MinHash band index by
+    STREAMING the corpus split in: the corpus (doc_id % 10 != 7) is
+    split into 3 JSONL files, a file-source stream
+    (streaming/corpus.read_document_stream, maxFilesPerTrigger=1)
+    feeds index_ingest_batch_fn via foreachBatch with compact_every=2,
+    so the resulting index has lived multiple append generations AND
+    an in-stream compaction before any probe sees it. The ingest's
+    near-dup admission gate is disabled (jaccard_threshold > 1 admits
+    everything) so the indexed corpus is SQL-derivable — the
+    admission-enabled path is pytest-gated for parity in
+    tests/test_streaming.py. Cached on the source stamp like
+    _minhash_index_for; signatures are deterministic, so a rebuild
+    reproduces the identical index."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    stamp = "|".join(
+        f"{p}:{os.stat(p).st_mtime_ns}:{os.stat(p).st_size}"
+        for p in sorted(glob.glob(src) + glob.glob(os.path.join(src, "*")))
+    )
+    key = hashlib.md5(f"{stamp}|k5h8b2|streamidx1".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_smh_{key}")
+    path = os.path.join(root, "index")
+    marker = os.path.join(root, "_STREAM_INGEST_DONE")
+    if not os.path.exists(marker):
+        from dbt_datbricks_demo_spark.streaming.corpus import (
+            index_ingest_batch_fn,
+            read_document_stream,
+        )
+
+        shutil.rmtree(root, ignore_errors=True)
+        input_dir = os.path.join(root, "in")
+        os.makedirs(input_dir)
+        corpus = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 != 7)
+            .select("doc_id", "text")
+        )
+        for i in range(3):
+            stage = os.path.join(root, f"stage{i}")
+            corpus.filter(F.col("doc_id") % 3 == i).coalesce(
+                1
+            ).write.mode("overwrite").json(stage)
+            part = glob.glob(os.path.join(stage, "part-*.json"))[0]
+            shutil.move(part, os.path.join(input_dir, f"batch{i}.json"))
+            shutil.rmtree(stage, ignore_errors=True)
+        fn = index_ingest_batch_fn(
+            os.path.join(root, "corpus"),
+            path,
+            jaccard_threshold=1.01,
+            compact_every=2,
+        )
+        q = (
+            read_document_stream(spark, input_dir)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+@_register(
+    "minhash_stream_index_lookup",
+    "STREAM-built standing-index near-dup lookup: the corpus split "
+    "arrives as a JSONL file stream (3 micro-batches, "
+    "maxFilesPerTrigger=1, Trigger.AvailableNow) and "
+    "streaming/corpus.index_ingest_batch_fn maintains the standing "
+    "band index per batch — overwrite, two appends, and an IN-STREAM "
+    "cadence compaction (compact_every=2) — before the batch "
+    "(doc_id % 10 == 7) probes it with the partition-pruned "
+    "index_candidate_pairs. The oracle recomputes signatures from "
+    "scratch and band-joins directly, proving the stream-built, "
+    "mid-stream-compacted index returns exactly the from-scratch "
+    "candidate set",
+    f"""
+    with batch as (select * from documents where doc_id % 10 = 7),
+    corpus as (select * from documents where doc_id % 10 <> 7),
+    hb as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from batch),
+    hc as (select doc_id, {_SQL_SHINGLE_HASHES} as hs from corpus),
+    bb as ({_sql_bands('hb')}),
+    bc as ({_sql_bands('hc')})
+    select distinct b.doc_id as batch_id, c.doc_id as corpus_id
+    from bb b join bc c using (band_key)
+    order by batch_id, corpus_id
+    """,
+)
+def minhash_stream_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stream_ingested_index_for(spark, sf_dir)
+    batch = _spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 10 == 7
+    )
+    return dedup.index_candidate_pairs(spark, path, batch).orderBy(
+        "batch_id", "corpus_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental batch-vs-corpus deduplication
 # ---------------------------------------------------------------------------
 @_register(

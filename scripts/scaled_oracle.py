@@ -306,6 +306,81 @@ def derive_oracle_staged(
     return pq, meta
 
 
+def derive_oracle_staged_standalone(
+    name: str, sf_dir: str, key_text: str, stages: list[tuple[str, str]]
+) -> tuple[str, dict]:
+    """Staged derivation for a query whose oracle exists ONLY as a
+    staged plan (no monolithic SQL is registered — e.g. the prod2m
+    lifecycle probe, whose stage SQL embeds per-corpus planted ids).
+    The staged-vs-monolithic verification discipline of
+    derive_oracle_staged does not apply; callers must validate the
+    SAME staged plan with the exact compare at a small corpus first
+    (tests/test_staged_oracle.py does, for every registered plan).
+    Caching follows derive_oracle: key = (name, dir stamp, key_text),
+    per-stage resumability included."""
+    key = cache_key(name, sf_dir, key_text)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    pq = os.path.join(CACHE_DIR, f"{name}_{key}.parquet")
+    meta_path = os.path.join(CACHE_DIR, f"{name}_{key}.json")
+    if os.path.exists(pq) and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            return pq, json.load(fh)
+    stamp = _dir_stamp(sf_dir)
+    stage_dir = os.path.join(CACHE_DIR, "stages")
+    os.makedirs(stage_dir, exist_ok=True)
+    upstream_key = ""
+    stage_walls: dict[str, float] = {}
+    stage_paths: dict[str, str] = {}
+    final_path = None
+    for sname, ssql in stages:
+        skey = hashlib.md5(
+            f"{name}|{sname}|{stamp}|{ssql}|{upstream_key}".encode()
+        ).hexdigest()[:16]
+        upstream_key = skey
+        spath = os.path.join(stage_dir, f"{name}_{sname}_{skey}.parquet")
+        if not os.path.exists(spath):
+            con = _connect_spill_capped()
+            _register_base_views(con, sf_dir)
+            for prev, ppath in stage_paths.items():
+                con.sql(
+                    f"create view {prev} as select * from "
+                    f"read_parquet('{_sq(ppath)}')"
+                )
+            t0 = time.perf_counter()
+            tmp = spath + f".tmp.{os.getpid()}"
+            con.execute(f"copy ({ssql}) to '{_sq(tmp)}' (format parquet)")
+            con.close()
+            os.replace(tmp, spath)
+            stage_walls[sname] = round(time.perf_counter() - t0, 1)
+            print(
+                f"  stage {sname}: "
+                f"{int(pd.read_parquet(spath, columns=[]).shape[0])} rows, "
+                f"{stage_walls[sname]}s",
+                flush=True,
+            )
+        else:
+            stage_walls[sname] = 0.0
+        stage_paths[sname] = spath
+        final_path = spath
+    import shutil
+
+    tmp = pq + f".tmp.{os.getpid()}"
+    shutil.copyfile(final_path, tmp)
+    os.replace(tmp, pq)
+    meta = {
+        "key": key,
+        "sf_dir": os.path.abspath(sf_dir),
+        "derive_s": round(sum(stage_walls.values()), 1),
+        "rows": int(len(pd.read_parquet(pq, columns=[]))),
+        "derived_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "derivation": "staged-standalone",
+        "stage_walls": stage_walls,
+    }
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return pq, meta
+
+
 def record(name: str, sf_dir: str, outcome: dict) -> None:
     results = {}
     if os.path.exists(RESULTS):

@@ -76,3 +76,52 @@ def test_staged_plan_matches_monolithic_and_guards_install(
     sdf = pd.read_parquet(os.path.join(stage_dir, finals[0]))
     odf = pd.read_parquet(pq_mono)
     assert not compare(name, sdf, odf)
+
+
+def test_lifecycle_probe_staged_plan_exact_at_small_scale(
+    tmp_path, monkeypatch
+):
+    """The prod2m lifecycle gate (scripts/tier2_lifecycle.py) has no
+    monolithic oracle SQL — its staged plan is the only derivation, so
+    the per-round suite must re-prove the plan with the EXACT driver
+    compare at a small corpus: full lifecycle (gen A, gen B append,
+    tombstone, compact) at the production 96x8 geometry, probe +16
+    planted twins, staged DuckDB from-scratch derivation, exact
+    hash-equal. This is the validation the checksum-gated prod2m run
+    leans on."""
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata not present")
+    import importlib.util as ilu
+
+    # isolate the shared scaled_oracle cache/ledger from the repo's
+    spec = ilu.spec_from_file_location(
+        "scaled_oracle", os.path.join(REPO, "scripts", "scaled_oracle.py")
+    )
+    so = ilu.module_from_spec(spec)
+    saved = sys.modules.get("scaled_oracle")
+    sys.modules["scaled_oracle"] = so
+    spec.loader.exec_module(so)
+    so.CACHE_DIR = str(tmp_path / "cache")
+    so.RESULTS = str(tmp_path / "ledger.json")
+
+    spec2 = ilu.spec_from_file_location(
+        "tier2_lifecycle_under_test",
+        os.path.join(REPO, "scripts", "tier2_lifecycle.py"),
+    )
+    lc = ilu.module_from_spec(spec2)
+    sys.modules[spec2.name] = lc
+    spec2.loader.exec_module(lc)
+    try:
+        rc = lc.main(
+            [
+                "--corpus", SF_DIR,
+                "--index", str(tmp_path / "lc_index"),
+                "--exact", "--no-record",
+            ]
+        )
+    finally:
+        if saved is not None:
+            sys.modules["scaled_oracle"] = saved
+        else:
+            sys.modules.pop("scaled_oracle", None)
+    assert rc == 0
