@@ -13,9 +13,17 @@ the key and forces a fresh derivation, so the cache can never serve a
 stale expectation.
 
 The comparison is the exact driver gate (tests/oracle_harness.compare:
-sorted columns, sorted rows, exact floats); outcomes append into
-``SCALED_ORACLE.json`` at the repo root with rows/derive-wall metadata
-so SCALE.md can cite hash-green scaled points with their provenance.
+sorted columns, sorted rows, exact floats) by default. With
+``--checksum`` (round-10 verdict item 1) it is instead the distributed
+order-insensitive checksum (testing/checksum.py): each engine reduces
+its own result to (row count, two 60-bit md5-chunk sums) internally,
+so NO result rows ever ride to the driver — O(1) driver memory at any
+scale, which is what made the 100M-row x100 cells affordable. Results
+outside the checksum's precision contract are refused and fall back
+to the exact compare; the `gate` field of every ledger row records
+which gate produced it. Outcomes append into ``SCALED_ORACLE.json``
+at the repo root with rows/derive-wall metadata so SCALE.md can cite
+hash-green scaled points with their provenance.
 
 Usage:
   python scripts/scaled_oracle.py --sf scaledata/x100 leakage_safe_split
