@@ -137,6 +137,13 @@ def main(argv: list[str] | None = None) -> int:
         "--no-record", action="store_true",
         help="skip writing TIER2_PROD.json / SCALED_ORACLE.json",
     )
+    ap.add_argument(
+        "--keep-session", action="store_true",
+        help="do not stop the SparkSession on exit (get_spark's "
+        "getOrCreate may have returned a session the CALLER owns — "
+        "pytest's session-scoped fixture invokes main() this way; "
+        "stopping it mid-suite poisons every later Spark test)",
+    )
     args = ap.parse_args(argv)
     corpus_dir = os.path.abspath(args.corpus)
     index_dir = os.path.abspath(args.index) if args.index else INDEX
@@ -333,7 +340,8 @@ def main(argv: list[str] | None = None) -> int:
         results["lifecycle"] = summary
         with open(RESULT, "w") as fh:
             json.dump(results, fh, indent=1)
-    spark.stop()
+    if not args.keep_session:
+        spark.stop()
     if not args.spark_only and summary.get("oracle", {}).get("match") is False:
         return 1
     return 0

@@ -112,6 +112,7 @@ def test_bench_contract(tmp_path):
     payload = json.loads(line)
     assert set(payload) == {
         "metric", "value", "unit", "queries", "spread", "slowest", "tq",
+        "prefix50_wall", "prefix50_n",
         "canary", "vs_prev", "vs_prev_src", "vs_prev_drift",
         "vs_prev_drifts", "vs_prev_flagged", "n", "n_errors", "sf",
     }
@@ -129,11 +130,19 @@ def test_bench_contract(tmp_path):
     # "queries" map that way).
     keys = list(payload)
     assert keys[:2] == ["queries", "spread"]
-    assert keys[-14:] == [
-        "slowest", "tq", "canary", "vs_prev", "vs_prev_src",
+    # prefix50_wall/prefix50_n (round-10 verdict item 3) live in the
+    # safe tail too: the frozen-subset series must survive the same
+    # front-truncation the headline scalars do
+    assert keys[-16:] == [
+        "slowest", "tq", "prefix50_wall", "prefix50_n", "canary",
+        "vs_prev", "vs_prev_src",
         "vs_prev_drift", "vs_prev_drifts", "vs_prev_flagged", "metric",
         "value", "unit", "n", "n_errors", "sf"
     ]
+    # the 2-query subset intersects the frozen prefix in exactly
+    # topk_orders, so the series is the sum over that intersection
+    assert payload["prefix50_n"] == 1
+    assert payload["prefix50_wall"] == payload["queries"]["topk_orders"]
     # drift canary BASKET (round-9 verdict nit 1): three code-frozen
     # queries spanning execution shapes (scan-agg, shuffle-join,
     # window) timed every bench run — one sub-second scan-agg canary

@@ -116,7 +116,7 @@ def test_lifecycle_probe_staged_plan_exact_at_small_scale(
             [
                 "--corpus", SF_DIR,
                 "--index", str(tmp_path / "lc_index"),
-                "--exact", "--no-record",
+                "--exact", "--no-record", "--keep-session",
             ]
         )
     finally:
