@@ -100,13 +100,17 @@ def _stddev_exact(x, n, scale: int = 2):
     stddev_samp merges partial (mean, M2) states in partition order —
     order-dependent low bits. n·Σx² − (Σx)² over exact decimals is
     order-free; one double division + sqrt at the end is IEEE-identical
-    on every engine. Sums are cast to decimal(18,·) before multiplying so
-    the products stay inside both engines' 38-digit decimal ceiling
-    (plenty for ~1e9 rows of 4-digit values per group; widen for more)."""
+    on every engine. Sums are cast to decimal(19,·) before multiplying:
+    DuckDB's decimal multiply requires p1+p2 <= 38, so 19+19 sits at the
+    ceiling exactly — the widest intermediates both engines accept.
+    (decimal(18) overflowed at the x100 gate: count 5.38e6 × Σx²
+    4.6e13 = 2.5e20 needs 21 digits; decimal(19,·)·decimal(19,·)
+    products carry ~34 significant digits of headroom — enough for
+    ~1e10 rows of 6-digit values per group.)"""
     xd = x.cast(f"decimal(14,{scale})")
-    sx = F.sum(xd).cast(f"decimal(18,{scale})")
-    sxx = F.sum(xd * xd).cast(f"decimal(18,{2 * scale})")
-    nd = n.cast("decimal(18,0)")
+    sx = F.sum(xd).cast(f"decimal(19,{scale})")
+    sxx = F.sum(xd * xd).cast(f"decimal(19,{2 * scale})")
+    nd = n.cast("decimal(19,0)")
     var_num = (nd * sxx - sx * sx).cast("double")
     return F.when(n > 1, F.round(F.sqrt(var_num / (n * (n - 1)).cast("double")), 2))
 
@@ -114,11 +118,11 @@ def _stddev_exact(x, n, scale: int = 2):
 def _sql_stddev_exact(x: str, scale: int = 2) -> str:
     """DuckDB rendering of _stddev_exact over the same decimal sums."""
     xd = f"cast({x} as decimal(14,{scale}))"
-    sx = f"cast(sum({xd}) as decimal(18,{scale}))"
-    sxx = f"cast(sum({xd} * {xd}) as decimal(18,{2 * scale}))"
+    sx = f"cast(sum({xd}) as decimal(19,{scale}))"
+    sxx = f"cast(sum({xd} * {xd}) as decimal(19,{2 * scale}))"
     return (
         f"case when count(*) > 1 then round(sqrt(cast("
-        f"cast(count(*) as decimal(18,0)) * {sxx} - {sx} * {sx}"
+        f"cast(count(*) as decimal(19,0)) * {sxx} - {sx} * {sx}"
         f" as double) / cast(count(*) * (count(*) - 1) as double)), 2) end"
     )
 
