@@ -446,11 +446,36 @@ def main() -> int:
             with open(meta_path) as fh:
                 meta = json.load(fh)
         else:
-            if args.staged and name in _staged_plans():
-                stages = _staged_plans()[name]()
-                pq, meta = derive_oracle_staged(name, args.sf, sql, stages)
-            else:
-                pq, meta = derive_oracle(name, args.sf, sql)
+            # fault-isolated per query (round 11): one pathological
+            # derivation (decimal overflow, spill-cap abort) must not
+            # kill the rest of a multi-query run — record and continue
+            try:
+                if args.staged and name in _staged_plans():
+                    stages = _staged_plans()[name]()
+                    pq, meta = derive_oracle_staged(
+                        name, args.sf, sql, stages
+                    )
+                else:
+                    pq, meta = derive_oracle(name, args.sf, sql)
+            except (SystemExit, KeyboardInterrupt):
+                raise
+            except Exception as exc:  # noqa: BLE001
+                rc = 1
+                msg = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"ERROR  {name}: oracle derivation failed: {msg}")
+                record(
+                    name,
+                    args.sf,
+                    {
+                        "match": False,
+                        "error": msg,
+                        "phase": "oracle_derivation",
+                        "checked_at": time.strftime(
+                            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                        ),
+                    },
+                )
+                continue
             print(
                 f"oracle {name}: {meta['rows']} rows, "
                 f"derive {meta['derive_s']}s (key {meta['key']})",
@@ -467,43 +492,63 @@ def main() -> int:
             )
             spark.sparkContext.setLogLevel("ERROR")
         gate = "exact"
-        if args.checksum:
-            from dbt_datbricks_demo_spark.testing.checksum import (
-                checksum_compare,
-                duckdb_checksum,
-                spark_checksum,
-            )
+        try:
+            if args.checksum:
+                from dbt_datbricks_demo_spark.testing.checksum import (
+                    checksum_compare,
+                    duckdb_checksum,
+                    spark_checksum,
+                )
 
-            t0 = time.perf_counter()
-            scs = spark_checksum(queries[name](spark, args.sf))
-            spark_s = round(time.perf_counter() - t0, 1)
-            if "refused" in scs:
-                print(
-                    f"       checksum refused ({scs['refused']}); "
-                    f"falling back to the exact compare"
-                )
-            else:
-                con = _connect_spill_capped()
-                ocs = duckdb_checksum(
-                    con, f"select * from read_parquet('{_sq(pq)}')"
-                )
-                con.close()
-                if "refused" in ocs:
+                t0 = time.perf_counter()
+                scs = spark_checksum(queries[name](spark, args.sf))
+                spark_s = round(time.perf_counter() - t0, 1)
+                if "refused" in scs:
                     print(
-                        f"       oracle-side checksum refused "
-                        f"({ocs['refused']}); falling back to exact"
+                        f"       checksum refused ({scs['refused']}); "
+                        f"falling back to the exact compare"
                     )
                 else:
-                    gate = "checksum"
-                    problems = checksum_compare(scs, ocs)
-                    n_rows = scs["n"]
-        if gate == "exact":
-            t0 = time.perf_counter()
-            sdf = queries[name](spark, args.sf).toPandas()
-            spark_s = round(time.perf_counter() - t0, 1)
-            odf = pd.read_parquet(pq)
-            problems = compare(name, sdf, odf)
-            n_rows = len(sdf)
+                    con = _connect_spill_capped()
+                    ocs = duckdb_checksum(
+                        con, f"select * from read_parquet('{_sq(pq)}')"
+                    )
+                    con.close()
+                    if "refused" in ocs:
+                        print(
+                            f"       oracle-side checksum refused "
+                            f"({ocs['refused']}); falling back to exact"
+                        )
+                    else:
+                        gate = "checksum"
+                        problems = checksum_compare(scs, ocs)
+                        n_rows = scs["n"]
+            if gate == "exact":
+                t0 = time.perf_counter()
+                sdf = queries[name](spark, args.sf).toPandas()
+                spark_s = round(time.perf_counter() - t0, 1)
+                odf = pd.read_parquet(pq)
+                problems = compare(name, sdf, odf)
+                n_rows = len(sdf)
+        except (SystemExit, KeyboardInterrupt):
+            raise
+        except Exception as exc:  # noqa: BLE001
+            rc = 1
+            msg = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"ERROR  {name}: spark side failed: {msg}")
+            record(
+                name,
+                args.sf,
+                {
+                    "match": False,
+                    "error": msg,
+                    "phase": "spark_gate",
+                    "checked_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                },
+            )
+            continue
         outcome = {
             "match": not problems,
             "rows": n_rows,
