@@ -135,9 +135,17 @@ def _canon(c: str, family: str, engine: str) -> str:
             else f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
         )
     elif family == "date":
+        # render as a midnight timestamp, not bare 'YYYY-MM-DD': the
+        # driver gate normalizes date and timestamp columns to one
+        # datetime64 dtype, so a Spark DATE column whose oracle lands
+        # in parquet as TIMESTAMP (e.g. DuckDB date arithmetic widens)
+        # must hash identically — measured live on
+        # date_functions_extended at x100 (false checksum mismatch,
+        # exact gate green)
         body = (
-            f"cast({q} as string)" if engine == "spark"
-            else f"{q}::varchar"
+            f"concat(cast({q} as string), ' 00:00:00.000000')"
+            if engine == "spark"
+            else f"({q}::varchar || ' 00:00:00.000000')"
         )
     elif family == "float":
         # widen float32 exactly; canonicalize with IEEE arithmetic

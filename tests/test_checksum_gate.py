@@ -176,3 +176,31 @@ def test_checksum_matches_driver_gate_on_real_queries(spark):
         scs = spark_checksum(qs[name](spark, SF_SMOKE))
         ocs = duckdb_checksum(con, oras[name])
         assert checksum_compare(scs, ocs) == [], name
+
+
+def test_checksum_date_vs_midnight_timestamp_parity(spark, tmp_path):
+    """A Spark DATE column whose oracle parquet holds TIMESTAMPs at
+    midnight must checksum-equal (the driver gate normalizes both to
+    one datetime64 dtype — DuckDB date arithmetic widens date+interval
+    to timestamp, which hit date_functions_extended at x100 as a false
+    checksum mismatch while the exact gate was green). A NON-midnight
+    timestamp must still mismatch."""
+    dates = pa.table(
+        {"id": pa.array([1, 2], pa.int64()),
+         "d": pa.array([7305, 7306], pa.date32())}
+    )
+    midnight = pa.table(
+        {"id": pa.array([1, 2], pa.int64()),
+         "d": pa.array([631152000000000, 631238400000000], _TS)}
+    )
+    noon = pa.table(
+        {"id": pa.array([1, 2], pa.int64()),
+         "d": pa.array([631152000000000, 631281600000000], _TS)}
+    )
+    sdf, _, _ = _both_sides(spark, tmp_path, dates, "d.parquet")
+    assert dict(sdf.dtypes)["d"] == "date"
+    scs = spark_checksum(sdf)
+    _, con, rel = _both_sides(spark, tmp_path, midnight, "mid.parquet")
+    assert checksum_compare(scs, duckdb_checksum(con, rel)) == []
+    _, con, rel = _both_sides(spark, tmp_path, noon, "noon.parquet")
+    assert checksum_compare(scs, duckdb_checksum(con, rel))
