@@ -10,8 +10,14 @@ is wiped by the swap (a lost delete), and two compactions interleaving
 their renames can destroy the only valid postings copy. Every write
 entry point now serializes on a lock FILE next to the index:
 
-  * acquisition is an O_EXCL create of ``{index}.writer.lock`` holding
-    {pid, owner, acquired_at} — atomic on POSIX local filesystems;
+  * acquisition creates ``{index}.writer.lock`` holding
+    {pid, owner, acquired_at} ATOMICALLY WITH ITS CONTENT: the claim
+    is written to a claimant-unique temp file and then os.link()ed to
+    the lock name — link(2) fails EEXIST if held, and no reader can
+    ever observe an empty or partially-written lock file (an O_EXCL
+    create-then-write would expose a window in which a concurrent
+    claimant reads the empty file, computes age == inf, and takes
+    over a LIVE lock — two writers in the critical section);
   * a held lock makes the second writer FAIL FAST with
     IndexWriterConflict (maintenance ops re-run at cadence; queueing
     writers behind a minutes-long compaction would just hide the
@@ -21,8 +27,11 @@ entry point now serializes on a lock FILE next to the index:
     abandoning the lock is safe) is TAKEN OVER: the claimant renames
     the stale lock ASIDE to a claimant-unique name — os.rename of one
     source path succeeds for exactly one racer (every loser sees
-    FileNotFoundError because the source is gone) — and then O_EXCL-
-    creates the fresh lock. Rename-over + read-back is NOT used: two
+    FileNotFoundError because the source is gone) — and then link-
+    creates the fresh lock. A claimant whose rename finds the lock
+    ALREADY GONE (the holder released in the window) retries the
+    atomic create instead of raising a spurious conflict.
+    Rename-over + read-back is NOT used: two
     racers can interleave replace/read-back so that both read back
     their own claim and both proceed.
 
@@ -43,6 +52,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import threading
 import time
 
 LOCK_SUFFIX = ".writer.lock"
@@ -78,16 +88,28 @@ def _lock_age_s(held: dict | None) -> float:
 
 
 def _excl_create_lock(lock: str, owner: str) -> dict:
-    """O_EXCL-create ``lock`` with our claim; atomic on POSIX local
-    filesystems. Raises FileExistsError if any writer beat us."""
-    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w") as fh:
-        claim = {
-            "pid": os.getpid(),
-            "owner": owner,
-            "acquired_at": time.time(),
-        }
+    """Create ``lock`` atomically WITH its claim content: write the
+    claim to a claimant-unique temp file, fsync it, then
+    ``os.link(tmp, lock)`` — an atomic create-with-content that fails
+    FileExistsError if any writer holds the lock. Readers therefore
+    never observe an empty or half-written lock file (which
+    ``_lock_age_s`` would score as infinitely stale, opening a
+    takeover of a LIVE lock)."""
+    claim = {
+        "pid": os.getpid(),
+        "owner": owner,
+        "acquired_at": time.time(),
+    }
+    tmp = f"{lock}.claim.{os.getpid()}.{threading.get_ident()}"
+    with open(tmp, "w") as fh:
         json.dump(claim, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, lock)  # raises FileExistsError if held
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
     return claim
 
 
@@ -101,9 +123,13 @@ def index_write_lock(
     (exactly one racer's os.rename succeeds)."""
     lock = _lock_path(index_path)
     os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
-    try:
-        claim = _excl_create_lock(lock, owner)
-    except FileExistsError:
+    claim = None
+    while claim is None:
+        try:
+            claim = _excl_create_lock(lock, owner)
+            break
+        except FileExistsError:
+            pass
         held = _read_lock(lock)
         age = _lock_age_s(held)
         if age <= stale_after_s:
@@ -116,17 +142,21 @@ def index_write_lock(
         # Stale (or unreadable) lock: arbitrate by renaming the stale
         # lock ASIDE to a claimant-unique name. os.rename of one source
         # succeeds for exactly one racer — every loser's source is
-        # already gone (FileNotFoundError). The winner then O_EXCL-
+        # already gone (FileNotFoundError). The winner then link-
         # creates the fresh lock; a FileExistsError there means a third
         # writer slipped in after the aside and legitimately owns it.
         aside = f"{lock}.stale.{os.getpid()}"
         try:
             os.rename(lock, aside)
         except FileNotFoundError:
-            raise IndexWriterConflict(
-                f"lost the stale-lock takeover race for {index_path}: "
-                "another claimant removed the stale lock first"
-            )
+            # The lock vanished between our create failure and the
+            # rename: the holder RELEASED it (or a rival takeover
+            # completed and released). A missing lock is acquirable,
+            # not contended — loop back and retry the atomic create
+            # rather than raising a spurious IndexWriterConflict.
+            # Each retry requires another writer to have acquired AND
+            # released in the window, so this cannot livelock.
+            continue
         with contextlib.suppress(FileNotFoundError):
             os.unlink(aside)
         try:

@@ -78,6 +78,11 @@ _DUCK_FAMILY = {
 
 _NULL = "chr(1)"  # sentinel for NULL, joined rows never collide with it
 _SEP = "chr(31)"  # unit separator between columns
+# ...unless a STRING VALUE itself contains chr(1)/chr(31): then two
+# genuinely different rows can render identically (column-boundary /
+# NULL ambiguity) — a silent false PASS the exact gate would catch.
+# Such values are counted in the same aggregation pass (bad_strings,
+# mirroring bad_floats) and force a refusal → exact-compare fallback.
 
 # fraction quantum 1e-9; |x| >= 9e15 loses integer exactness in the
 # bigint floor — such results are refused, never silently bucketed
@@ -183,6 +188,7 @@ def spark_checksum(df: DataFrame) -> dict:
     cols = sorted(fams)
     canons = ", ".join(_canon(c, fams[c], "spark") for c in cols)
     float_cols = [c for c in cols if fams[c] == "float"]
+    str_cols = [c for c in cols if fams[c] == "str"]
     # floats outside the contract (NaN/Inf/|x|>=9e15) force refusal —
     # counted in the same pass, no extra scan
     bad = " + ".join(
@@ -190,23 +196,32 @@ def spark_checksum(df: DataFrame) -> dict:
         f"abs(`{c}`) >= {FLOAT_CAP:.1f}) then 1 else 0 end)"
         for c in float_cols
     ) or "0"
+    # string values containing the NULL/separator sentinels would make
+    # the rendering ambiguous (round-11 advice) — refuse, same pass
+    bad_str = " + ".join(
+        f"sum(case when `{c}` is not null and (instr(`{c}`, chr(1)) > 0 "
+        f"or instr(`{c}`, chr(31)) > 0) then 1 else 0 end)"
+        for c in str_cols
+    ) or "0"
+    carry = [f"`{c}`" for c in (*float_cols, *str_cols)]
     agg_df = (
         df.selectExpr(
             f"concat_ws({_SEP}, {canons}) as _row",
-            *[f"`{c}`" for c in float_cols],
+            *carry,
         )
         .selectExpr(
             "cast(conv(substring(md5(_row), 1, 15), 16, 10) "
             "as decimal(38,0)) as _c1",
             "cast(conv(substring(md5(_row), 16, 15), 16, 10) "
             "as decimal(38,0)) as _c2",
-            *[f"`{c}`" for c in float_cols],
+            *carry,
         )
         .selectExpr(
             "count(*) as n",
             "sum(_c1) as c1",
             "sum(_c2) as c2",
             f"{bad} as bad_floats",
+            f"{bad_str} as bad_strings",
         )
     )
     r = agg_df.collect()[0]
@@ -214,6 +229,11 @@ def spark_checksum(df: DataFrame) -> dict:
         return {
             "refused": f"{r['bad_floats']} float values outside the "
             f"precision contract (NaN/Inf/|x|>={FLOAT_CAP:.0e})"
+        }
+    if (r["bad_strings"] or 0) > 0:
+        return {
+            "refused": f"{r['bad_strings']} string values contain the "
+            "chr(1)/chr(31) rendering sentinels (boundary ambiguity)"
         }
     return {
         "columns": cols,
@@ -237,33 +257,48 @@ def duckdb_checksum(con, relation_sql: str) -> dict:
     cols = sorted(fams)
     canons = ", ".join(_canon(c, fams[c], "duckdb") for c in cols)
     float_cols = [c for c in cols if fams[c] == "float"]
+    str_cols = [c for c in cols if fams[c] == "str"]
     bad = " + ".join(
         f'sum(case when "{c}" is not null and (isnan("{c}"::double) or '
         f'abs("{c}"::double) >= {FLOAT_CAP:.1f}) then 1 else 0 end)'
         for c in float_cols
     ) or "0"
+    bad_str = " + ".join(
+        f'sum(case when "{c}" is not null and (instr("{c}", chr(1)) > 0 '
+        f'or instr("{c}", chr(31)) > 0) then 1 else 0 end)'
+        for c in str_cols
+    ) or "0"
+    carry_cols = [*float_cols, *str_cols]
+    carry = (
+        (", " + ", ".join(f'"{c}"' for c in carry_cols))
+        if carry_cols
+        else ""
+    )
     sql = f"""
     with rows as (
       select concat_ws({_SEP}, {canons}) as _row
-             {',' if float_cols else ''}
-             {', '.join(f'"{c}"' for c in float_cols)}
+             {carry}
       from ({relation_sql})
     ), hashed as (
       select ('0x' || substr(md5(_row), 1, 15))::bigint as _c1,
              ('0x' || substr(md5(_row), 16, 15))::bigint as _c2
-             {',' if float_cols else ''}
-             {', '.join(f'"{c}"' for c in float_cols)}
+             {carry}
       from rows
     )
     select count(*) as n, sum(_c1) as c1, sum(_c2) as c2,
-           {bad} as bad_floats
+           {bad} as bad_floats, {bad_str} as bad_strings
     from hashed
     """
-    n, c1, c2, bad_n = con.sql(sql).fetchone()
+    n, c1, c2, bad_n, bad_str_n = con.sql(sql).fetchone()
     if (bad_n or 0) > 0:
         return {
             "refused": f"{bad_n} float values outside the precision "
             f"contract (NaN/Inf/|x|>={FLOAT_CAP:.0e})"
+        }
+    if (bad_str_n or 0) > 0:
+        return {
+            "refused": f"{bad_str_n} string values contain the "
+            "chr(1)/chr(31) rendering sentinels (boundary ambiguity)"
         }
     return {
         "columns": cols,

@@ -248,6 +248,17 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     scs = spark_checksum(pairs)
     walls["probe_checksum"] = round(time.perf_counter() - t0, 1)
+    if "refused" in scs:
+        # the probe result drifted outside the checksum contract
+        # (schema change / non-scalar column) — fail loudly with the
+        # reason instead of a KeyError crash (round-11 advice); at
+        # this corpus scale a driver-side exact fallback is not an
+        # affordable silent substitute
+        raise SystemExit(
+            f"probe result refused by the checksum gate "
+            f"({scs['refused']}); fix the probe schema or gate this "
+            f"query via the exact compare at a smaller scale"
+        )
     n_pairs = scs["n"]
     print(f"  probe: {n_pairs} candidate pairs ({walls['probe_checksum']}s)")
 

@@ -158,14 +158,62 @@ def test_checksum_refuses_contract_violations(spark, tmp_path):
     assert checksum_compare(ok, {"refused": "x"})
 
 
+def test_checksum_refuses_sentinel_bearing_strings(spark, tmp_path):
+    """Round-11 advice: a string VALUE containing the chr(1) NULL
+    sentinel or the chr(31) column separator makes the canonical row
+    rendering ambiguous — e.g. a NULL column and a literal "\\x01"
+    string render identically, so two different results could checksum
+    EQUAL (a silent false pass). Both engines must refuse such results
+    in the same aggregation pass; sentinel-free strings still pass."""
+
+    def _with_name(vals, fname):
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "name": pa.array(vals),
+            }
+        )
+        return _both_sides(spark, tmp_path, t, fname)
+
+    # the ambiguity this guards against, demonstrated concretely:
+    # (NULL) and ("\x01") canonicalize to the same rendered row
+    amb_null = pa.table(
+        {"id": pa.array([1], pa.int64()), "name": pa.array([None], pa.string())}
+    )
+    amb_lit = pa.table(
+        {"id": pa.array([1], pa.int64()), "name": pa.array(["\x01"])}
+    )
+    sdf_n, _, _ = _both_sides(spark, tmp_path, amb_null, "amb_n.parquet")
+    sdf_l, con_l, rel_l = _both_sides(spark, tmp_path, amb_lit, "amb_l.parquet")
+    assert "refused" not in spark_checksum(sdf_n)  # plain NULL is fine
+    scs_lit = spark_checksum(sdf_l)
+    assert "refused" in scs_lit and "sentinel" in scs_lit["refused"]
+    ocs_lit = duckdb_checksum(con_l, rel_l)
+    assert "refused" in ocs_lit and "sentinel" in ocs_lit["refused"]
+
+    # chr(31) separator inside a value → refused on both engines
+    sdf, con, rel = _with_name(["a", "b\x1fc", "d"], "sep.parquet")
+    assert "refused" in spark_checksum(sdf)
+    assert "refused" in duckdb_checksum(con, rel)
+
+    # adjacent control characters (\x00, \x02, \x1e) are NOT sentinels
+    # and must still checksum cleanly and equal across engines
+    sdf, con, rel = _with_name(["a\x00b", "c\x02d", "e\x1ef"], "ctl.parquet")
+    scs = spark_checksum(sdf)
+    assert "refused" not in scs
+    assert checksum_compare(scs, duckdb_checksum(con, rel)) == []
+
+
 def test_checksum_matches_driver_gate_on_real_queries(spark):
     """The gate agrees with the exact driver-gate compare on real
     registered queries (float-heavy, timestamp, boolean, null-bearing
     results) — same data on both engines ⇒ checksum-equal."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
-    sys.path.insert(0, "/root/repo/tests")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    sys.path.insert(0, os.path.join(repo, "tests"))
     import __spark_entry__ as entry
     from conftest import SF_SMOKE
     from oracle_harness import make_duckdb

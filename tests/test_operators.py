@@ -1501,10 +1501,12 @@ def test_index_write_lock_contract(tmp_path):
         assert json.load(open(_lock_path(idx)))["owner"] == "claimant"
     assert not os.path.exists(_lock_path(idx))
 
-    # takeover arbitration is rename-aside (round-10 advice): the loser
-    # whose os.rename finds the stale lock already gone gets a clean
-    # IndexWriterConflict, and a racer that O_EXCL-created between the
-    # aside and our create is respected
+    # takeover arbitration is rename-aside (round-10 advice), and a
+    # VANISHED lock is acquirable, not contended (round-11 advice): the
+    # claimant whose os.rename finds the stale lock already gone —
+    # because the holder released, or a rival takeover completed and
+    # released — loops back, retries the atomic create, and ACQUIRES
+    # instead of raising a spurious IndexWriterConflict.
     with open(_lock_path(idx), "w") as fh:
         json.dump(
             {"pid": 999999, "owner": "crashed", "acquired_at": 1.0}, fh
@@ -1512,18 +1514,18 @@ def test_index_write_lock_contract(tmp_path):
     real_rename = os.rename
 
     def steal_then_rename(src, dst):
-        # simulate the other claimant winning the aside first
+        # simulate the other claimant winning the aside first (and then
+        # releasing without re-creating: the lock is genuinely free)
         real_rename(src, str(tmp_path / "other_claimant_aside"))
         return real_rename(src, dst)  # raises FileNotFoundError
 
     import unittest.mock as _mock
 
+    entered = []
     with _mock.patch("os.rename", side_effect=steal_then_rename):
-        with pytest.raises(IndexWriterConflict, match="takeover race"):
-            with index_write_lock(idx, "loser", stale_after_s=60):
-                raise AssertionError("must not enter")
-    # the winner's aside file is gone too (unlinked by winner) — here
-    # the 'other claimant' kept it; clean up and verify no lock remains
+        with index_write_lock(idx, "retrier", stale_after_s=60):
+            entered.append(json.load(open(_lock_path(idx)))["owner"])
+    assert entered == ["retrier"]
     assert not os.path.exists(_lock_path(idx))
 
     # winner renames aside, then a THIRD writer O_EXCL-creates before
@@ -1547,6 +1549,56 @@ def test_index_write_lock_contract(tmp_path):
                 raise AssertionError("must not enter")
     assert json.load(open(_lock_path(idx)))["owner"] == "third"
     os.unlink(_lock_path(idx))
+
+
+def test_lock_create_is_atomic_with_content(tmp_path):
+    """Round-11 advice (medium): the lock file must come into existence
+    ATOMICALLY WITH its full JSON claim — an O_EXCL create-then-write
+    exposes a window where a concurrent claimant reads the empty file,
+    scores it infinitely stale, and takes over a LIVE lock. The fix
+    links a fully-written claimant-unique temp file to the lock name;
+    this pins that at the instant of creation the content is already
+    complete, and that no claim temp files are left behind."""
+    import json
+    import os
+    import unittest.mock as _mock
+
+    from dbt_datbricks_demo_spark.operators.locks import (
+        IndexWriterConflict,
+        index_write_lock,
+        _lock_path,
+    )
+
+    idx = str(tmp_path / "atomic_idx")
+    lock = _lock_path(idx)
+    real_link = os.link
+    observed = {}
+
+    def spy_link(src, dst):
+        # the temp file already holds the COMPLETE claim before the
+        # lock name exists — no reader can ever see a partial lock
+        observed["content"] = json.load(open(src))
+        observed["lock_preexists"] = os.path.exists(dst)
+        return real_link(src, dst)
+
+    with _mock.patch("os.link", side_effect=spy_link):
+        with index_write_lock(idx, "atomic-owner"):
+            assert json.load(open(lock))["owner"] == "atomic-owner"
+    assert observed["content"]["owner"] == "atomic-owner"
+    assert observed["content"]["pid"] == os.getpid()
+    assert isinstance(observed["content"]["acquired_at"], float)
+    assert observed["lock_preexists"] is False
+    assert not os.path.exists(lock)
+    # the claimant-unique temp file is always cleaned up — including
+    # on the contended path (FileExistsError from os.link)
+    leftovers = [p for p in os.listdir(tmp_path) if ".claim." in p]
+    assert leftovers == []
+    with index_write_lock(idx, "holder"):
+        with pytest.raises(IndexWriterConflict):
+            with index_write_lock(idx, "contender"):
+                raise AssertionError("must not enter")
+        leftovers = [p for p in os.listdir(tmp_path) if ".claim." in p]
+        assert leftovers == []
 
 
 def test_compact_vs_append_writer_lock_both_orders(spark, tmp_path):
