@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_datbricks_demo_spark.operators import clustering, dedup, graph, text
-from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
+from dbt_datbricks_demo_spark.queries.inventory import (
+    _cache_root,
+    _register,
+    _spread,
+    _t,
+)
 from dbt_datbricks_demo_spark.queries.llm_ops import (
     _SQL_SHINGLE_HASHES,
     _SQL_TOKENS,
@@ -488,7 +493,7 @@ def _minhash_index_for(spark: SparkSession, sf_dir: str) -> str:
         for p in sorted(glob.glob(src) + glob.glob(os.path.join(src, "*")))
     )
     key = hashlib.md5(f"{stamp}|k5h8b2|mod10ne7".encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_mh_{key}", "index")
+    path = os.path.join(_cache_root(), f"spark_graft_mh_{key}", "index")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         corpus = _t(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 10 != 7
@@ -557,9 +562,7 @@ def _maintained_index_for(spark: SparkSession, sf_dir: str) -> str:
         for p in sorted(glob.glob(src) + glob.glob(os.path.join(src, "*")))
     )
     key = hashlib.md5(f"{stamp}|k5h8b2|lifecycle1".encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_mhlc_{key}", "index"
-    )
+    path = os.path.join(_cache_root(), f"spark_graft_mhlc_{key}", "index")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = _t(spark, sf_dir, "documents")
         corpus = docs.filter(F.col("doc_id") % 10 != 7)
@@ -644,7 +647,7 @@ def _stream_ingested_index_for(spark: SparkSession, sf_dir: str) -> str:
         for p in sorted(glob.glob(src) + glob.glob(os.path.join(src, "*")))
     )
     key = hashlib.md5(f"{stamp}|k5h8b2|streamidx1".encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_smh_{key}")
+    root = os.path.join(_cache_root(), f"spark_graft_smh_{key}")
     path = os.path.join(root, "index")
     marker = os.path.join(root, "_STREAM_INGEST_DONE")
     if not os.path.exists(marker):

@@ -81,6 +81,35 @@ def _t_rowcount(sf_dir: str, name: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def _cache_root() -> str:
+    """Root directory for derived standing-index caches (MinHash /
+    IVF-PQ indexes keyed on the source parquet stamp).
+
+    Round-11 advice: these lived under tempfile.gettempdir(), where a
+    /tmp sweep between an index build and its probe INSIDE one run
+    failed the probing query (self-healing on rerun, but a spurious
+    red). They now live with the other staged artifacts under the
+    repo's gitignored ``scaledata/index_cache``; override with
+    SPARK_GRAFT_CACHE_DIR, falling back to the system temp dir only
+    when the repo checkout is not writable."""
+    import os
+    import tempfile
+
+    env = os.environ.get("SPARK_GRAFT_CACHE_DIR")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    root = os.path.join(repo, "scaledata", "index_cache")
+    try:
+        os.makedirs(root, exist_ok=True)
+        return root
+    except OSError:
+        return tempfile.gettempdir()
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition a narrow input up to the cluster's parallelism. The
     testdata tables are single-row-group parquet files → one scan

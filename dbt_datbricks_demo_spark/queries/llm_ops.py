@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 
 from dbt_datbricks_demo_spark.operators import dedup, multimodal, similarity, text
 from dbt_datbricks_demo_spark.operators.dedup import MERSENNE31, _affine_params
-from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
+from dbt_datbricks_demo_spark.queries.inventory import (
+    _cache_root,
+    _register,
+    _spread,
+    _t,
+)
 
 # ---- shared DuckDB SQL fragments ------------------------------------------
 # normalized text / tokens / shingle hashes exactly mirroring operators.text
@@ -1179,7 +1184,7 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[flo
         for p in sorted(glob.glob(src) + glob.glob(os.path.join(src, "*")))
     )
     key = hashlib.md5(f"{stamp}|k16|seed42|iter5|random".encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    base = os.path.join(_cache_root(), f"spark_graft_ivf_{key}")
     cent_path = os.path.join(base, "centroids.json")
     idx_path = os.path.join(base, "index")
     if os.path.exists(cent_path) and os.path.exists(

@@ -44,7 +44,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_datbricks_demo_spark.operators import dedup, similarity, text
-from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
+from dbt_datbricks_demo_spark.queries.inventory import (
+    _cache_root,
+    _register,
+    _spread,
+    _t,
+)
 from dbt_datbricks_demo_spark.queries.llm_ops import (
     _SQL_SHINGLE_HASHES,
     _SQL_TOKENS,
@@ -552,7 +557,7 @@ def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
         f"{stamp}|ivfpq|cells{_IVFPQ_CELLS}|m{_PQ_M}|k{_PQ_K}".encode()
     ).hexdigest()[:12]
     idx_path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_ivfpq_{key}", "index"
+        _cache_root(), f"spark_graft_ivfpq_{key}", "index"
     )
     if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
         similarity.write_ivfpq_index(
@@ -711,7 +716,7 @@ def _batch_index_for(spark: SparkSession, sf_dir: str, planes: int) -> str:
     key = hashlib.md5(
         f"{stamp}|bqidx|pl{planes}|cells{_IVFPQ_CELLS}|m{_PQ_M}|k{_PQ_K}".encode()
     ).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_bqidx_{key}")
+    root = os.path.join(_cache_root(), f"spark_graft_bqidx_{key}")
     idx_path = os.path.join(root, "index")
     if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
         # build in a session-private staging dir and rename-publish:
@@ -1167,7 +1172,7 @@ def _maintained_batch_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, 
     key = hashlib.md5(
         f"{stamp}|bqmaint|cells{_IVFPQ_CELLS}|m{_PQ_M}|k{_PQ_K}".encode()
     ).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_bqmnt_{key}")
+    root = os.path.join(_cache_root(), f"spark_graft_bqmnt_{key}")
     idx_path = os.path.join(root, "index")
     emb = _t(spark, sf_dir, "embeddings")
     pre = emb.filter(F.col("vec_id") % 10 != 7)
