@@ -67,6 +67,10 @@ CANARY_RUNS = 3
 #   * vs_prev is skipped entirely when the previous artifact ran at a
 #     DIFFERENT scale factor (the ratios would be meaningless).
 VS_PREV_FLAG_RATIO = 1.3
+# the prefix50 aggregate averages 50 queries' noise, so its flag
+# threshold is tighter than the per-query one (round-11 verdict
+# item 5: >1.15x after drift normalization)
+VS_PREV_PREFIX50_FLAG_RATIO = 1.15
 
 
 def load_prev_bench(repo_dir: str) -> dict | None:
@@ -92,6 +96,7 @@ def load_prev_bench(repo_dir: str) -> dict | None:
         "canary": None,
         "canary_basket": {},
         "sf": None,
+        "prefix50_wall": None,
     }
 
     def _take_canary(cdict: dict) -> None:
@@ -107,8 +112,15 @@ def load_prev_bench(repo_dir: str) -> dict | None:
         out["queries"] = dict(parsed["queries"])
         _take_canary(parsed.get("canary") or {})
         out["sf"] = parsed.get("sf")
+        out["prefix50_wall"] = parsed.get("prefix50_wall")
         return out
     tail = art.get("tail") or ""
+    m = re.search(r'"prefix50_wall":\s*([0-9.eE+-]+)', tail)
+    if m:
+        try:
+            out["prefix50_wall"] = float(m.group(1))
+        except ValueError:
+            pass
     m = re.search(r'"slowest":\s*(\{[^{}]*\})', tail)
     if m:
         try:
@@ -390,6 +402,25 @@ def main() -> None:
     payload["vs_prev_drift"] = drift
     payload["vs_prev_drifts"] = drifts
     payload["vs_prev_flagged"] = sorted(flagged)
+    # round-over-round prefix50 track (round-11 verdict item 5): the
+    # frozen-denominator series compares THIS run's prefix50_wall to
+    # the previous artifact's, drift-normalized; >1.15 after
+    # normalization is a flag. Skipped with vs_prev on sf mismatch.
+    prev_p50 = prev.get("prefix50_wall") if prev else None
+    now_p50 = payload.get("prefix50_wall")
+    if (
+        prev_p50
+        and now_p50
+        and not (prev and prev.get("sf") is not None and prev["sf"] != sf_now)
+    ):
+        raw = now_p50 / prev_p50
+        norm = raw / drift if drift else raw
+        payload["vs_prev_prefix50"] = round(norm, 3)
+        payload["vs_prev_prefix50_raw"] = round(raw, 3)
+        payload["vs_prev_prefix50_flagged"] = bool(
+            raw > VS_PREV_PREFIX50_FLAG_RATIO
+            and norm > VS_PREV_PREFIX50_FLAG_RATIO
+        )
     payload["metric"] = "operator-inventory wall time"
     payload["value"] = round(sum(timings.values()), 3)
     payload["unit"] = "sec"

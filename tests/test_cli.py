@@ -191,6 +191,65 @@ def test_bench_contract(tmp_path):
     allv = sorted(payload["queries"].values())
     assert tq["q50"] in allv and tq["q90"] in allv and tq["q99"] in allv
     assert tq["q50"] <= tq["q90"] <= tq["q99"]
+    # this subset run is sf0.001 vs the repo artifacts' sf0.1, so the
+    # prefix50 round-over-round ratio must be absent (emitting a
+    # cross-scale ratio would be meaningless); its presence at matched
+    # sf is covered by test_load_prev_bench_prefix50 below
+    assert "vs_prev_prefix50" not in payload
+
+
+def test_load_prev_bench_prefix50():
+    """Round-11 verdict item 5: the prefix50_wall series must survive
+    both artifact shapes — a full parse and a truncation-safe tail —
+    so every round's bench can compare against the previous round's
+    frozen-denominator number instead of the registry-growth-conflated
+    headline wall."""
+    import importlib
+    import json
+    import os
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    bench = importlib.import_module("bench")
+
+    with tempfile.TemporaryDirectory() as d:
+        # full-parse shape
+        with open(os.path.join(d, "BENCH_r01.json"), "w") as fh:
+            json.dump(
+                {
+                    "parsed": {
+                        "queries": {"topk_orders": 1.0},
+                        "canary": {"best": 0.5},
+                        "sf": 0.1,
+                        "prefix50_wall": 80.6,
+                    }
+                },
+                fh,
+            )
+        prev = bench.load_prev_bench(d)
+        assert prev["prefix50_wall"] == 80.6
+
+        # tail-only shape (front-truncated artifact) — newest wins
+        with open(os.path.join(d, "BENCH_r02.json"), "w") as fh:
+            json.dump(
+                {
+                    "tail": '"slowest": {"topk_orders": 1.0}, '
+                    '"prefix50_wall": 82.48, "prefix50_n": 50, '
+                    '"canary": {"best": 0.5}, "sf": 0.1}',
+                },
+                fh,
+            )
+        prev = bench.load_prev_bench(d)
+        assert prev["src"] == "BENCH_r02.json"
+        assert prev["prefix50_wall"] == 82.48
+
+    # the live repo artifact must yield the round-11 series value so
+    # the next real bench run has a baseline to compare against
+    live = bench.load_prev_bench(repo)
+    if live is not None and live["src"] >= "BENCH_r11.json":
+        assert live["prefix50_wall"] is not None
 
 
 def test_bench_survives_failing_query(tmp_path):
