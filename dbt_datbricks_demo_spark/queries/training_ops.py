@@ -207,7 +207,44 @@ def temperature_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # DoReMi-style domain-mixture reweighting
 # ---------------------------------------------------------------------------
-def _sql_doremi() -> str:
+_DOREMI_SHARDS = 8
+
+
+def _sql_doremi_per_doc(shard: int | None = None) -> str:
+    """The per-document unigram-NLL aggregation — the heavy half of
+    the DoReMi oracle (token unnest + per-(doc,term) tf + model join).
+    With ``shard`` set, restricted to ``doc_id % _DOREMI_SHARDS =
+    shard`` (reading the persisted dm_model/dm_tot stage views) so a
+    staged derivation bounds the spill to one shard's working set;
+    with shard=None it is the monolithic in-query form over its own
+    tok/model CTEs. The tf grouping and aggregate expression are
+    byte-identical in both forms, so per-doc float summation order is
+    associated the same way."""
+    if shard is None:
+        src, model, tot = "tok", "model", "tot"
+    else:
+        # the shard restriction lives in the stage's tok_s CTE (the
+        # unnest itself is filtered), not here — this fragment only
+        # swaps relation names
+        src, model, tot = "tok_s", "dm_model", "dm_tot"
+    tf = f"""(select doc_id, source, term, count(*) as tf
+           from {src} group by 1, 2, 3)"""
+    return f"""
+        select doc_id, source,
+               cast(sum(tf) as bigint) as n_tok,
+               cast(round(round(sum(-tf * ln((cnt + 1) / (n + v)))
+                                / sum(tf), 6) * 1e6, 0) as bigint)
+                   as nll_micro
+        from {tf} tf join {model} using (term), {tot}
+        group by doc_id, source
+    """
+
+
+def _sql_doremi_tail(per_doc_relation: str) -> str:
+    """dom -> mirror-descent steps -> final select, downstream of the
+    per-doc NLL relation. Shared verbatim by the monolithic oracle and
+    the staged derivation's final stage so the two cannot diverge."""
+
     def lbar(b: str) -> str:
         return f"((2 * {b}.num + {b}.den) // (2 * {b}.den))"
 
@@ -226,28 +263,11 @@ def _sql_doremi() -> str:
              from {src}, b{t})"""
 
     return f"""
-    with tok as (
-        select doc_id, source, unnest({_SQL_TOKENS}) as term from documents
-    ),
-    model as (select term, count(*) as cnt from tok group by term),
-    tot as (select cast(sum(cnt) as double) as n,
-                   cast(count(*) as double) as v from model),
-    tf as (select doc_id, source, term, count(*) as tf
-           from tok group by 1, 2, 3),
-    per_doc as (
-        select doc_id, source,
-               cast(sum(tf) as bigint) as n_tok,
-               cast(round(round(sum(-tf * ln((cnt + 1) / (n + v)))
-                                / sum(tf), 6) * 1e6, 0) as bigint)
-                   as nll_micro
-        from tf join model using (term), tot
-        group by doc_id, source
-    ),
     dom as (
         select source, count(*) as n_docs,
                cast(sum(nll_micro) as bigint) as sum_micro,
                cast(sum(n_tok) as bigint) as toks
-        from per_doc group by source
+        from {per_doc_relation} group by source
     ),
     dtot as (select cast(sum(toks) as bigint) as all_toks from dom),
     d0 as (
@@ -267,6 +287,81 @@ def _sql_doremi() -> str:
     from u3, ws
     order by source
     """
+
+
+def _sql_doremi() -> str:
+    return f"""
+    with tok as (
+        select doc_id, source, unnest({_SQL_TOKENS}) as term from documents
+    ),
+    model as (select term, count(*) as cnt from tok group by term),
+    tot as (select cast(sum(cnt) as double) as n,
+                   cast(count(*) as double) as v from model),
+    per_doc as (
+        {_sql_doremi_per_doc(None)}
+    ),
+    {_sql_doremi_tail('per_doc')}
+    """
+
+
+def staged_doremi_sql() -> list[tuple[str, str]]:
+    """The doremi_mixture_report oracle as BOUNDED DuckDB passes
+    (round-12: the monolithic derivation's per-(doc,term) tf hash
+    aggregate spilled past 52 GB at x100 — the whole token unnest,
+    the tf grouping, and the model join share one query's temp
+    budget). Stage graph (each row = one connection, one COPY):
+
+      dm_model      term -> corpus count                (documents)
+      dm_tot        (n, v) scalars                      (dm_model)
+      dm_perdoc_k   per-doc NLL for doc_id % 8 = k,
+                    k = 0..7 — each pass unnests only
+                    its shard's tokens, so peak temp is
+                    ~1/8 of the monolithic              (documents+model)
+      result        union shards -> dom -> 3 mirror-
+                    descent steps -> final select       (dm_perdoc_*)
+
+    The per-doc aggregate and the tail SQL are the same fragments the
+    monolithic oracle is assembled from (_sql_doremi_per_doc /
+    _sql_doremi_tail), and scripts/scaled_oracle.py refuses to install
+    a staged result until it has hash-verified the staged pipeline
+    against a cached monolithic entry at some scale."""
+    stages: list[tuple[str, str]] = []
+    stages.append((
+        "dm_model",
+        f"""
+        with tok as (
+            select unnest({_SQL_TOKENS}) as term from documents
+        )
+        select term, count(*) as cnt from tok group by term
+        """,
+    ))
+    stages.append((
+        "dm_tot",
+        "select cast(sum(cnt) as double) as n, "
+        "cast(count(*) as double) as v from dm_model",
+    ))
+    for k in range(_DOREMI_SHARDS):
+        stages.append((
+            f"dm_perdoc_{k}",
+            f"""
+            with tok_s as (
+                select doc_id, source, unnest({_SQL_TOKENS}) as term
+                from documents where doc_id % {_DOREMI_SHARDS} = {k}
+            )
+            {_sql_doremi_per_doc(k)}
+            """,
+        ))
+    union = " union all ".join(
+        f"select * from dm_perdoc_{k}" for k in range(_DOREMI_SHARDS)
+    )
+    stages.append((
+        "result",
+        f"""
+        with per_doc as ({union}),
+        {_sql_doremi_tail('per_doc')}
+        """,
+    ))
+    return stages
 
 
 @_register(

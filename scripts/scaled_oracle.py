@@ -177,12 +177,16 @@ def _staged_plans() -> dict:
     from dbt_datbricks_demo_spark.queries.pipeline_ops import (
         staged_training_set_sql,
     )
+    from dbt_datbricks_demo_spark.queries.training_ops import (
+        staged_doremi_sql,
+    )
 
     return {
         "training_set_report": staged_training_set_sql,
         "minhash_production_lsh": lambda: staged_knee_report_sql(
             top=dedup.ADAPTIVE_GEOMETRY_TOP
         ),
+        "doremi_mixture_report": staged_doremi_sql,
     }
 
 

@@ -35,7 +35,10 @@ def scaled_oracle(tmp_path, monkeypatch):
     return mod
 
 
-@pytest.mark.parametrize("name", ["training_set_report", "minhash_production_lsh"])
+@pytest.mark.parametrize(
+    "name",
+    ["training_set_report", "minhash_production_lsh", "doremi_mixture_report"],
+)
 def test_staged_plan_matches_monolithic_and_guards_install(
     scaled_oracle, name
 ):
