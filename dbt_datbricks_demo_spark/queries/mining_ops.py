@@ -1464,6 +1464,144 @@ def ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def staged_ann_lifecycle_sql(
+    plant_base: int, planted_ids: list[int], probe_mod: int
+) -> list[tuple[str, str]]:
+    """The ANN-index lifecycle probe oracle as BOUNDED DuckDB passes
+    (round-11 verdict item 3 — scripts/ann_lifecycle.py, the IVF-PQ
+    twin of the prod2m MinHash lifecycle): the from-scratch
+    index-routed batch ANN over the POST-delete corpus, planes from
+    the PRE-delete ingest count, queries = the never-indexed probe
+    batch (vec_id % probe_mod == 7) plus the planted twins (corpus
+    vectors re-sent verbatim under vec_id + plant_base — identical
+    vector ⇒ identical (cell, sub) and the minimal possible ADC score,
+    so each twin's rank-1 must be its source). Shares every encoding
+    fragment with the ann_batch_topk / ann_index_maintenance oracles
+    (_batch_sql_fragments); the heavy per-row encoding pass is sharded
+    vec_id % 8 so peak temp is one shard's working set.
+
+    Stage graph:
+      al_pl       planes + ball radius from pre-delete count
+      al_enc_k    encoded post-delete shard, k = 0..7   (embeddings+pl)
+      al_qm       query encodings (probe batch + twins) (embeddings+pl)
+      result      routes -> Hamming-ball subs -> candidate join ->
+                  ADC top-5                             (al_enc_*+qm)
+    """
+    fr = _batch_sql_fragments()
+    wcols = fr["wcols"]
+    csc_corpus, csc_query = fr["csc_corpus"], fr["csc_query"]
+    mg_terms, sub_bits_e = fr["mg_terms"], fr["sub_bits_e"]
+    sc_cols, qt_cols = fr["sc_cols"], fr["qt_cols"]
+    adc, qbase_bits = fr["adc"], fr["qbase_bits"]
+    ids = ", ".join(str(i) for i in sorted(planted_ids))
+
+    stages: list[tuple[str, str]] = []
+    stages.append((
+        "al_pl",
+        f"""
+        select planes, {_SQL_BALL_RADIUS} as radius
+        from (select {_sql_batch_planes()} as planes
+              from (select count(*) as n from embeddings
+                    where vec_id % 10 <> 7))
+        """,
+    ))
+    for k in range(8):
+        stages.append((
+            f"al_enc_{k}",
+            f"""
+            with w as (select {', '.join(wcols)}),
+            corpus as (
+                select vec_id, embedding from embeddings
+                where vec_id % 10 <> 7 and vec_id % 17 <> 3
+                  and vec_id % 8 = {k}
+            )
+            select vec_id,
+                   list_position(csc, list_min(csc)) - 1 as cell,
+                   sub,
+                   {_pq_codes_sql()}
+            from (select vec_id,
+                   [{','.join(csc_corpus)}] as csc,
+                   {','.join(sc_cols)},
+                   ({' + '.join(sub_bits_e)}) as sub
+                  from corpus, al_pl pl, w) q0
+            """,
+        ))
+    stages.append((
+        "al_qm",
+        f"""
+        with w as (select {', '.join(wcols)}),
+        queries as (
+            select vec_id as q_id, embedding from embeddings
+            where vec_id % {probe_mod} = 7
+            union all
+            select vec_id + {plant_base} as q_id, embedding
+            from embeddings where vec_id in ({ids})
+        )
+        select q_id,
+               [{','.join(csc_query)}] as qsc,
+               [{','.join(mg_terms)}] as m,
+               planes,
+               {','.join(qt_cols)}
+        from (select q_id,
+                     list_transform(embedding, x -> cast(x as double)) as qv
+              from queries), al_pl pl, w
+        """,
+    ))
+    enc_union = " union all ".join(
+        f"select * from al_enc_{k}" for k in range(8)
+    )
+    stages.append((
+        "result",
+        f"""
+        with enc as ({enc_union}),
+        qb as (
+            select q_id, ({qbase_bits}) as base from al_qm
+        ),
+        routes as (
+            select q_id, i - 1 as cell from (
+                select q_id, s, i,
+                       row_number() over (partition by q_id
+                                          order by s, i) as rn
+                from (select q_id, unnest(qsc) as s,
+                             generate_subscripts(qsc, 1) as i
+                      from al_qm)
+            ) where rn <= {_BATCH_NPROBE}
+        ),
+        qsubs as (
+            select b.q_id, xor(b.base, m.mask) as sub
+            from qb b, al_pl pl,
+                 (select unnest(range(0, 16384)) as mask) m
+            where m.mask < (1::bigint << pl.planes)
+              and bit_count(m.mask) <= pl.radius
+        ),
+        cand as (
+            select r.q_id, e.vec_id,
+                   {','.join(f'e.c{s} as c{s}' for s in range(_PQ_M))}
+            from enc e
+            join routes r on e.cell = r.cell
+            join qsubs s on s.q_id = r.q_id and e.sub = s.sub
+            where e.vec_id <> r.q_id
+        ),
+        scored as (
+            select c.q_id, c.vec_id,
+                   round(cast(0.0 as double) + {adc}, 6) as score
+            from cand c join al_qm using (q_id)
+        ),
+        ranked as (
+            select q_id, vec_id, score,
+                   row_number() over (partition by q_id
+                                      order by score asc, vec_id) as rank
+            from scored
+        )
+        select q_id, vec_id, cast(rank as int) as rank, score
+        from ranked
+        where rank <= {_BATCH_K}
+        order by q_id, rank
+        """,
+    ))
+    return stages
+
+
 # ---------------------------------------------------------------------------
 # BPE merge training (tokenizer construction in-engine)
 # ---------------------------------------------------------------------------

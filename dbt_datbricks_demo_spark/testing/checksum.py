@@ -56,6 +56,16 @@ _SPARK_FAMILY = {
     "date": "date",
 }
 
+# ARRAY columns of these element families are canonicalized too
+# (round-11 verdict item 4: array-bearing results — array_functions/
+# map_functions/embedding_quantization reports — were permanently
+# checksum-refused, so their x100 cells fell back to the driver-bound
+# exact compare; 1.5M-row toPandas pulls at scale). Elements render
+# with the scalar canon, joined by chr(30) with chr(2) for NULL
+# elements and a length prefix (disambiguating [] from ['']); element
+# strings containing any sentinel refuse in-pass like scalar strings.
+_ARRAY_ELEM_FAMILY = {"int": "arr_int", "float": "arr_float", "str": "arr_str"}
+
 _DUCK_FAMILY = {
     "TINYINT": "int",
     "SMALLINT": "int",
@@ -119,8 +129,42 @@ def _float_canon(c: str, engine: str) -> str:
     return f"case when {guard} then 'X' else {body} end"
 
 
+def _elem_canon(family: str, engine: str) -> str:
+    """Scalar canon of an array ELEMENT bound to lambda variable x —
+    the same renderings _canon uses for scalar columns, minus the
+    NULL coalesce (the array join supplies chr(2) for null elements)."""
+    if family == "int":
+        return "cast(x as string)" if engine == "spark" else "x::varchar"
+    if family == "str":
+        return "x"
+    if family == "float":
+        wide = "cast(x as double)" if engine == "spark" else "x::double"
+        return _float_canon(wide, engine)
+    raise ValueError(f"no array-element rendering for family {family!r}")
+
+
 def _canon(c: str, family: str, engine: str) -> str:
     q = f'"{c}"' if engine == "duckdb" else f"`{c}`"
+    if family in _ARRAY_ELEM_FAMILY.values():
+        elem = _elem_canon(family.removeprefix("arr_"), engine)
+        if engine == "spark":
+            body = (
+                f"concat(cast(size({q}) as string), ':', "
+                f"array_join(transform({q}, x -> "
+                f"coalesce({elem}, chr(2))), chr(30)))"
+            )
+        else:
+            # array_to_string of an EMPTY list is NULL in DuckDB
+            # (string_agg over zero rows) while Spark's array_join
+            # returns '' — coalesce the join, not the whole body, so
+            # [] renders '0:' on both and a NULL array still hits the
+            # outer NULL sentinel
+            body = (
+                f"(len({q})::varchar || ':' || "
+                f"coalesce(array_to_string(list_transform({q}, x -> "
+                f"coalesce({elem}, chr(2))), chr(30)), ''))"
+            )
+        return f"coalesce({body}, {_NULL})"
     if family == "int":
         body = (
             f"cast({q} as string)" if engine == "spark"
@@ -166,14 +210,27 @@ def _canon(c: str, family: str, engine: str) -> str:
 
 def spark_families(df: DataFrame) -> dict[str, str] | None:
     """Column→family map, or None if any column type is outside the
-    canonicalization (arrays/structs/decimals → caller refuses)."""
+    canonicalization (structs/maps/decimals/nested arrays → caller
+    refuses). Arrays of int/float/str scalars map to arr_* families."""
     fams = {}
     for name, dtype in df.dtypes:
         fam = _SPARK_FAMILY.get(dtype)
+        if fam is None and dtype.startswith("array<") and dtype.endswith(">"):
+            inner = _SPARK_FAMILY.get(dtype[6:-1])
+            fam = _ARRAY_ELEM_FAMILY.get(inner) if inner else None
         if fam is None:
             return None
         fams[name] = fam
     return fams
+
+
+def _duck_family(dtype: str) -> str | None:
+    dtype = dtype.upper()
+    fam = _DUCK_FAMILY.get(dtype)
+    if fam is None and dtype.endswith("[]"):
+        inner = _DUCK_FAMILY.get(dtype[:-2])
+        fam = _ARRAY_ELEM_FAMILY.get(inner) if inner else None
+    return fam
 
 
 def spark_checksum(df: DataFrame) -> dict:
@@ -189,21 +246,45 @@ def spark_checksum(df: DataFrame) -> dict:
     canons = ", ".join(_canon(c, fams[c], "spark") for c in cols)
     float_cols = [c for c in cols if fams[c] == "float"]
     str_cols = [c for c in cols if fams[c] == "str"]
+    arrf_cols = [c for c in cols if fams[c] == "arr_float"]
+    arrs_cols = [c for c in cols if fams[c] == "arr_str"]
     # floats outside the contract (NaN/Inf/|x|>=9e15) force refusal —
-    # counted in the same pass, no extra scan
+    # counted in the same pass, no extra scan; array<float> elements
+    # under the same contract via exists()
     bad = " + ".join(
-        f"sum(case when `{c}` is not null and (isnan(`{c}`) or "
-        f"abs(`{c}`) >= {FLOAT_CAP:.1f}) then 1 else 0 end)"
-        for c in float_cols
+        [
+            f"sum(case when `{c}` is not null and (isnan(`{c}`) or "
+            f"abs(`{c}`) >= {FLOAT_CAP:.1f}) then 1 else 0 end)"
+            for c in float_cols
+        ]
+        + [
+            f"sum(case when `{c}` is not null and exists(`{c}`, x -> "
+            f"isnan(cast(x as double)) or abs(cast(x as double)) >= "
+            f"{FLOAT_CAP:.1f}) then 1 else 0 end)"
+            for c in arrf_cols
+        ]
     ) or "0"
     # string values containing the NULL/separator sentinels would make
-    # the rendering ambiguous (round-11 advice) — refuse, same pass
+    # the rendering ambiguous (round-11 advice) — refuse, same pass;
+    # array<string> elements also refuse the element separators
+    # chr(30)/chr(2)
     bad_str = " + ".join(
-        f"sum(case when `{c}` is not null and (instr(`{c}`, chr(1)) > 0 "
-        f"or instr(`{c}`, chr(31)) > 0) then 1 else 0 end)"
-        for c in str_cols
+        [
+            f"sum(case when `{c}` is not null and (instr(`{c}`, chr(1)) > 0 "
+            f"or instr(`{c}`, chr(31)) > 0) then 1 else 0 end)"
+            for c in str_cols
+        ]
+        + [
+            f"sum(case when `{c}` is not null and exists(`{c}`, x -> "
+            f"x is not null and (instr(x, chr(1)) > 0 or "
+            f"instr(x, chr(31)) > 0 or instr(x, chr(30)) > 0 or "
+            f"instr(x, chr(2)) > 0)) then 1 else 0 end)"
+            for c in arrs_cols
+        ]
     ) or "0"
-    carry = [f"`{c}`" for c in (*float_cols, *str_cols)]
+    carry = [
+        f"`{c}`" for c in (*float_cols, *str_cols, *arrf_cols, *arrs_cols)
+    ]
     agg_df = (
         df.selectExpr(
             f"concat_ws({_SEP}, {canons}) as _row",
@@ -250,7 +331,7 @@ def duckdb_checksum(con, relation_sql: str) -> dict:
     desc = con.sql(f"describe {relation_sql}").fetchall()
     fams = {}
     for name, dtype, *_ in desc:
-        fam = _DUCK_FAMILY.get(dtype.upper())
+        fam = _duck_family(dtype)
         if fam is None:
             return {"refused": f"non-scalar column {name}: {dtype}"}
         fams[name] = fam
@@ -258,17 +339,36 @@ def duckdb_checksum(con, relation_sql: str) -> dict:
     canons = ", ".join(_canon(c, fams[c], "duckdb") for c in cols)
     float_cols = [c for c in cols if fams[c] == "float"]
     str_cols = [c for c in cols if fams[c] == "str"]
+    arrf_cols = [c for c in cols if fams[c] == "arr_float"]
+    arrs_cols = [c for c in cols if fams[c] == "arr_str"]
     bad = " + ".join(
-        f'sum(case when "{c}" is not null and (isnan("{c}"::double) or '
-        f'abs("{c}"::double) >= {FLOAT_CAP:.1f}) then 1 else 0 end)'
-        for c in float_cols
+        [
+            f'sum(case when "{c}" is not null and (isnan("{c}"::double) or '
+            f'abs("{c}"::double) >= {FLOAT_CAP:.1f}) then 1 else 0 end)'
+            for c in float_cols
+        ]
+        + [
+            f'sum(case when "{c}" is not null and len(list_filter("{c}", '
+            f"x -> isnan(x::double) or abs(x::double) >= "
+            f"{FLOAT_CAP:.1f})) > 0 then 1 else 0 end)"
+            for c in arrf_cols
+        ]
     ) or "0"
     bad_str = " + ".join(
-        f'sum(case when "{c}" is not null and (instr("{c}", chr(1)) > 0 '
-        f'or instr("{c}", chr(31)) > 0) then 1 else 0 end)'
-        for c in str_cols
+        [
+            f'sum(case when "{c}" is not null and (instr("{c}", chr(1)) > 0 '
+            f'or instr("{c}", chr(31)) > 0) then 1 else 0 end)'
+            for c in str_cols
+        ]
+        + [
+            f'sum(case when "{c}" is not null and len(list_filter("{c}", '
+            f"x -> x is not null and (instr(x, chr(1)) > 0 or "
+            f"instr(x, chr(31)) > 0 or instr(x, chr(30)) > 0 or "
+            f"instr(x, chr(2)) > 0))) > 0 then 1 else 0 end)"
+            for c in arrs_cols
+        ]
     ) or "0"
-    carry_cols = [*float_cols, *str_cols]
+    carry_cols = [*float_cols, *str_cols, *arrf_cols, *arrs_cols]
     carry = (
         (", " + ", ".join(f'"{c}"' for c in carry_cols))
         if carry_cols

@@ -152,6 +152,11 @@ def scale_up_dir(
                 return dst_dir
     os.makedirs(dst_dir, exist_ok=True)
     con = duckdb.connect()
+    # a factor-wide UNION ALL nests one parse level per replica and
+    # trips DuckDB's 1000-deep expression guard at prod factors (the
+    # 1001x prodvec2m corpus); the guard protects against runaway
+    # recursion, not a flat union, so raising it is safe here
+    con.execute(f"set max_expression_depth to {max(2000, factor + 500)}")
     for table in tables if tables is not None else TABLES:
         src = os.path.join(src_dir, f"{table}.parquet")
         dst = os.path.join(dst_dir, f"{table}.parquet")

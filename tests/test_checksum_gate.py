@@ -148,14 +148,101 @@ def test_checksum_refuses_contract_violations(spark, tmp_path):
     sdf, con, rel = _both_sides(spark, tmp_path, t, "big.parquet")
     assert "refused" in spark_checksum(sdf)
     assert "refused" in duckdb_checksum(con, rel)
-    # non-scalar column → refused, never mis-hashed
-    arr = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
-    assert "refused" in spark_checksum(arr)
+    # non-canonicalizable column (map; scalar arrays are now handled —
+    # see test_checksum_array_columns) → refused, never mis-hashed
+    mp = spark.createDataFrame(
+        [(1, {"a": 1.0})], "id long, v map<string,double>"
+    )
+    assert "refused" in spark_checksum(mp)
     # a refusal on either side is a problem, not a silent pass
     sdf, con, rel = _both_sides(spark, tmp_path, _base_table(), "ok.parquet")
     ok = duckdb_checksum(con, rel)
     assert checksum_compare({"refused": "x"}, ok)
     assert checksum_compare(ok, {"refused": "x"})
+
+
+def test_checksum_array_columns(spark, tmp_path):
+    """Round-11 verdict item 4: ARRAY columns of int/float/str scalars
+    are canonicalized (length prefix + chr(30)-joined element canons,
+    chr(2) for null elements) instead of permanently refused — the
+    refusal made array-bearing x100 cells fall back to the driver-bound
+    exact compare. Pins cross-engine equality (nulls, empties, nested
+    null elements), discrimination (element value / order / count), the
+    []-vs-[''] disambiguation, and element-sentinel refusal."""
+
+    def tbl(arrs, typ):
+        return pa.table(
+            {"id": pa.array(range(len(arrs)), pa.int64()),
+             "v": pa.array(arrs, pa.list_(typ))}
+        )
+
+    # cross-engine equality: ints with nulls, empty, null array
+    t = tbl([[1, 2, 3], [], None, [None, 5]], pa.int64())
+    sdf, con, rel = _both_sides(spark, tmp_path, t, "ai.parquet")
+    scs = spark_checksum(sdf)
+    assert "refused" not in scs
+    assert checksum_compare(scs, duckdb_checksum(con, rel)) == []
+
+    # strings: [] vs [''] must differ (length prefix), order matters
+    t = tbl([["a", "b"], [""], []], pa.string())
+    sdf, con, rel = _both_sides(spark, tmp_path, t, "as1.parquet")
+    base = spark_checksum(sdf)
+    assert "refused" not in base
+    assert checksum_compare(base, duckdb_checksum(con, rel)) == []
+    # order-insensitive across whole ROWS (ids travel with their arrays)
+    t2 = pa.table(
+        {"id": pa.array([2, 1, 0], pa.int64()),
+         "v": pa.array([[], [""], ["a", "b"]], pa.list_(pa.string()))}
+    )
+    _, con2, rel2 = _both_sides(spark, tmp_path, t2, "as2.parquet")
+    assert checksum_compare(base, duckdb_checksum(con2, rel2)) == []
+    # ...but element order INSIDE a row must discriminate
+    t3 = tbl([["b", "a"], [""], []], pa.string())
+    _, con3, rel3 = _both_sides(spark, tmp_path, t3, "as3.parquet")
+    assert checksum_compare(base, duckdb_checksum(con3, rel3)) != []
+    # element value change
+    t4 = tbl([["a", "c"], [""], []], pa.string())
+    _, con4, rel4 = _both_sides(spark, tmp_path, t4, "as4.parquet")
+    assert checksum_compare(base, duckdb_checksum(con4, rel4)) != []
+
+    # floats canonicalize via the IEEE quantization; NaN element refuses
+    t = tbl([[1.25, -0.5], [0.333333333]], pa.float64())
+    sdf, con, rel = _both_sides(spark, tmp_path, t, "af.parquet")
+    scs = spark_checksum(sdf)
+    assert "refused" not in scs
+    assert checksum_compare(scs, duckdb_checksum(con, rel)) == []
+    t = tbl([[1.25, float("nan")]], pa.float64())
+    sdf, con, rel = _both_sides(spark, tmp_path, t, "afn.parquet")
+    assert "refused" in spark_checksum(sdf)
+    assert "refused" in duckdb_checksum(con, rel)
+
+    # element containing the chr(30) joiner (or chr(2) null marker)
+    # refuses on both engines — the rendering would be ambiguous
+    t = tbl([["a\x1eb"]], pa.string())
+    sdf, con, rel = _both_sides(spark, tmp_path, t, "asent.parquet")
+    assert "refused" in spark_checksum(sdf)
+    assert "refused" in duckdb_checksum(con, rel)
+    t = tbl([["a\x02"]], pa.string())
+    sdf, con, rel = _both_sides(spark, tmp_path, t, "asent2.parquet")
+    assert "refused" in spark_checksum(sdf)
+    assert "refused" in duckdb_checksum(con, rel)
+
+    # null element vs missing element must differ: [null, 5] vs [5]
+    ta = tbl([[None, 5]], pa.int64())
+    tb = tbl([[5]], pa.int64())
+    sa, cona, rela = _both_sides(spark, tmp_path, ta, "an1.parquet")
+    _, conb, relb = _both_sides(spark, tmp_path, tb, "an2.parquet")
+    csa = spark_checksum(sa)
+    assert checksum_compare(csa, duckdb_checksum(cona, rela)) == []
+    assert checksum_compare(csa, duckdb_checksum(conb, relb)) != []
+
+    # nested arrays stay refused
+    t = pa.table(
+        {"v": pa.array([[[1, 2]]], pa.list_(pa.list_(pa.int64())))}
+    )
+    sdf, con, rel = _both_sides(spark, tmp_path, t, "anest.parquet")
+    assert "refused" in spark_checksum(sdf)
+    assert "refused" in duckdb_checksum(con, rel)
 
 
 def test_checksum_refuses_sentinel_bearing_strings(spark, tmp_path):

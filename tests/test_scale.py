@@ -488,3 +488,41 @@ def test_tier2_prod_artifact_consistent_with_geometry_table():
     assert r["cert_band_hits"] == r["cert_planted"] == 16
     assert art["oracle"]["match"] is True
     assert art["oracle"]["production_thresholds"] is True
+
+
+def test_checksum_audit_pins_registry():
+    """Round-11 verdict item 4: CHECKSUM_AUDIT.json enumerates, per
+    registered query, whether its result schema is checksum-eligible
+    or permanently refused — the explicit record that no scaled cell
+    silently falls back to the driver-bound exact compare. Pin the
+    artifact key-for-key against the live registry (adding a query
+    without re-running scripts/checksum_audit.py fails here) and
+    assert the audit's headline state: zero schema-refused, zero
+    errors, and SCALE.md quotes the same counts."""
+    import json
+    import os
+
+    from dbt_datbricks_demo_spark.queries import QUERIES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "CHECKSUM_AUDIT.json")
+    assert os.path.exists(path), (
+        "CHECKSUM_AUDIT.json missing — run scripts/checksum_audit.py"
+    )
+    with open(path) as fh:
+        audit = json.load(fh)
+    assert sorted(audit["queries"]) == sorted(QUERIES), (
+        "audit artifact out of sync with the registry — re-run "
+        "scripts/checksum_audit.py"
+    )
+    assert audit["n_queries"] == len(QUERIES)
+    statuses = {v["status"] for v in audit["queries"].values()}
+    assert statuses == {"eligible"}, {
+        k: v for k, v in audit["queries"].items() if v["status"] != "eligible"
+    }
+    assert audit["n_refused"] == 0 and audit["n_error"] == 0
+    md = open(os.path.join(repo, "SCALE.md")).read()
+    assert (
+        f"{audit['n_eligible']}/{audit['n_queries']} registered\n"
+        "queries checksum-eligible" in md.replace("**", "")
+    ), "SCALE.md audit section out of sync with CHECKSUM_AUDIT.json"

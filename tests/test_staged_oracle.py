@@ -81,6 +81,56 @@ def test_staged_plan_matches_monolithic_and_guards_install(
     assert not compare(name, sdf, odf)
 
 
+def test_ann_lifecycle_probe_staged_plan_exact_at_small_scale(
+    tmp_path, monkeypatch
+):
+    """The prodvec2m ANN lifecycle gate (scripts/ann_lifecycle.py,
+    round-11 verdict item 3) has no monolithic oracle SQL — its staged
+    plan (mining_ops.staged_ann_lifecycle_sql) is the only derivation,
+    so the per-round suite must re-prove the plan with the EXACT
+    driver compare at a small corpus: full IVF-PQ lifecycle (gen A,
+    gen B append, tombstone, compact) with adaptive planes, probe +16
+    planted twins (each twin's rank-1 must be its source), staged
+    DuckDB from-scratch derivation, exact hash-equal. This is the
+    validation the checksum-gated prodvec2m run leans on."""
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata not present")
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "scaled_oracle", os.path.join(REPO, "scripts", "scaled_oracle.py")
+    )
+    so = ilu.module_from_spec(spec)
+    saved = sys.modules.get("scaled_oracle")
+    sys.modules["scaled_oracle"] = so
+    spec.loader.exec_module(so)
+    so.CACHE_DIR = str(tmp_path / "cache")
+    so.RESULTS = str(tmp_path / "ledger.json")
+
+    spec2 = ilu.spec_from_file_location(
+        "ann_lifecycle_under_test",
+        os.path.join(REPO, "scripts", "ann_lifecycle.py"),
+    )
+    lc = ilu.module_from_spec(spec2)
+    sys.modules[spec2.name] = lc
+    spec2.loader.exec_module(lc)
+    try:
+        rc = lc.main(
+            [
+                "--corpus", SF_DIR,
+                "--index", str(tmp_path / "ann_lc_index"),
+                "--probe-mod", "10",
+                "--exact", "--no-record", "--keep-session",
+            ]
+        )
+    finally:
+        if saved is not None:
+            sys.modules["scaled_oracle"] = saved
+        else:
+            sys.modules.pop("scaled_oracle", None)
+    assert rc == 0
+
+
 def test_lifecycle_probe_staged_plan_exact_at_small_scale(
     tmp_path, monkeypatch
 ):
