@@ -151,8 +151,16 @@ def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "closed-form normal equations over EXACT decimal sums (n·Σxy − ΣxΣy "
     "etc.) — the engines' native regr_slope merges order-dependent "
     "partial states; decimal sums are order-free, so one double "
-    "division at the end is engine-identical. 3-table join: nation "
-    "broadcast, orders⋈customer shuffle on custkey",
+    "division at the end is engine-identical. Final quantization is "
+    "PURE IEEE arithmetic (floor(x·10^k + 0.5)/10^k, the checksum "
+    "gate's trick), not round(x, k): Spark's round expands the exact "
+    "binary value through BigDecimal while DuckDB multiplies by 10^k "
+    "and nearbyints, and at x100 the intercept's |x|≈2e9 puts x·1e6 "
+    "≈2e15 against the 2^53 exactness ceiling — measured 1e-6 flips "
+    "on 5 of 25 nations. The intercept quantum is 1e-3 (its x·10^k "
+    "stays far below 2^53 at any plausible revenue scale); slope "
+    "keeps 1e-6. 3-table join: nation broadcast, orders⋈customer "
+    "shuffle on custkey",
     """
     with monthly as (
         select n.n_name,
@@ -176,16 +184,20 @@ def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                cast(sum(cast(month_idx as decimal(10,0)) * rev) as decimal(28,2))
                    as sxy
         from monthly group by n_name
+    ),
+    q as (
+        select n_name, nm, sx, sy,
+               floor(cast(nm * sxy - sx * sy as double)
+                     / cast(nm * sxx - sx * sx as double) * 1000000 + 0.5)
+                   / 1000000 as slope
+        from fit
     )
     select n_name, cast(nm as bigint) as n_months,
-           round(cast(nm * sxy - sx * sy as double)
-                 / cast(nm * sxx - sx * sx as double), 6) as slope,
-           round((cast(sy as double)
-                  - round(cast(nm * sxy - sx * sy as double)
-                          / cast(nm * sxx - sx * sx as double), 6)
-                    * cast(sx as double)) / cast(nm as double), 6) as intercept,
+           slope,
+           floor((cast(sy as double) - slope * cast(sx as double))
+                 / cast(nm as double) * 1000 + 0.5) / 1000 as intercept,
            cast(sy as double) as total_rev
-    from fit
+    from q
     order by n_name
     """,
 )
@@ -220,16 +232,22 @@ def regression_trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = (F.col("nm") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("nm") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    slope = F.round(num / den, 6)
+    # IEEE-arithmetic quantization (not F.round — see the oracle note):
+    # identical bit-for-bit across engines at any magnitude
+    slope = F.floor(num / den * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1e6)
     return (
         fit.select(
             "n_name",
             F.col("nm").cast("bigint").alias("n_months"),
             slope.alias("slope"),
-            F.round(
-                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
-                / F.col("nm").cast("double"),
-                6,
+            (
+                F.floor(
+                    (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                    / F.col("nm").cast("double")
+                    * F.lit(1000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000.0)
             ).alias("intercept"),
             F.col("sy").cast("double").alias("total_rev"),
         )

@@ -148,8 +148,35 @@ def derive_oracle(name: str, sf_dir: str, sql: str) -> tuple[str, dict]:
     _register_base_views(con, sf_dir)
     t0 = time.perf_counter()
     tmp = pq + f".tmp.{os.getpid()}"
-    con.execute(f"copy ({sql}) to '{_sq(tmp)}' (format parquet)")
-    con.close()
+    # optional derivation watchdog (round 12): in a multi-query sweep
+    # one pathological derivation (a quadratic fuzzy-match, an
+    # optimizer mis-plan) must not consume the whole run's budget —
+    # ORACLE_DERIVE_TIMEOUT seconds, enforced via con.interrupt() from
+    # a watchdog thread; the interrupted execute raises, the caller's
+    # fault isolation records the error and moves on. Unset = no limit
+    # (single-query runs keep today's behavior).
+    limit = float(os.environ.get("ORACLE_DERIVE_TIMEOUT", "0") or 0)
+    watchdog = None
+    if limit > 0:
+        import threading
+
+        watchdog = threading.Timer(limit, con.interrupt)
+        watchdog.daemon = True
+        watchdog.start()
+    try:
+        con.execute(f"copy ({sql}) to '{_sq(tmp)}' (format parquet)")
+    except Exception:
+        # interrupted/failed derivation: drop the partial tmp so a
+        # retry never replaces the cache with a truncated parquet
+        import contextlib
+
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
+        raise
+    finally:
+        if watchdog is not None:
+            watchdog.cancel()
+        con.close()
     os.replace(tmp, pq)
     meta = {
         "key": key,
