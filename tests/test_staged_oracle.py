@@ -178,3 +178,57 @@ def test_lifecycle_probe_staged_plan_exact_at_small_scale(
         else:
             sys.modules.pop("scaled_oracle", None)
     assert rc == 0
+
+
+def test_oracle_derive_watchdog_interrupts_and_cleans_up(
+    tmp_path, monkeypatch
+):
+    """Round 12: ORACLE_DERIVE_TIMEOUT interrupts a pathological DuckDB
+    derivation (a quadratic fuzzy-match ate 12+ minutes of a sweep
+    budget) so multi-query runs record the error and continue. Pins:
+    the interrupt raises within the window, no partial .tmp parquet
+    survives, no cache entry is installed, and with the timeout unset
+    the same derivation path still works."""
+    import importlib.util as ilu
+    import time
+
+    spec = ilu.spec_from_file_location(
+        "scaled_oracle_watchdog", os.path.join(REPO, "scripts", "scaled_oracle.py")
+    )
+    so = ilu.module_from_spec(spec)
+    sys.modules[spec.name] = so
+    spec.loader.exec_module(so)
+    so.CACHE_DIR = str(tmp_path / "cache")
+    so.RESULTS = str(tmp_path / "ledger.json")
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    import duckdb
+
+    duckdb.sql(
+        f"copy (select range as r_regionkey, 'x' as r_name, 'y' as r_comment "
+        f"from range(4)) to '{sf}/region.parquet' (format parquet)"
+    )
+
+    # a derivation that cannot finish in 1s: ~10^10-row cross join agg
+    slow_sql = (
+        "select count(*) as n from range(100000) a, range(100000) b, "
+        "(select * from region)"
+    )
+    monkeypatch.setenv("ORACLE_DERIVE_TIMEOUT", "1")
+    t0 = time.time()
+    with pytest.raises(Exception) as exc:
+        so.derive_oracle("slow_q", sf, slow_sql)
+    assert time.time() - t0 < 30, "watchdog did not fire"
+    assert "interrupt" in str(exc.value).lower()
+    leftovers = [
+        f for f in os.listdir(so.CACHE_DIR) if ".tmp." in f or f.endswith(".json")
+    ]
+    assert leftovers == [], leftovers
+
+    # timeout unset -> the same path derives normally
+    monkeypatch.delenv("ORACLE_DERIVE_TIMEOUT")
+    pq_path, meta = so.derive_oracle(
+        "fast_q", sf, "select count(*) as n from region"
+    )
+    assert meta["rows"] == 1 and os.path.exists(pq_path)
