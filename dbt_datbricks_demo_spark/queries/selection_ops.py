@@ -193,16 +193,36 @@ def bloom_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = text.split_assignment(
         "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
     )
-    assigned = docs.withColumn("_split", split)
-    per_doc_grams = assigned.select(
-        "doc_id",
-        "source",
-        "_split",
-        F.explode(
-            F.array_distinct(
-                text.word_ngrams_all(text.tokens("text"), _BLOOM_N)
-            )
-        ).alias("gram"),
+    # Gram generation in the row-level codegen form (the word_gram_rows
+    # pattern): the previous explode(array_distinct(word_ngrams_all(...)))
+    # built the gram ARRAY with transform() lambdas, which Catalyst
+    # evaluates in its interpreted HOF walker — the same per-JVM JIT
+    # lottery documented on dedup.shingle_hash_rows (this query measured
+    # bimodal 3.7 s / 15.0 s across bench sessions). Position-explode +
+    # concat_ws(slice(...)) keeps every expression in generated code,
+    # and the per-doc distinct moves to a map-side-combined aggregate.
+    staged = docs.select(
+        "doc_id", "source", split.alias("_split"),
+        text.tokens("text").alias("_t"),
+    )
+    seq = F.when(
+        F.size("_t") >= _BLOOM_N,
+        F.sequence(F.lit(1), F.size("_t") - (_BLOOM_N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = staged.select(
+        "doc_id", "source", "_split", "_t", F.explode(seq).alias("_p")
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("_t"), F.col("_p"), _BLOOM_N))
+    # distinct (doc, gram) rows — identical set to the old per-doc
+    # array_distinct — materialized ONCE: FOUR plan branches consume
+    # them (bench grams ×2: bloom build + exact digests; corpus grams
+    # ×2: probe + per-doc agg), and without the checkpoint each branch
+    # re-ran the full tokenize+gram corpus pass (4 parquet scans in the
+    # before-plan). O(|distinct grams|) rows, narrow columns.
+    per_doc_grams = (
+        occ.select("doc_id", "source", "_split", gram.alias("gram"))
+        .dropDuplicates(["doc_id", "gram"])
+        .localCheckpoint(eager=True)
     )
     bench = (
         per_doc_grams.filter(F.col("_split") == "test")

@@ -1,0 +1,59 @@
+"""Dump .explain("formatted") for registered queries into plans/r12/.
+
+Usage:
+    python scripts/dump_plans.py SUFFIX [QUERY ...]
+
+SUFFIX is "before" or "after"; with no query names, dumps every
+registered query. Building a query may run its eager prep stages
+(localCheckpoints, index builds) — that is part of its real plan
+surface and is fine here; explain itself does not execute the final
+query.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dbt_datbricks_demo_spark.queries import QUERIES  # noqa: E402
+from dbt_datbricks_demo_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:] or list(QUERIES)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r12",
+    )
+    os.makedirs(outdir, exist_ok=True)
+    spark = get_spark(
+        app_name="dump_plans",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        try:
+            df = QUERIES[name].build(spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            text = buf.getvalue()
+        except Exception as e:  # noqa: BLE001
+            text = f"ERROR building {name}: {type(e).__name__}: {e}\n"
+        with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as fh:
+            fh.write(text)
+        print(name, "ok" if not text.startswith("ERROR") else "ERROR")
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+
+
+if __name__ == "__main__":
+    main()
