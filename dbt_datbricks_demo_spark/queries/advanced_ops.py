@@ -784,7 +784,7 @@ def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs = dedup.minhash_sigs_from_rows(rows, "doc_id", num_hashes=8)
         return sigs.select(
             "doc_id",
-            F.explode(dedup.lsh_band_keys(F.col("_sig"), 2, 4)).alias("band_key"),
+            F.explode(dedup.lsh_band_keys("_sig", 2, 4)).alias("band_key"),
         )
 
     near = (

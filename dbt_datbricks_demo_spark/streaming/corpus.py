@@ -161,7 +161,7 @@ def neardup_ingest_batch_fn(
             sig_col="_sig", keep_hashes="_hs",
         )
         staged = staged.withColumn("_ch", content_hash(text_col)).withColumn(
-            "_bands", lsh_band_keys(F.col("_sig"), bands, rows_per_band)
+            "_bands", lsh_band_keys("_sig", bands, rows_per_band)
         )
         # 1. within-batch exact dedup, lowest id wins
         w_rn = F.row_number().over(Window.partitionBy("_ch").orderBy(id_col))
@@ -342,7 +342,7 @@ def index_ingest_batch_fn(
             batch_df, text_col, num_hashes, shingle_k,
             sig_col="_sig", keep_hashes="_hs",
         ).withColumn(
-            "_bands", lsh_band_keys(F.col("_sig"), bands, rows_per_band)
+            "_bands", lsh_band_keys("_sig", bands, rows_per_band)
         ).localCheckpoint(eager=True)
 
         # 1. within-batch near-dup (higher id loses to a verified
