@@ -1206,12 +1206,13 @@ def planted_recall_cert(
     per-band (hash_index, min) arrays directly — equality is what LSH
     banding needs, no key serialization required."""
     r = num_hashes // bands
-    base = (
-        df.select(id_col, text_col)
-        .orderBy(id_col)
-        .limit(n_planted)
-        .localCheckpoint(eager=True)
-    )
+    # No eager checkpoints here (round 12): the cert's two checkpoints
+    # cost 2 extra jobs + ~2 s of warm driver time per query for a
+    # <= 2*n_planted-row relation, while the duplicated subtrees they
+    # avoided deduplicate at runtime anyway (identical Exchanges are
+    # planned once via ReusedExchange). The whole cert now executes
+    # inside the consuming query's own job.
+    base = df.select(id_col, text_col).orderBy(id_col).limit(n_planted)
     sides = base.select(
         (F.col(id_col) * 2).alias(id_col), F.col(text_col)
     ).unionByName(
@@ -1238,17 +1239,22 @@ def planted_recall_cert(
     banded = mins.groupBy(
         F.col(id_col), F.expr(f"_i div {r}").alias("_band")
     ).agg(F.sort_array(F.collect_list(F.struct("_i", "_m"))).alias("_bsig"))
-    keyed = banded.localCheckpoint(eager=True)  # <= 2*n_planted*bands rows
-    orig = keyed.filter(F.pmod(F.col(id_col), F.lit(2)) == 0).alias("o")
-    pert = keyed.filter(F.pmod(F.col(id_col), F.lit(2)) == 1).alias("p")
+    # Band collision via ONE more aggregation instead of the previous
+    # orig x pert self-join over a checkpointed relation: the twins
+    # share (id div 2), so a (pair, band) group holds exactly the two
+    # sides' band signatures and a collision is min == max with both
+    # rows present. Same integers (distinct originals with >= 1
+    # colliding band), one fewer shuffle side and no materialization.
+    pb = banded.groupBy(
+        F.expr(f"{id_col} div 2").alias("_pair"), "_band"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_bsig").alias("_lo"),
+        F.max("_bsig").alias("_hi"),
+    )
     hits = (
-        orig.join(
-            pert,
-            (F.col(f"o.{id_col}") + 1 == F.col(f"p.{id_col}"))
-            & (F.col("o._band") == F.col("p._band"))
-            & (F.col("o._bsig") == F.col("p._bsig")),
-        )
-        .select(F.col(f"o.{id_col}"))
+        pb.filter((F.col("_n") == 2) & (F.col("_lo") == F.col("_hi")))
+        .select("_pair")
         .distinct()
         .agg(F.count(F.lit(1)).cast("bigint").alias("cert_band_hits"))
     )
