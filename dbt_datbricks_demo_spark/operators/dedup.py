@@ -107,6 +107,7 @@ def exact_dedup(
     cols: list[str],
     id_col: str,
     broadcast_loser_limit: int = BROADCAST_PAIR_LIMIT,
+    row_bound: int | None = None,
 ) -> DataFrame:
     """Keep the lowest-id row per distinct content (deterministic winner).
 
@@ -118,6 +119,13 @@ def exact_dedup(
     typical corpus the bodies then never shuffle at all. Above the limit
     (dup-heavy corpus) the anti-join falls back to one corpus shuffle —
     the same worst case a direct window-over-digest plan always pays.
+
+    row_bound: caller-known upper bound on the input rowcount (parquet
+    footer / metastore stats). Losers are at most |rows|, so a bound
+    under the limit decides the broadcast WITHOUT the materialize+count
+    jobs (2 jobs + ~0.6 s warm driver time per consuming query); the
+    loser subtree then executes exactly once, inside the broadcast
+    build.
     """
     from pyspark.sql import Window
 
@@ -127,8 +135,10 @@ def exact_dedup(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") > 1)
         .select(id_col)
-        .localCheckpoint(eager=True)
     )
+    if row_bound is not None and row_bound <= broadcast_loser_limit:
+        return df.join(F.broadcast(losers), on=id_col, how="left_anti")
+    losers = losers.localCheckpoint(eager=True)
     if losers.count() <= broadcast_loser_limit:
         losers = F.broadcast(losers)
     return df.join(losers, on=id_col, how="left_anti")
@@ -632,14 +642,34 @@ def candidate_hash_arrays(
         .distinct()
     )
     subset = df.join(cand_ids, on=id_col, how="left_semi")
-    # NOTE: a row-level codegen rewrite (explode → string-distinct →
-    # per-row md5 → collect_list) was measured at 2.2-3.0 s here vs
-    # 1.8 s for this HOF form at sf0.1 — the (id, gram-string) distinct
-    # shuffle costs more than the in-partition interpreted lambdas on a
-    # candidate-bounded subset, so the array form stays.
+    # Row-level codegen form (round 12): the previous with_shingle_hashes
+    # HOF array build measured marginally faster on a LUCKY JIT profile
+    # (1.8 s vs 2.2-3.0 s at sf0.1) but Catalyst's interpreted lambda
+    # walker is a per-JVM profile lottery — inside full bench sessions
+    # the same checkpoint ran bimodal ~2 s / ~17 s (clean_corpus build,
+    # measured round 12). Position explode → per-row substr → string
+    # distinct → per-row md5 → collect_list keeps every expression in
+    # generated code; the two candidate-bounded exchanges it adds are
+    # O(candidate shingles), not corpus-sized. The array (same multiset,
+    # occurrence order not preserved) feeds only set-wise consumers
+    # (array_intersect / size in jaccard_pairs_from_hashes).
+    norm = F.trim(F.lower(F.col(text_col)))
+    staged = subset.select(F.col(id_col), norm.alias("_n"))
+    idx = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("_n") - (k - 1)))
+    ).alias("_i")
+    sh = (
+        staged.select(F.col(id_col), F.col("_n"), idx)
+        .select(
+            F.col(id_col), F.col("_n").substr(F.col("_i"), F.lit(k)).alias("_s")
+        )
+        .dropDuplicates([id_col, "_s"])
+    )
+    h = md5_int32(F.col("_s")) % F.lit(MERSENNE31)
     return (
-        with_shingle_hashes(subset, text_col, k, out="_hs")
-        .select(F.col(id_col), F.col("_hs"))
+        sh.select(F.col(id_col), h.alias("_sh1"))
+        .groupBy(id_col)
+        .agg(F.collect_list("_sh1").alias("_hs"))
         .localCheckpoint(eager=True)
     )
 

@@ -1445,11 +1445,12 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gates only shrink the corpus, so sizing the geometry for the
     # raw count is the conservative side of the schedule, and both
     # engines derive the tier from the same integer
-    nh, nb, _r = dedup.adaptive_minhash_geometry(
-        _t_rowcount(sf_dir, "documents")
-    )
+    n = _t_rowcount(sf_dir, "documents")
+    nh, nb, _r = dedup.adaptive_minhash_geometry(n)
     docs = _spread(_t(spark, sf_dir, "documents"))
-    cleaned = clean_corpus(docs, persist_gated=True, num_hashes=nh, bands=nb)
+    cleaned = clean_corpus(
+        docs, persist_gated=True, num_hashes=nh, bands=nb, corpus_rows=n
+    )
     return corpus_stats(cleaned)
 
 

@@ -839,10 +839,11 @@ def training_set_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_datbricks_demo_spark.queries.inventory import _t_rowcount
 
     # adaptive LSH tier from the ingest rowcount — see corpus_pipeline
-    nh, nb, _r = adaptive_minhash_geometry(_t_rowcount(sf_dir, "documents"))
+    n = _t_rowcount(sf_dir, "documents")
+    nh, nb, _r = adaptive_minhash_geometry(n)
     docs = _spread(_t(spark, sf_dir, "documents"))
     final = prepare_training_set(
-        docs, persist_gated=True, num_hashes=nh, bands=nb
+        docs, persist_gated=True, num_hashes=nh, bands=nb, corpus_rows=n
     )
     per_bucket = (
         final.select(
