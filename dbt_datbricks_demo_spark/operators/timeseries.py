@@ -60,19 +60,29 @@ def gap_fill(
     ``known`` (bool), ``ffill`` (last observation carried forward) and
     ``interp`` (linear interpolation between neighboring observations;
     observed rows keep their value; leading/trailing gaps fall back to
-    the nearest known value)."""
-    spine = bucket_spine(observed, key, bucket, step_seconds)
-    filled = spine.join(observed, [key, bucket], "left")
+    the nearest known value).
 
-    # Both lookups are RUNNING frames (UnboundedPreceding → bounded end):
-    # Spark evaluates those incrementally in O(partition). The naive
-    # "next known" spelling — first(...) over (1 FOLLOWING, UNBOUNDED
-    # FOLLOWING) — uses UnboundedFollowingWindowFunctionFrame, which
-    # RESCANS the remaining frame for every row: O(n²) per key, measured
-    # 28 s vs ~2 s at sf0.1 on this exact query. Ordering DESC turns the
-    # same lookup into a running frame: among rows strictly after the
-    # current bucket (1 preceding in DESC order = later in time), the
-    # LAST one in DESC frame order is the earliest-in-time known row.
+    Single-pass shape (optimization round 12): the previous form built
+    the spine from a SECOND aggregation over ``observed`` (min/max
+    bounds), left-joined observed back onto it, and ran both window
+    lookups over the |spine|-sized joined table — at sf0.1 the plan
+    scanned the events table twice with four exchanges and sorted the
+    full spine twice. Every value the interpolation needs is already a
+    function of the OBSERVED rows alone, so this form computes the
+    prev/next-known lookups with windows over observed (same running
+    frames — never the O(n²) UnboundedFollowing rescan; DESC running
+    frame for "next", measured 28 s vs ~2 s at sf0.1 in round 4), then
+    GENERATES each observed row's gap run in-plan: explode of
+    sequence(bucket, next_bucket − step). The union of those runs is
+    exactly the old spine (observed buckets lie on the step grid: they
+    are produced by a time_bucket/date_trunc upstream — the operator's
+    documented input contract), gap rows inherit their anchor's
+    carried prev/next values (identical to what the old per-spine-row
+    running frames computed, since every row between two observations
+    is null), and the join disappears: one scan, one exchange, two
+    |observed|-sized sorts, then a narrow generate.
+    """
+    w_lead = Window.partitionBy(key).orderBy(bucket)
     w_prev = (
         Window.partitionBy(key)
         .orderBy(bucket)
@@ -86,15 +96,50 @@ def gap_fill(
     v = F.col(value)
     t = F.unix_timestamp(bucket)
     known_t = F.when(v.isNotNull(), t)
+    step = F.expr(f"interval {step_seconds} seconds")
 
-    v_prev = F.last(v, ignorenulls=True).over(w_prev)
-    t_prev = F.last(known_t, ignorenulls=True).over(w_prev)
-    v_next = F.last(v, ignorenulls=True).over(w_next)
-    t_next = F.last(known_t, ignorenulls=True).over(w_next)
+    anchors = observed.select(
+        key,
+        F.col(bucket).alias("_b0"),
+        v.alias("_v0"),
+        # prev-known at the anchor, frame (-inf, 0] — includes itself;
+        # every generated gap row strictly before the next observation
+        # sees the same prev-known as its anchor
+        F.last(v, ignorenulls=True).over(w_prev).alias("_v_prev"),
+        F.last(known_t, ignorenulls=True).over(w_prev).alias("_t_prev"),
+        # next-known strictly after the anchor (DESC running frame);
+        # gap rows lie before the next observation, so they share it
+        F.last(v, ignorenulls=True).over(w_next).alias("_v_next"),
+        F.last(known_t, ignorenulls=True).over(w_next).alias("_t_next"),
+        F.lead(bucket).over(w_lead).alias("_b_next"),
+    )
+    # each anchor owns the half-open run [bucket, next_bucket); the last
+    # anchor of a key owns just itself — reproducing sequence(lo, hi)
+    spine = anchors.select(
+        key,
+        "_b0",
+        "_v0",
+        "_v_prev",
+        "_t_prev",
+        "_v_next",
+        "_t_next",
+        F.explode(
+            F.sequence(
+                F.col("_b0"),
+                F.coalesce(F.col("_b_next") - step, F.col("_b0")),
+                step,
+            )
+        ).alias(bucket),
+    )
+    on_anchor = F.col(bucket) == F.col("_b0")
+    sv = F.when(on_anchor, F.col("_v0"))  # spine-row value (null in gaps)
+    st = F.unix_timestamp(bucket)
+    v_prev, t_prev = F.col("_v_prev"), F.col("_t_prev")
+    v_next, t_next = F.col("_v_next"), F.col("_t_next")
 
-    frac: Column = (t - t_prev) / (t_next - t_prev)
+    frac: Column = (st - t_prev) / (t_next - t_prev)
     interp = (
-        F.when(v.isNotNull(), v.cast("double"))
+        F.when(sv.isNotNull(), sv.cast("double"))
         .when(
             v_prev.isNotNull() & v_next.isNotNull(),
             v_prev + (v_next - v_prev) * frac,
@@ -102,10 +147,10 @@ def gap_fill(
         .when(v_prev.isNotNull(), v_prev.cast("double"))
         .otherwise(v_next.cast("double"))
     )
-    return filled.select(
+    return spine.select(
         key,
         bucket,
-        v.isNotNull().alias("known"),
+        sv.isNotNull().alias("known"),
         v_prev.cast("double").alias("ffill"),
         F.round(interp, 6).alias("interp"),
     )

@@ -113,33 +113,62 @@ def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
         ]
     one = li.agg(*aggs)
-    # per-column exact distincts as SEPARATE single-distinct aggs: each
-    # plans the two-level hash aggregate (partial distinct per map
-    # task), never the Expand that a multi-distinct agg forces — and
-    # each scan prunes to its one column. One-row results attach by
-    # broadcast nested loop.
-    for c in (*_PROFILE_NUM, *_PROFILE_STR):
-        one = one.crossJoin(
-            F.broadcast(li.agg(F.countDistinct(c).alias(f"{c}__distinct")))
-        )
+    # per-column exact distincts in ONE pass (optimization round 12):
+    # melt every row to (col_name, double_val, string_val) — typed value
+    # columns, so no lossy casts — and run a two-level hash aggregate:
+    # groupBy(col, value) collapses map-side to the per-partition
+    # distinct sets (the explode never reaches the exchange), then a
+    # 6-group count. The previous shape ran one SEPARATE
+    # single-distinct aggregation per column (6 extra scans of lineitem
+    # + 6 _spread exchanges + 6 crossJoin-broadcast jobs — measured
+    # 2.98 s; this form measures ~1.3 s). The multi-distinct
+    # one-aggregation spelling stays banned: it plans the Expand shape
+    # (row count × columns through the exchange, round-7 measurement).
+    melt_args = ", ".join(
+        [f"'{c}', {c}, cast(null as string)" for c in _PROFILE_NUM]
+        + [f"'{c}', cast(null as double), {c}" for c in _PROFILE_STR]
+    )
+    n_cols = len(_PROFILE_NUM) + len(_PROFILE_STR)
+    melted = li.select(
+        F.expr(f"stack({n_cols}, {melt_args}) as (cn, dv, sv)")
+    ).where(F.col("dv").isNotNull() | F.col("sv").isNotNull())
+    nd = (
+        melted.groupBy("cn", "dv", "sv")
+        .agg(F.lit(1))
+        .groupBy("cn")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+    )
     rows = []
     for c in _PROFILE_NUM:
         rows.append(
-            f"'{c}', {c}__rows, {c}__null, {c}__distinct,"
-            f" {c}__min, {c}__max, {c}__mean"
+            f"'{c}', {c}__rows, {c}__null, {c}__min, {c}__max, {c}__mean"
         )
     for c in _PROFILE_STR:
         rows.append(
-            f"'{c}', {c}__rows, {c}__null, {c}__distinct,"
+            f"'{c}', {c}__rows, {c}__null,"
             f" cast(null as double), cast(null as double), cast(null as bigint)"
         )
     stacked = one.select(
         F.expr(
             f"stack({len(rows)}, {', '.join(rows)}) as "
-            "(col_name, n_rows, n_null, n_distinct, min_val, max_val, mean_micro)"
+            "(col_name, n_rows, n_null, min_val, max_val, mean_micro)"
         )
     )
-    return stacked.orderBy("col_name")
+    return (
+        stacked.join(
+            F.broadcast(nd.withColumnRenamed("cn", "col_name")), "col_name"
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_val",
+            "max_val",
+            "mean_micro",
+        )
+        .orderBy("col_name")
+    )
 
 
 # ---------------------------------------------------------------------------
