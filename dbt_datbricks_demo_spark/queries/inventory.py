@@ -1127,10 +1127,18 @@ def sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split at sf0.1). 5 result rows — eagerly checkpointed so the
     # join-back and the output both read it without recomputing the
     # sketch pass
+    # accuracy 2000 (optimization round 12): the KLL rank-error bound is
+    # 1/accuracy = 5e-4, 80x inside the ±0.04 rank window the in-plan
+    # certification enforces (and scale-independent — rank error is
+    # relative), so the declared output (exact counts + certified TRUE
+    # bands) is unchanged at every SF while the per-partition summary
+    # state shrinks 5x: the sketch stage measured 22.5 s task-sum +
+    # 2.8 s GC at accuracy 10000 vs ~5 s at 2000, and the single-task
+    # final merge of 160 partial states drops from ~470 ms to ~100 ms.
     sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
-        F.percentile_approx("value", 0.95, 10_000).alias("approx_p95"),
+        F.percentile_approx("value", 0.5, 2_000).alias("approx_p50"),
+        F.percentile_approx("value", 0.95, 2_000).alias("approx_p95"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     exact = ev.groupBy("event_type").agg(
