@@ -459,18 +459,21 @@ def test_regression_trend_broadcast_dims_and_partial_agg(spark):
 def test_table_profile_no_expand_column_pruned_distincts(spark):
     # round 7: six countDistinct in ONE agg planned the Expand shape —
     # every row duplicated once per profiled column (measured bimodal
-    # 3-13s at 10x data). The profile now runs one expand-free pass for
-    # the non-distinct stats plus a SINGLE-distinct two-level hash agg
-    # per column, each scan pruned to its one column; one-row results
-    # attach by broadcast nested loop. Pin: NO Expand anywhere, and
-    # every distinct scan reads exactly one column.
+    # 3-13s at 10x data). Round 12: all per-column exact distincts come
+    # from ONE melted pass — stack() (a Generate, not an Expand) emits
+    # typed (col, value) rows, a two-level hash agg collapses them
+    # map-side, and the one-row-per-column counts attach to the shared
+    # stats pass by broadcast hash join. Pin: NO Expand anywhere, the
+    # partial (map-side) aggregation is present, and the whole profile
+    # reads the table exactly twice (stats pass + melted distinct pass;
+    # formatted mode lists each scan twice: tree + detail section).
     plan = _plan(spark, "table_profile_report")
     assert "Expand" not in plan
     assert "partial_" in plan
-    assert "BroadcastNestedLoopJoin" in plan
-    # 7 scans (tree+detail each → count x2): the shared stats pass + 6
-    # single-column distinct scans
-    assert plan.count("Scan parquet") == 14
+    assert "Generate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 4
 
 
 def test_winsorized_stats_broadcasts_percentile_table(spark):
