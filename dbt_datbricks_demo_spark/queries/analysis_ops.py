@@ -1307,7 +1307,16 @@ def quantile_normalize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _spread(_t(spark, sf_dir, "documents"))
-    pooled = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    # pos depends only on (lang, n_chars), so the whole normalization
+    # runs on the value histogram: documents is scanned for ONE
+    # (lang, n_chars) aggregation, every doc-level join collapses to a
+    # histogram-sized one, and each group row carries its weight c
+    # (n_docs = sum(c), sum_norm = sum(c * norm_chars) — all integers,
+    # identical to the per-doc form). pooled / per-lang totals / N all
+    # derive from the same histogram aggregate, which the planner
+    # reuses via ReuseExchange instead of rescanning documents.
+    grp_hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    pooled = grp_hist.groupBy("n_chars").agg(F.sum("c").alias("c"))
     wp = Window.orderBy("n_chars").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1318,43 +1327,36 @@ def quantile_normalize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").over(wp).alias("hi"),
         )
     )
-    n_tot = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
-    grp_hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
     wg = Window.partitionBy("lang").orderBy("n_chars").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    grp_rank = F.broadcast(
-        grp_hist.select(
-            "lang",
-            "n_chars",
-            (F.sum("c").over(wg) - F.col("c") + 1).alias("min_rank"),
-        )
+    # n_g and N are windows over the SAME histogram rows — no grp_n
+    # join, no n_tot cross join (two fewer histogram branches).
+    ranked = grp_hist.select(
+        "lang",
+        "c",
+        (F.sum("c").over(wg) - F.col("c") + 1).alias("min_rank"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n_g"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
     )
-    grp_n = F.broadcast(docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g")))
-    target = (
-        docs.join(grp_rank, ["lang", "n_chars"])
-        .join(grp_n, "lang")
-        .crossJoin(n_tot)
-        .select(
-            "lang",
-            F.when(F.col("n_g") == 1, F.lit(1))
-            .otherwise(
-                F.expr("(min_rank - 1) * (n - 1) div (n_g - 1)") + 1
-            )
-            .alias("pos"),
-        )
+    target = ranked.select(
+        "lang",
+        "c",
+        F.when(F.col("n_g") == 1, F.lit(1))
+        .otherwise(F.expr("(min_rank - 1) * (n - 1) div (n_g - 1)") + 1)
+        .alias("pos"),
     )
     normalized = target.join(
         pooled_cum,
         (F.col("pos") >= F.col("lo")) & (F.col("pos") <= F.col("hi")),
-    ).select("lang", F.col("n_chars").alias("norm_chars"))
+    ).select("lang", "c", F.col("n_chars").alias("norm_chars"))
     return (
         normalized.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").cast("bigint").alias("n_docs"),
             F.min("norm_chars").cast("bigint").alias("min_norm"),
             F.max("norm_chars").cast("bigint").alias("max_norm"),
-            F.sum("norm_chars").cast("bigint").alias("sum_norm"),
+            F.sum(F.col("c") * F.col("norm_chars")).cast("bigint").alias("sum_norm"),
         )
         .orderBy("lang")
     )
