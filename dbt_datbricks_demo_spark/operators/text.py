@@ -333,17 +333,15 @@ def unigram_doc_nll(
     """Per-document average negative log-likelihood (nats/token) under
     an add-one-smoothed corpus unigram LM: p(w) = (c(w)+1) / (N+V).
 
-    Shape at scale: the (doc, term) tf table and the model both come out
-    of partial-agg-absorbed shuffles; they join on term (AQE picks
+    Shape at scale: the corpus is tokenized ONCE — the model re-aggregates
+    the (doc, term) tf table (cnt = sum of per-doc tf, identical integers
+    to a direct token count) instead of running a second explode over the
+    text, so the heaviest pass (tokenize + explode) is paid once; both
+    shuffles stay partial-agg-absorbed and they join on term (AQE picks
     broadcast only if the vocab fits); the N+V totals attach as a one-row
     broadcast. No per-row subqueries, no driver-side model materialization.
     avg_nll is rounded to 6 dp (module determinism convention: the
     per-doc double fold is order-dependent in its low bits)."""
-    model = unigram_term_counts(df, text_col=text_col)
-    tot = model.agg(
-        F.sum("cnt").cast("double").alias("_n"),
-        F.count(F.lit(1)).cast("double").alias("_v"),
-    )
     tf = (
         df.select(
             F.col(id_col), *[F.col(c) for c in keep_cols],
@@ -351,6 +349,11 @@ def unigram_doc_nll(
         )
         .groupBy(id_col, *keep_cols, "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    model = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cnt"))
+    tot = model.agg(
+        F.sum("cnt").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
     )
     nll_term = -F.col("tf") * F.log(
         (F.col("cnt") + F.lit(1)) / (F.col("_n") + F.col("_v"))
