@@ -629,17 +629,40 @@ def bigram_backoff_nll(
     and rounds to 6 dp (module convention). Returns (id, keep_cols,
     n_trans, n_backoff, avg_nll)."""
     staged = df.withColumn("_train", is_train)
-    # the pair stream feeds BOTH model training (train side) and
-    # held-out scoring: materialize the tokenization/explode once —
-    # narrow (id, keep, w1, w2) rows — instead of re-deriving per branch
-    pairs = bigram_rows(
-        staged, text_col=text_col, id_col=id_col,
-        keep_cols=tuple(keep_cols) + ("_train",),
-    ).localCheckpoint(eager=True)
+    # ONE tokenize feeds the unigram model, the bigram model AND the
+    # held-out scoring: the materialized stream carries every token
+    # position exactly once (w1 = token i; w2 = token i+1, NULL at the
+    # doc's last position), so unigram counts are group-by-w1 over ALL
+    # rows while the bigram legs filter w2 IS NOT NULL — no second
+    # tokenize scan of the corpus. Null text tokenizes to a NULL array
+    # (size -1): the size >= 1 guard emits no rows for it, exactly like
+    # the explode it replaces; empty text still yields its one ""
+    # token.
+    t = tokens(text_col)
+    stream = (
+        staged.select(
+            F.col(id_col), *[F.col(c) for c in keep_cols],
+            F.col("_train"), t.alias("_t"),
+        )
+        .filter(F.size("_t") >= 1)
+        .select(
+            id_col, *keep_cols, "_train",
+            F.explode(F.sequence(F.lit(1), F.size("_t"))).alias("_i"),
+            F.col("_t"),
+        )
+        .select(
+            id_col, *keep_cols, "_train",
+            F.element_at("_t", F.col("_i")).alias("w1"),
+            F.when(
+                F.col("_i") < F.size("_t"),
+                F.element_at("_t", F.col("_i") + 1),
+            ).alias("w2"),
+        )
+        .localCheckpoint(eager=True)
+    )
     uni = (
-        staged.filter(F.col("_train"))
-        .select(F.explode(tokens(text_col)).alias("term"))
-        .groupBy("term")
+        stream.filter(F.col("_train"))
+        .groupBy(F.col("w1").alias("term"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_uni"))
     )
     tot = uni.agg(
@@ -647,12 +670,12 @@ def bigram_backoff_nll(
         F.count(F.lit(1)).cast("double").alias("_v"),
     )
     big = (
-        pairs.filter(F.col("_train"))
+        stream.filter(F.col("_train") & F.col("w2").isNotNull())
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_big"))
     )
     tf = (
-        pairs.filter(~F.col("_train"))
+        stream.filter(~F.col("_train") & F.col("w2").isNotNull())
         .groupBy(id_col, *keep_cols, "w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
