@@ -318,11 +318,15 @@ _WINNOW_MAX_DF = 50  # stop-fingerprint cap: drop fps present in > this many doc
 def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
     staged = dedup.with_winnowed_fingerprints(docs, "text", k=_K, w=_W)
+    # the k-gram hash + sliding-min fingerprint pass is the expensive
+    # stage and THREE consumers read it (the df cap and both self-join
+    # sides): materialize the narrow (doc_id, nfp, fp) rows once
+    # instead of recomputing the fingerprints per branch
     fps = staged.select(
         "doc_id",
         F.size("winnow_fps").alias("nfp"),
         F.explode("winnow_fps").alias("fp"),
-    )
+    ).localCheckpoint(eager=True)
     # stop-fingerprint cap: a fingerprint shared by half the corpus is a
     # boilerplate phrase, and its bucket would be a quadratic hot spot
     df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
