@@ -81,28 +81,43 @@ def contamination_report(
         bench = F.broadcast(bench)
     bench_hit = bench.withColumn("_hit", F.lit(1))
 
-    # ONE gram derivation feeds everything: explode_outer keeps a null
-    # row for gram-less docs (so the spine never needs a second corpus
-    # pass), the benchmark probe is a broadcast LEFT join (stream-side
-    # rows preserved, map-only), and the per-doc fold partial-aggregates
-    # map-side — the shuffle carries ~one row per doc per partition, not
-    # O(corpus grams). The previous shape derived the gram arrays twice
-    # (hits + spine) and joined the two corpus-keyed aggregates back
-    # together; this is one scan, one probe, one narrow shuffle.
-    staged = corpus.select(
-        F.col(id_col),
-        F.array_distinct(word_ngrams_all(tokens(text_col), n)).alias("_grams"),
+    # ONE gram derivation feeds everything, in the row-level codegen
+    # form (the word_gram_rows / bloom_decontam pattern): the previous
+    # explode_outer(array_distinct(word_ngrams_all(...))) built the
+    # gram ARRAY with transform() lambdas, which Catalyst evaluates in
+    # its interpreted HOF walker — the per-JVM JIT lottery measured
+    # bimodal 3.7 s / 15 s on bloom_decontam before its round-12 fix.
+    # explode_outer of the WHEN-guarded position sequence keeps one
+    # null row per gram-less doc (null gram → null digest), so the
+    # spine still never needs a second corpus pass; the (doc, gram)
+    # distinct collapses map-side (a doc's rows are partition-local)
+    # and n_grams = count of non-null rows — identical integers to
+    # size(array_distinct(...)), string-distinct exactly like before
+    # (digesting happens after the distinct). The benchmark probe
+    # stays a broadcast LEFT join on the 8-byte digest.
+    staged = corpus.select(F.col(id_col), tokens(text_col).alias("_t"))
+    pos_seq = F.when(
+        F.size("_t") >= n, F.sequence(F.lit(1), F.size("_t") - (n - 1))
     )
-    exploded = staged.select(
-        F.col(id_col),
-        F.size("_grams").alias("_n"),
-        F.explode_outer("_grams").alias("gram"),
-    ).select(F.col(id_col), F.col("_n"), gh.alias("_gh"))
+    dist = (
+        staged.select(
+            F.col(id_col), F.explode_outer(pos_seq).alias("_p"), F.col("_t")
+        )
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("_p").isNotNull(),
+                F.concat_ws(" ", F.slice(F.col("_t"), F.col("_p"), n)),
+            ).alias("gram"),
+        )
+        .dropDuplicates([id_col, "gram"])
+    )
     per_doc = (
-        exploded.join(bench_hit, "_gh", "left")
+        dist.select(F.col(id_col), gh.alias("_gh"))
+        .join(bench_hit, "_gh", "left")
         .groupBy(id_col)
         .agg(
-            F.any_value("_n").cast("bigint").alias("n_grams"),
+            F.count("_gh").cast("bigint").alias("n_grams"),
             F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_overlap"),
         )
     )
