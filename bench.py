@@ -427,6 +427,25 @@ def main() -> None:
     payload["n"] = len(timings)
     payload["n_errors"] = len(errors)
     payload["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
+    # insurance copy of the FULL payload (round-12 verdict item 2): the
+    # driver's artifact keeps only a tail of the printed line, and when
+    # that tail truncates mid-map the round-over-round per-query
+    # comparison dies (it did between r11 and r12). Best-effort,
+    # additions-only: the printed one-line contract is unchanged.
+    # Full-inventory runs only — a BENCH_QUERIES subset (tests, A/Bs)
+    # must not clobber the last full map.
+    if not selected:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_LAST.json",
+                ),
+                "w",
+            ) as fh:
+                json.dump(payload, fh)
+        except Exception:  # noqa: BLE001
+            pass
     print(json.dumps(payload))
 
 

@@ -641,7 +641,23 @@ def candidate_hash_arrays(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    subset = df.join(cand_ids, on=id_col, how="left_semi")
+    # EXPLICIT size-guarded broadcast (optimization round 13). Leaving
+    # the broadcast decision to AQE plans a sort-merge semi-join first,
+    # whose ENSURE_REQUIREMENTS exchange on the corpus side is
+    # materialized BEFORE AQE discovers the candidate side is tiny —
+    # and AQE's byte-based coalescing collapses that ~0.8 MB (at
+    # sf0.1) exchange to ONE partition, so the whole explode → substr
+    # → distinct → md5 → collect pipeline above it (which has no other
+    # exchange once hash(id) satisfies every grouping) ran in a single
+    # measured ~2 s task (guide §2.5: compute-heavy rows defeat
+    # byte-based coalescing; §3.1: broadcast decisions off estimates
+    # are wrong after checkpoints — hint explicitly). `pairs` is
+    # checkpointed by contract, so the count is a metadata-cheap job;
+    # cand_ids ≤ 2·|pairs| rows of one bigint.
+    cand = cand_ids
+    if pairs.count() <= BROADCAST_PAIR_LIMIT:
+        cand = F.broadcast(cand_ids)
+    subset = df.join(cand, on=id_col, how="left_semi")
     # Row-level codegen form (round 12): the previous with_shingle_hashes
     # HOF array build measured marginally faster on a LUCKY JIT profile
     # (1.8 s vs 2.2-3.0 s at sf0.1) but Catalyst's interpreted lambda
@@ -654,7 +670,25 @@ def candidate_hash_arrays(
     # occurrence order not preserved) feeds only set-wise consumers
     # (array_intersect / size in jaccard_pairs_from_hashes).
     norm = F.trim(F.lower(F.col(text_col)))
-    staged = subset.select(F.col(id_col), norm.alias("_n"))
+    # One PINNED doc-level exchange (optimization round 13): hash-
+    # repartition the candidate docs by id at the cluster parallelism
+    # BEFORE the explode. hashpartitioning(id) clusters every (id, _s)
+    # and every (id) group, so the dropDuplicates and the collect_list
+    # aggregations both reuse it — the data-dependent exchanges this
+    # subtree used to plan are gone, and the whole explode → substr →
+    # distinct → md5 → collect pipeline runs at a pinned parallelism
+    # AQE cannot coalesce away (guide §2.4/§2.5 — an explicit-count
+    # user repartition is exempt from byte-based coalescing; the count
+    # is the cluster's default parallelism, not a local constant).
+    # This only survives planning because the broadcast hint above
+    # removed the corpus-side hash exchange the sort-merge semi-join
+    # used to plan (a same-key same-count repartition above it was
+    # optimizer-eliminated as redundant, and the heavy pipeline then
+    # sat on that exchange's AQE-coalesced single partition).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    staged = subset.select(F.col(id_col), norm.alias("_n")).repartition(
+        par, F.col(id_col)
+    )
     idx = F.explode(
         F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("_n") - (k - 1)))
     ).alias("_i")

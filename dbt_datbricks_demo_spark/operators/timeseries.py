@@ -3,24 +3,27 @@
 Time-series stores (TimescaleDB ``time_bucket_gapfill`` +
 ``locf``/``interpolate``) emit one row per (key, bucket) even where no
 data arrived, with missing values forward-filled or linearly
-interpolated. Spark-native construction:
+interpolated. Spark-native construction (single-pass form, round 12):
 
-  1. per-key bucket spine generated IN-PLAN (`sequence` + `explode`
-     between each key's min and max bucket — no driver loop, no
-     calendar table to maintain);
-  2. left join of observed buckets onto the spine, co-partitioned on
-     the key;
-  3. forward fill  = last(value, ignoreNulls)  over (-inf, 0];
-     next known    = first(value, ignoreNulls) over [+1, +inf);
-     linear interpolation from (t_prev, v_prev) and (t_next, v_next)
-     with the fraction computed on exact epoch-second longs.
+  1. prev-known / next-known lookups as running-frame windows over the
+     OBSERVED rows only (one shuffle on key, |observed|-sized sorts);
+  2. each observed row then GENERATES its own gap run in-plan —
+     ``explode(sequence(bucket, next_bucket − step))`` — whose union is
+     exactly the per-key min→max bucket spine; gap rows inherit their
+     anchor's carried prev/next values. No spine join, one scan.
 
-Scale: the spine explodes to |keys| x |buckets in range| rows of three
-columns — rows are tiny and spill-friendly; the windows run inside the
-same hash partitioning as the join (one shuffle on key), and frames are
-bounded by run length, not history (Spark evaluates UnboundedPreceding
-frames incrementally). Skewed keys (one device with years of history)
-split cleanly because the window is per key only.
+Input contract: observed buckets must lie ON the step grid (they come
+from a ``time_bucket``/``date_trunc`` upstream) and be UNIQUE per
+(key, bucket) — pre-aggregate duplicates (e.g. avg per bucket) first.
+Off-grid buckets silently shift the generated spine; duplicate rows
+each emit their own single-bucket run (the sequence end is clamped to
+the anchor, so duplicates degrade to duplicated output rows, not a
+runtime 'Illegal sequence boundaries' error).
+
+Scale: the generated spine is |keys| x |buckets in range| rows of tiny
+columns — spill-friendly; the windows run per key only, with running
+frames bounded by run length, not history. Skewed keys (one device
+with years of history) split cleanly because the window is per key.
 """
 
 from __future__ import annotations
@@ -126,7 +129,17 @@ def gap_fill(
         F.explode(
             F.sequence(
                 F.col("_b0"),
-                F.coalesce(F.col("_b_next") - step, F.col("_b0")),
+                # greatest(): a duplicate (key, bucket) input row makes
+                # _b_next == _b0, and an unclamped end of _b0 − step
+                # would throw 'Illegal sequence boundaries' at runtime;
+                # clamped, each duplicate anchor emits its own
+                # single-bucket run. On contract-valid input (unique
+                # grid buckets) _b_next − step >= _b0 and the clamp is
+                # an identity.
+                F.greatest(
+                    F.coalesce(F.col("_b_next") - step, F.col("_b0")),
+                    F.col("_b0"),
+                ),
                 step,
             )
         ).alias(bucket),

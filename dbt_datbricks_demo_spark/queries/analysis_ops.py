@@ -114,8 +114,8 @@ def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     one = li.agg(*aggs)
     # per-column exact distincts in ONE pass (optimization round 12):
-    # melt every row to (col_name, double_val, string_val) — typed value
-    # columns, so no lossy casts — and run a two-level hash aggregate:
+    # melt every row to (col_name, double_val, string_val) — separate
+    # numeric/string value slots — and run a two-level hash aggregate:
     # groupBy(col, value) collapses map-side to the per-partition
     # distinct sets (the explode never reaches the exchange), then a
     # 6-group count. The previous shape ran one SEPARATE
@@ -124,6 +124,11 @@ def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2.98 s; this form measures ~1.3 s). The multi-distinct
     # one-aggregation spelling stays banned: it plans the Expand shape
     # (row count × columns through the exchange, round-7 measurement).
+    # NOTE: stack() coerces all numeric branches to one common type, so
+    # _PROFILE_NUM columns must stay double-typed (they are today); a
+    # future bigint column with values beyond 2^53 would silently merge
+    # distinct values in the melt and undercount n_distinct — melt such
+    # a column through a separate bigint-typed slot instead.
     melt_args = ", ".join(
         [f"'{c}', {c}, cast(null as string)" for c in _PROFILE_NUM]
         + [f"'{c}', cast(null as double), {c}" for c in _PROFILE_STR]
@@ -154,15 +159,23 @@ def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_rows, n_null, min_val, max_val, mean_micro)"
         )
     )
+    # LEFT join + coalesce (round-12 advice): an all-NULL profiled
+    # column has no surviving melted row, and an inner join would drop
+    # it from the report while the SQL oracle emits it with
+    # n_distinct = 0.
     return (
         stacked.join(
-            F.broadcast(nd.withColumnRenamed("cn", "col_name")), "col_name"
+            F.broadcast(nd.withColumnRenamed("cn", "col_name")),
+            "col_name",
+            "left",
         )
         .select(
             "col_name",
             "n_rows",
             "n_null",
-            "n_distinct",
+            F.coalesce(F.col("n_distinct"), F.lit(0).cast("bigint")).alias(
+                "n_distinct"
+            ),
             "min_val",
             "max_val",
             "mean_micro",

@@ -437,7 +437,14 @@ def ngram_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    final = one.select(
+    # oracle parity in the degenerate case (round-12 advice): the SQL
+    # oracle inner-joins the three per-level subqueries, so a source
+    # whose docs ALL have < 2 (or < 3) tokens is dropped entirely; the
+    # pivot would instead emit it with NULL total_2/total_3 — filter to
+    # sources present at every level.
+    final = one.where(
+        F.col("total_2").isNotNull() & F.col("total_3").isNotNull()
+    ).select(
         "source",
         *[
             c

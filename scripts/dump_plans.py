@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for registered queries into plans/r12/.
+"""Dump .explain("formatted") for registered queries into plans/r13/.
 
 Usage:
     python scripts/dump_plans.py SUFFIX [QUERY ...]
@@ -30,7 +30,7 @@ def main() -> None:
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        "r13",
     )
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark(
