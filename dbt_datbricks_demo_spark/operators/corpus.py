@@ -171,10 +171,17 @@ def prepare_training_set(
         .withColumn("split", text.split_assignment(id_col, splits))
         .localCheckpoint(eager=True)
     )
+    # n_tokens stays on the output (optimization round 13): it is
+    # materialized in the checkpoint and equals size(tokens(text)) by
+    # construction, so consumers that only need token counts (the
+    # training_set_report packing aggregate) read the staged column
+    # instead of re-running the tokenizer over every surviving
+    # document in the final job (guide §2.2 — don't recompute what a
+    # materialization already holds).
     assigned = stats.filter(
         (F.col("top_bigram_frac") <= max_top_bigram_frac)
         & (F.col("dup_5gram_frac") <= max_dup_5gram_frac)
-    ).drop("n_tokens", "top_bigram_frac", "top_trigram_frac", "dup_5gram_frac")
+    ).drop("top_bigram_frac", "top_trigram_frac", "dup_5gram_frac")
 
     bench_docs = assigned.filter(F.col("split") == test_name)
     bench = decontam.distinct_ngram_set(bench_docs, text_col=text_col, n=decontam_n)
@@ -191,6 +198,22 @@ def prepare_training_set(
         .filter(F.col("contaminated"))
         .select(id_col)
     )
+    # flagged ids are bounded by |docs|: the caller-known corpus_rows
+    # bound (already used for the loser broadcasts in clean_corpus)
+    # decides this broadcast too — without the hint the planner's
+    # unknown-size estimate plans a sort-merge anti-join whose
+    # trainval-side exchange AQE coalesces to one partition, pushing
+    # the final union + packing aggregation of the whole surviving
+    # corpus into a single task (same defect as candidate_hash_arrays,
+    # measured round 13).
+    corpus_rows = clean_kwargs.get("corpus_rows")
+    if (
+        corpus_rows is not None
+        and corpus_rows <= clean_kwargs.get(
+            "broadcast_pair_limit", dedup.BROADCAST_PAIR_LIMIT
+        )
+    ):
+        flagged = F.broadcast(flagged)
     return trainval.join(flagged, id_col, "left_anti").unionByName(bench_docs)
 
 

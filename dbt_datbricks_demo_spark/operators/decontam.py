@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dbt_datbricks_demo_spark.operators.text import tokens, word_ngrams_all
+from dbt_datbricks_demo_spark.operators.text import tokens
 
 # Max benchmark n-gram set size to broadcast: ~50 B/gram string → ~100 MB,
 # comfortably under Spark's 8 GB broadcast ceiling with headroom for the
@@ -41,12 +41,18 @@ def distinct_ngram_set(
     df: DataFrame, text_col: str = "text", n: int = 5, out: str = "gram"
 ) -> DataFrame:
     """The distinct word n-gram set of a corpus as a 1-column DataFrame.
-    Explode per-document distinct grams, then global distinct — the
-    shuffle carries short gram strings only."""
-    staged = df.select(word_ngrams_all(tokens(text_col), n).alias("_grams"))
-    return (
-        staged.select(F.explode(F.array_distinct("_grams")).alias(out)).distinct()
-    )
+    Row-level codegen gram stream (text.word_gram_rows — position
+    explode + concat_ws(slice), optimization round 13; the previous
+    per-doc transform()-built gram ARRAY ran in Catalyst's interpreted
+    HOF walker, the measured bimodal JIT lottery), then global
+    distinct — the shuffle carries short gram strings only, map-side
+    partially deduplicated. The per-doc array_distinct the array form
+    applied first is subsumed by the global distinct: same set."""
+    from dbt_datbricks_demo_spark.operators.text import word_gram_rows
+
+    rows = word_gram_rows(df.select(F.lit(1).alias("_one"), text_col),
+                          "_one", text_col, n)
+    return rows.select(F.col("gram").alias(out)).distinct()
 
 
 def contamination_report(
@@ -95,7 +101,21 @@ def contamination_report(
     # size(array_distinct(...)), string-distinct exactly like before
     # (digesting happens after the distinct). The benchmark probe
     # stays a broadcast LEFT join on the 8-byte digest.
-    staged = corpus.select(F.col(id_col), tokens(text_col).alias("_t"))
+    # PINNED doc-level exchange (optimization round 13, the
+    # candidate_hash_arrays pattern): hash(id) clusters every
+    # downstream grouping — the (doc, gram) distinct and the per-doc
+    # aggregation — so the plan's only corpus-side exchange carries
+    # narrow (id, text) DOC rows at the cluster parallelism instead of
+    # a byte-tiny post-explode (id, gram) shuffle that AQE coalesced
+    # to one partition, serializing the gram/md5/probe work of the
+    # whole corpus into a single measured ~0.6 s task at sf0.1
+    # (guide §2.3/§2.5). Tokenize runs above the pin.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    staged = (
+        corpus.select(F.col(id_col), F.col(text_col))
+        .repartition(par, F.col(id_col))
+        .select(F.col(id_col), tokens(text_col).alias("_t"))
+    )
     pos_seq = F.when(
         F.size("_t") >= n, F.sequence(F.lit(1), F.size("_t") - (n - 1))
     )

@@ -849,7 +849,11 @@ def training_set_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         final.select(
             "split",
             packing._md5_bucket("doc_id", _PACK_BUCKETS, "pack").alias("bucket"),
-            F.size(text.tokens("text")).cast("bigint").alias("nt"),
+            # n_tokens is materialized in the capstone's stats
+            # checkpoint and equals size(tokens(text)) by construction
+            # (operators.text.with_repetition_stats) — reading it skips
+            # a full re-tokenize of the surviving corpus in this job
+            F.col("n_tokens").cast("bigint").alias("nt"),
         )
         .groupBy("split", "bucket")
         .agg(
