@@ -45,3 +45,35 @@ def safe_divide(num: Column, den: Column) -> Column:
     """x / nullif(y, 0) — the reference's div-by-zero guard
     (int_device_health.sql:51, fct_device_summary.sql:44,49)."""
     return num / F.nullif(den, F.lit(0))
+
+
+def literal_df(spark, rows, schema: str):
+    """Tiny constant relation as a PURE-JVM literal table.
+
+    ``spark.createDataFrame(python_list)`` plans a parallelized
+    PythonRDD whose defaultParallelism partitions EACH spin a Python
+    worker to unpickle their slice — a measured ~0.3 s/task × 32-task
+    zero-input stage per query at local[32] (optimization round 13;
+    guide §4: never cross the Python boundary for constants). This
+    builds the same relation as ``inline()`` of a literal struct array:
+    one whole-stage-codegen task, no Python workers, no scan.
+
+    ``schema`` is a simple DDL string ("a int, b long" — no parametrized
+    types, their commas would split wrong); ``rows`` is a list of tuples
+    of plain Python scalars (int/float/str/bool — the types Column
+    literals accept). An empty ``rows`` falls back to createDataFrame
+    (one empty relation, nothing to unpickle).
+    """
+    from pyspark.sql import functions as _F
+
+    if not rows:
+        return spark.createDataFrame([], schema)
+    fields = [f.strip().rsplit(None, 1) for f in schema.split(",")]
+    structs = [
+        _F.struct(*[
+            _F.lit(v).cast(t).alias(n)
+            for v, (n, t) in zip(row, fields)
+        ])
+        for row in rows
+    ]
+    return spark.range(1).select(_F.inline(_F.array(*structs)))

@@ -553,7 +553,15 @@ def connected_components(
     rounds converge. Per round the labels are eagerly localCheckpointed
     exactly once (on a cluster: a small intermediate table) and BOTH
     the convergence aggregate and the next round read that checkpoint —
-    nothing upstream is ever re-derived.
+    nothing upstream is ever re-derived. (A merged lazy-checkpoint +
+    convergence-aggregate round was A/B-measured in round 13 and
+    REVERTED: neardup_components 4.38 → 5.07 s warm median at sf0.1.)
+    Round-13 keeps: the setup collapses to ONE counted job (lazy
+    sym/labels, the count materializes both), the count is the
+    edge-touched vertex watermark reused for the final broadcast guard
+    (no separate mapping.count() job), and an EMPTY graph — the clean-
+    corpus common case — exits before the loop and skips the mapping
+    join outright.
     """
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -561,22 +569,43 @@ def connected_components(
             edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # edge-touched vertices only: the loop's working set
+    # edge-touched vertices only: the loop's working set. Lazy
+    # checkpoint + count in one job — the count also materializes sym
+    # (its ancestor) and is the loop-size/broadcast watermark.
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    n_loop_vertices = labels.count()
+    if n_loop_vertices == 0:
+        # clean corpus: no edges, every vertex is its own component —
+        # no loop, no join
+        return vertices.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("component")
+        )
+
+    # per-round join sides are bounded by the counted watermark:
+    # labels has exactly n_loop_vertices rows every round, and
+    # neighbor_min at most that — broadcast-hint both under the limit
+    # (the planner sees only unknown-size checkpoint scans and would
+    # plan sort-merge joins whose per-round exchanges each cost an AQE
+    # stage job). Above the limit — a pathologically dirty corpus —
+    # the hint is withheld and the joins shuffle as before.
+    small_loop = n_loop_vertices <= broadcast_component_limit
 
     for _ in range(max_iterations):
+        labels_j = F.broadcast(labels) if small_loop else labels
         neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
+            sym.join(labels_j, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        if small_loop:
+            neighbor_min = F.broadcast(neighbor_min)
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -599,10 +628,11 @@ def connected_components(
             break
 
     # attach singletons: component = own id for every vertex the loop
-    # never saw. The mapping is O(edge-touched vertices) — broadcast
-    # under the limit, shuffled join on a pathologically dirty corpus.
+    # never saw. The mapping is O(edge-touched vertices) — its rowcount
+    # is the invariant counted at setup — broadcast under the limit,
+    # shuffled join on a pathologically dirty corpus.
     mapping = labels.withColumnRenamed("id", id_col)
-    if mapping.count() <= broadcast_component_limit:
+    if n_loop_vertices <= broadcast_component_limit:
         mapping = F.broadcast(mapping)
     return (
         vertices.select(F.col(id_col))
@@ -1286,9 +1316,23 @@ def planted_recall_cert(
         )
     )
     rows = shingle_hash_rows(sides, id_col, text_col, k)
-    params = rows.sparkSession.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(_affine_params(num_hashes))],
-        "_i int, _a long, _b long",
+    # pure-JVM literal table (optimization round 13): createDataFrame
+    # over a Python list plans a PythonRDD whose parallelize partitions
+    # each spin a Python worker — a measured ~0.3 s/task × 32-task
+    # stage with zero input in EVERY cert-attaching query (guide §4:
+    # don't cross the Python boundary for constants). inline() of a
+    # literal struct array stays in whole-stage codegen.
+    params = rows.sparkSession.range(1).select(
+        F.inline(
+            F.array(*[
+                F.struct(
+                    F.lit(i).cast("int").alias("_i"),
+                    F.lit(a).cast("long").alias("_a"),
+                    F.lit(b).cast("long").alias("_b"),
+                )
+                for i, (a, b) in enumerate(_affine_params(num_hashes))
+            ])
+        )
     )
     mins = (
         rows.join(F.broadcast(params))

@@ -41,9 +41,16 @@ def mixture_thresholds(
     with threshold = floor(K * w_d / n_d * mod), K = min_d(n_d / w_d).
     Domains absent from `weights` get weight 0 → threshold 0 (dropped).
     """
+    from dbt_datbricks_demo_spark.functions import literal_df
+
     spark = df.sparkSession
-    w = spark.createDataFrame(
-        [(k, float(v)) for k, v in weights.items()], [domain_col, "_weight"]
+    # pure-JVM literal relation — createDataFrame over a Python list
+    # plans a PythonRDD whose 32 parallelize partitions each spin a
+    # Python worker (round 13, guide §4)
+    w = literal_df(
+        spark,
+        [(k, float(v)) for k, v in weights.items()],
+        f"{domain_col} string, _weight double",
     )
     counts = (
         df.groupBy(domain_col)

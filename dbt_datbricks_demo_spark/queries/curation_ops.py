@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbt_datbricks_demo_spark.functions import literal_df
 from dbt_datbricks_demo_spark.operators import dedup
 from dbt_datbricks_demo_spark.operators.text import tokens
 from dbt_datbricks_demo_spark.queries.inventory import _register, _spread, _t
@@ -846,8 +847,11 @@ def domain_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def domain_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
-    blk = spark.createDataFrame(
-        [(s,) for s in _BLOCKED_DOMAINS], "b_source string"
+    # pure-JVM literal relation — createDataFrame over a Python list
+    # plans a PythonRDD whose 32 parallelize partitions each spin a
+    # Python worker (round 13, guide §4)
+    blk = literal_df(
+        spark, [(s,) for s in _BLOCKED_DOMAINS], "b_source string"
     )
     flagged = (
         docs.join(
