@@ -78,10 +78,17 @@ def contamination_report(
     # probe compares longs. A digest collision is deterministic — an
     # oracle computing the same digest sees the identical result.
     gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("bigint")
+    # DISK_ONLY (round-12 verdict item 6): the benchmark gram-digest
+    # set is O(|benchmark| grams) — corpus-scale when the benchmark is
+    # a held-out split of the corpus itself. Disk-backed blocks keep
+    # the compute-once/read-twice structure (count guard + probe join)
+    # without pinning executor memory at 100 TB.
+    from pyspark import StorageLevel
+
     bench = (
         benchmark_grams.select(gh.alias("_gh"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     if bench.count() <= broadcast_gram_limit:
         bench = F.broadcast(bench)

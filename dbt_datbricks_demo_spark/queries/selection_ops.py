@@ -201,6 +201,10 @@ def bloom_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bimodal 3.7 s / 15.0 s across bench sessions). Position-explode +
     # concat_ws(slice(...)) keeps every expression in generated code,
     # and the per-doc distinct moves to a map-side-combined aggregate.
+    # (A round-13 pinned doc-level repartition before the explode was
+    # A/B-measured and reverted: +0.4 s — here the heavy gram pass is
+    # BELOW the dedup exchange on the already-_spread scan, so the pin
+    # was a pure extra exchange, unlike candidate_hash_arrays.)
     staged = docs.select(
         "doc_id", "source", split.alias("_split"),
         text.tokens("text").alias("_t"),
@@ -219,10 +223,18 @@ def bloom_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ×2: probe + per-doc agg), and without the checkpoint each branch
     # re-ran the full tokenize+gram corpus pass (4 parquet scans in the
     # before-plan). O(|distinct grams|) rows, narrow columns.
+    # DISK_ONLY (round-12 verdict item 6): this relation is
+    # O(corpus grams) — the one materialization here that scales with
+    # the corpus, an executor-MEMORY bomb at 100 TB under the default
+    # MEMORY_AND_DESER level. Disk-backed blocks keep the single-pass
+    # plan-reuse structure (4 consuming branches) without the memory
+    # cliff; on a real pipeline this is the intermediate table write.
+    from pyspark import StorageLevel
+
     per_doc_grams = (
         occ.select("doc_id", "source", "_split", gram.alias("gram"))
         .dropDuplicates(["doc_id", "gram"])
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     bench = (
         per_doc_grams.filter(F.col("_split") == "test")
