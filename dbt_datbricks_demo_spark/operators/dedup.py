@@ -1315,6 +1315,17 @@ def planted_recall_cert(
             F.concat(F.col(text_col), F.lit(suffix)).alias(text_col),
         )
     )
+    # PINNED spread after the limit (optimization round 13): the global
+    # limit collapses to ONE partition, and everything until the next
+    # exchange — the shingle explode joined against num_hashes affine
+    # params (2·n_planted docs × ~600 shingles × 96 params ≈ 1.8M rows
+    # at the tier-2 geometry) — ran in a single measured ~1.9 s task in
+    # every cert-attaching query. Hash-repartitioning the 2·n_planted
+    # doc rows by id spreads the heavy pipeline across the cluster
+    # parallelism; hash(id) also clusters the (id, _i) and (id, _band)
+    # groupings, so no new data-dependent exchange appears downstream.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sides = sides.repartition(par, F.col(id_col))
     rows = shingle_hash_rows(sides, id_col, text_col, k)
     # pure-JVM literal table (optimization round 13): createDataFrame
     # over a Python list plans a PythonRDD whose parallelize partitions
