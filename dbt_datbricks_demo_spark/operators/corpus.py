@@ -73,6 +73,16 @@ def clean_corpus(
         (n_punct * 1.0 / F.nullif(F.length(text_col), F.lit(0)))
         <= max_punct_ratio
     )
+    # Examined, left alone (round 13): Catalyst pushes this
+    # deterministic gate below the caller's parallelizing repartition
+    # to the scan, so on the single-row-group testdata file the whole
+    # regex gate runs inside the ONE scan task (~0.37 s serial at
+    # sf0.1). A nondeterministic rand()-disjunct pushdown barrier was
+    # tried and is FOLDED AWAY by Spark 4's interval simplification
+    # (rand() < -1 is provably false), and on a real multi-file table
+    # the pushdown is the RIGHT behavior (_spread is a no-op there and
+    # filtering at the scan is optimal) — so this is a local testdata
+    # artifact, not a scale defect.
     gated = deduped.filter(quality_ok).filter(
         text.predict_lang(text_col).isin(*allowed_langs)
     )
