@@ -76,4 +76,6 @@ def literal_df(spark, rows, schema: str):
         ])
         for row in rows
     ]
-    return spark.range(1).select(_F.inline(_F.array(*structs)))
+    # explicit numPartitions=1: a bare range(1) plans defaultParallelism
+    # splits — 31 empty tasks per evaluation
+    return spark.range(0, 1, 1, 1).select(_F.inline(_F.array(*structs)))

@@ -1323,9 +1323,16 @@ def planted_recall_cert(
     # every cert-attaching query. Hash-repartitioning the 2·n_planted
     # doc rows by id spreads the heavy pipeline across the cluster
     # parallelism; hash(id) also clusters the (id, _i) and (id, _band)
-    # groupings, so no new data-dependent exchange appears downstream.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sides = sides.repartition(par, F.col(id_col))
+    # groupings. The single partition previously satisfied EVERY
+    # grouping, so spreading re-introduces ~3 tiny exchanges (the
+    # (pair, band) regroup + final counts) — a measured wash at the
+    # 8-hash tier-0 geometry (~0.2 s single-task vs ~0.2-0.4 s of AQE
+    # stage latency, indistinguishable over 4 interleaved sessions)
+    # and a ~1.6 s win at 32+ hashes, so the spread is conditional on
+    # the geometry, not on any cluster-size constant.
+    if num_hashes >= 32:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        sides = sides.repartition(par, F.col(id_col))
     rows = shingle_hash_rows(sides, id_col, text_col, k)
     # pure-JVM literal table (optimization round 13): createDataFrame
     # over a Python list plans a PythonRDD whose parallelize partitions
